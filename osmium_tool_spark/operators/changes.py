@@ -1,0 +1,180 @@
+"""History / CDC operators: time-filter, apply-changes, derive-changes, diff.
+
+Reference: /root/reference/src/command_time_filter.cpp (point-in-time
+snapshot + range over history via diff-iterator pairing consecutive
+versions), command_apply_changes.cpp (latest-version-wins upsert, ties
+broken by LAST change file on the CLI :344-352; history mode = set union
+:315-338), command_derive_changes.cpp (full-outer compare emitting
+create/modify/delete), command_diff.cpp (sorted merge-join + per-column
+CRC-refined equality).
+
+Spark shape: the diff-iterator becomes a lead() window over
+(type,id | version); merge-joins become full-outer equi-joins on
+(type,id,version) — Catalyst picks sort-merge; apply-changes is the
+canonical windowed-dedup "latest wins" (or MERGE INTO on Iceberg).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.sortkeys import canonical_sort
+
+
+def time_filter(history: DataFrame, t_from: int, t_to: int | None = None) -> DataFrame:
+    """Point-in-time snapshot (t_to None): the version visible at t_from
+    (DiffObject::is_visible_at — start<=t, end>t, visible). Range mode:
+    every version alive in [t_from, t_to] INCLUSIVE of to, tombstones kept
+    (is_between; output is a history file).
+    (command_time_filter.cpp:155-176 — an as-of join against constant T.)"""
+    w = Window.partitionBy("type", "id").orderBy("version")
+    with_next = history.withColumn("__next_ts", F.lead("ts").over(w))
+    if t_to is None:
+        out = with_next.filter(
+            (F.col("ts") <= t_from)
+            & (F.col("__next_ts").isNull() | (F.col("__next_ts") > t_from))
+            & F.col("visible")
+        )
+    else:
+        out = with_next.filter(
+            (F.col("ts") <= t_to)
+            & (F.col("__next_ts").isNull() | (F.col("__next_ts") > t_from))
+        )
+    return canonical_sort(out.drop("__next_ts"))
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: list[DataFrame],
+    with_history: bool = False,
+    locations_on_ways: bool = False,
+) -> DataFrame:
+    """Apply change batches to a base snapshot.
+
+    Data-file mode: per (type,id) the winning row is the one with highest
+    (version, source_seq) — source_seq orders the change batches so the LAST
+    batch wins ties (command_apply_changes.cpp:344-352); objects whose
+    winner is a delete (visible=false) are dropped from the output.
+
+    History mode: plain set-union keeping all versions, duplicates on
+    (type,id,version) resolved to the latest source (:315-338).
+    """
+    tagged = [base.withColumn("__src", F.lit(0))] + [
+        c.withColumn("__src", F.lit(i + 1)) for i, c in enumerate(changes)
+    ]
+    all_rows = reduce(DataFrame.unionByName, tagged)
+    if with_history:
+        w = Window.partitionBy("type", "id", "version").orderBy(F.desc("__src"))
+        out = (
+            all_rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        return canonical_sort(out)
+    w = Window.partitionBy("type", "id").orderBy(F.desc("version"), F.desc("__src"))
+    out = (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("visible"))
+        .drop("__rn", "__src")
+    )
+    return canonical_sort(out)
+
+
+_CONTENT_COLS = ("visible", "ts", "tags", "lon", "lat", "refs", "members", "changeset", "uid", "user")
+
+
+def _content_hash(prefix: str, ignore: set[str]):
+    cols = []
+    for c in _CONTENT_COLS:
+        if c in ignore:
+            continue
+        col = F.col(f"{prefix}.{c}")
+        if c == "tags":
+            # maps are unhashable (nondeterministic entry order) -> canonical
+            # sorted entries array
+            col = F.array_sort(F.map_entries(col))
+        cols.append(col)
+    return F.xxhash64(*cols)
+
+
+def diff(
+    left: DataFrame,
+    right: DataFrame,
+    ignore: set[str] | None = None,
+) -> DataFrame:
+    """Two-way full-outer compare on (type,id,version); equality refined by a
+    content hash over (visible,timestamp,tags,loc/refs/members,changeset,
+    uid,user) minus `ignore`d columns (command_diff.cpp:278-381).
+
+    Returns (type, id, version, status) with status in
+    {'left','right','same','different'}."""
+    ignore = ignore or set()
+    l = left.alias("l")
+    r = right.alias("r")
+    j = l.join(r, on=["type", "id", "version"], how="full_outer")
+    lh = _content_hash("l", ignore)
+    rh = _content_hash("r", ignore)
+    # presence markers: ts may legitimately be NULL, so use a non-null probe
+    lpresent = F.col("l.visible").isNotNull()
+    rpresent = F.col("r.visible").isNotNull()
+    status = (
+        F.when(~lpresent & rpresent, F.lit("right"))
+        .when(lpresent & ~rpresent, F.lit("left"))
+        .when(lh == rh, F.lit("same"))
+        .otherwise(F.lit("different"))
+    )
+    return j.select("type", "id", "version", status.alias("status")).orderBy("type", "id", "version")
+
+
+def derive_changes(
+    old: DataFrame,
+    new: DataFrame,
+    increment_version: bool = False,
+    keep_details: bool = False,
+    update_timestamp: int | None = None,
+) -> DataFrame:
+    """Compute the change set old -> new (command_derive_changes.cpp):
+    right-only + different -> create/modify rows from `new`; left-only ->
+    synthesized deletion records (visible=false, details zeroed unless
+    keep_details, version+1 if increment_version, ts overridden if
+    update_timestamp). Output rows + `change_op` column in
+    {'create','modify','delete'}.
+
+    Works per (type,id) on latest versions (data files: <=1 version/object).
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, on=["type", "id"], how="full_outer")
+    opresent = F.col("o.visible").isNotNull()
+    npresent = F.col("n.visible").isNotNull()
+
+    oh = _content_hash("o", set())
+    nh = _content_hash("n", set())
+
+    created = j.filter(~opresent & npresent).select("n.*").withColumn("change_op", F.lit("create"))
+    modified = (
+        j.filter(opresent & npresent & (oh != nh)).select("n.*").withColumn("change_op", F.lit("modify"))
+    )
+    deleted = j.filter(opresent & ~npresent).select("o.*")
+    deleted = deleted.withColumn("visible", F.lit(False)).withColumn("change_op", F.lit("delete"))
+    if increment_version:
+        deleted = deleted.withColumn("version", F.col("version") + 1)
+    if update_timestamp is not None:
+        deleted = deleted.withColumn("ts", F.lit(update_timestamp).cast("long"))
+    if not keep_details:
+        deleted = (
+            deleted.withColumn("tags", F.map_from_arrays(F.array(), F.array()))
+            .withColumn("refs", F.when(F.col("refs").isNotNull(), F.array().cast("array<long>")))
+            .withColumn(
+                "members",
+                F.when(F.col("members").isNotNull(), F.slice(F.col("members"), 1, 0)),
+            )
+            .withColumn("changeset", F.lit(0).cast("long"))
+            .withColumn("uid", F.lit(0))
+            .withColumn("user", F.lit(""))
+        )
+    out = created.unionByName(modified).unionByName(deleted)
+    return canonical_sort(out)

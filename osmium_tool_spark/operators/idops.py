@@ -1,0 +1,272 @@
+"""ID-based operators: getid / removeid / getparents / renumber / check-refs.
+
+Reference sources: /root/reference/src/command_getid.cpp (semi-join +
+recursive reference closure), command_removeid.cpp (anti-join),
+command_getparents.cpp (inverse reference semi-join), command_renumber.cpp
+(order-preserving dense re-id), command_check_refs.cpp (referential
+integrity anti-join).
+
+The reference's IdSetDense bitmaps become id DataFrames; every operation is
+an equi-(semi/anti)-join that AQE turns into a broadcast join when the id
+set is small — the distributed analog of the in-RAM bitmap probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.sortkeys import canonical_sort, id_sort_key
+from ..schema import NODE, RELATION, WAY
+
+
+def _ids_df(entities: DataFrame, ids: dict[int, list[int]]) -> DataFrame:
+    spark = entities.sparkSession
+    rows = [(t, i) for t, lst in ids.items() for i in lst]
+    return spark.createDataFrame(rows or [(None, None)], "type int, id long").filter(
+        F.col("id").isNotNull()
+    )
+
+
+def parse_id_list(tokens: list[str], default_type: int = NODE) -> dict[int, list[int]]:
+    """'n123' / 'w12' / 'r7' / bare ids; separators handled by caller
+    (reference src/id_file.cpp:31-50)."""
+    out: dict[int, list[int]] = {NODE: [], WAY: [], RELATION: []}
+    tmap = {"n": NODE, "w": WAY, "r": RELATION}
+    for tok in tokens:
+        tok = tok.strip()
+        if not tok:
+            continue
+        if tok[0].lower() in tmap:
+            out[tmap[tok[0].lower()]].append(int(tok[1:]))
+        else:
+            out[default_type].append(int(tok))
+    return out
+
+
+def getid(
+    entities: DataFrame,
+    ids: dict[int, list[int]],
+    recursive: bool = False,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Semi-join by explicit (type,id) list; `recursive` follows references
+    downward until closed (command_getid.cpp:235-333): relation members
+    (incl. nested relations), way nodes."""
+    sel = _ids_df(entities, ids)
+    if recursive:
+        rels = entities.filter(F.col("type") == RELATION)
+        rel_edges = (
+            rels.select(F.col("id").alias("parent_id"), F.explode("members").alias("m"))
+            .select("parent_id", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"))
+            .persist()
+        )
+        # 1) close relation->relation downward
+        rel_ids = sel.filter(F.col("type") == RELATION).select("id").localCheckpoint(eager=True)
+        frontier = rel_ids
+        for _ in range(max_iters):
+            children = (
+                rel_edges.filter(F.col("mtype") == RELATION)
+                .join(frontier.withColumnRenamed("id", "parent_id"), on="parent_id")
+                .select(F.col("ref").alias("id"))
+                .distinct()
+                .join(rel_ids, on="id", how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if children.isEmpty():
+                break
+            rel_ids = rel_ids.unionByName(children).localCheckpoint(eager=True)
+            frontier = children
+        # 2) way/node members of all selected relations
+        mem = rel_edges.join(rel_ids.withColumnRenamed("id", "parent_id"), on="parent_id")
+        way_ids = (
+            sel.filter(F.col("type") == WAY)
+            .select("id")
+            .unionByName(mem.filter(F.col("mtype") == WAY).select(F.col("ref").alias("id")))
+            .distinct()
+        )
+        node_member_ids = mem.filter(F.col("mtype") == NODE).select(F.col("ref").alias("id"))
+        # 3) nodes of all selected ways
+        way_nodes = (
+            entities.filter(F.col("type") == WAY)
+            .join(way_ids, on="id", how="left_semi")
+            .select(F.explode("refs").alias("id"))
+        )
+        node_ids = (
+            sel.filter(F.col("type") == NODE)
+            .select("id")
+            .unionByName(node_member_ids)
+            .unionByName(way_nodes)
+            .distinct()
+        )
+        sel = (
+            node_ids.select(F.lit(NODE).alias("type"), "id")
+            .unionByName(way_ids.select(F.lit(WAY).alias("type"), "id"))
+            .unionByName(rel_ids.select(F.lit(RELATION).alias("type"), "id"))
+        )
+    out = entities.join(sel, on=["type", "id"], how="left_semi")
+    return canonical_sort(out)
+
+
+def removeid(entities: DataFrame, ids: dict[int, list[int]]) -> DataFrame:
+    """Anti-join by explicit id list (command_removeid.cpp:143-176)."""
+    return canonical_sort(entities.join(_ids_df(entities, ids), on=["type", "id"], how="left_anti"))
+
+
+def getparents(
+    entities: DataFrame,
+    ids: dict[int, list[int]],
+    add_self: bool = False,
+) -> DataFrame:
+    """Emit ways containing given nodes and relations containing given
+    members (command_getparents.cpp:192-243); --add-self unions originals."""
+    sel = _ids_df(entities, ids)
+    node_ids = sel.filter(F.col("type") == NODE).select("id")
+    ways = entities.filter(F.col("type") == WAY)
+    rels = entities.filter(F.col("type") == RELATION)
+
+    parent_ways = (
+        ways.select(F.col("id"), F.explode("refs").alias("ref"))
+        .join(node_ids.withColumnRenamed("id", "ref"), on="ref")
+        .select("id")
+        .distinct()
+    )
+    mem = rels.select(F.col("id").alias("rel_id"), F.explode("members").alias("m")).select(
+        "rel_id", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref")
+    )
+    parent_rels = (
+        mem.join(
+            sel.withColumnRenamed("type", "mtype").withColumnRenamed("id", "ref"),
+            on=["mtype", "ref"],
+        )
+        .select(F.col("rel_id").alias("id"))
+        .distinct()
+    )
+    out = ways.join(parent_ways, on="id", how="left_semi").unionByName(
+        rels.join(parent_rels, on="id", how="left_semi")
+    )
+    if add_self:
+        out = out.unionByName(entities.join(sel, on=["type", "id"], how="left_semi"))
+    return canonical_sort(out.dropDuplicates(["type", "id", "version"]))
+
+
+def renumber(
+    entities: DataFrame,
+    start_ids: dict[int, int] | None = None,
+) -> DataFrame:
+    """Order-preserving dense re-numbering per type (command_renumber.cpp:
+    61-91,257-292): new ids assigned in canonical id order starting at
+    start_id (default 1; negative start counts down). Refs and members are
+    remapped through the same mapping.
+
+    Scale note: the mapping is a window row_number per type — one shuffle —
+    then ref-rewrite is an equi-join of exploded refs against the mapping
+    (same as the reference's in-RAM id_map, distributed).
+    """
+    start_ids = start_ids or {}
+
+    mapping = entities.select("type", "id").distinct().withColumn(
+        "new_id",
+        F.row_number().over(Window.partitionBy("type").orderBy(id_sort_key(F.col("id")))),
+    )
+    for t, s in start_ids.items():
+        if s < 0:
+            mapping = mapping.withColumn(
+                "new_id",
+                F.when(F.col("type") == t, F.lit(s + 1) - F.col("new_id") + 1).otherwise(F.col("new_id")),
+            )
+        else:
+            mapping = mapping.withColumn(
+                "new_id",
+                F.when(F.col("type") == t, F.col("new_id") + s - 1).otherwise(F.col("new_id")),
+            )
+    mapping = mapping.withColumn("new_id", F.col("new_id").cast("long")).persist()
+
+    node_map = mapping.filter(F.col("type") == NODE).select(F.col("id"), F.col("new_id"))
+    way_map = mapping.filter(F.col("type") == WAY).select(F.col("id"), F.col("new_id"))
+    rel_map = mapping.filter(F.col("type") == RELATION).select(F.col("id"), F.col("new_id"))
+
+    out = entities.join(mapping, on=["type", "id"]).withColumn("id", F.col("new_id")).drop("new_id")
+
+    # remap way refs (posexplode keeps order, collect back sorted by pos)
+    ways = out.filter(F.col("type") == WAY)
+    others = out.filter(F.col("type") != WAY)
+    exploded = ways.select(
+        "type", "id", "version", F.posexplode_outer("refs").alias("pos", "ref")
+    ).join(node_map.withColumnRenamed("id", "ref"), on="ref", how="left")
+    remapped = exploded.groupBy("type", "id", "version").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.coalesce("new_id", "ref").alias("r")))
+        ).alias("prs")
+    ).select("type", "id", "version", F.transform("prs", lambda s: s.r).alias("new_refs"))
+    ways = ways.join(remapped, on=["type", "id", "version"], how="left").withColumn(
+        "refs", F.coalesce("new_refs", "refs")
+    ).drop("new_refs")
+
+    # remap relation members per member type
+    rels = others.filter(F.col("type") == RELATION)
+    non_rels = others.filter(F.col("type") != RELATION)
+    mex = rels.select(
+        "type", "id", "version", F.posexplode_outer("members").alias("pos", "m")
+    ).select("type", "id", "version", "pos", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"), F.col("m.role").alias("role"))
+    for t, mdf in ((NODE, node_map), (WAY, way_map), (RELATION, rel_map)):
+        mex = mex.join(
+            mdf.withColumnRenamed("id", "ref").withColumnRenamed("new_id", f"nid_{t}"),
+            on="ref",
+            how="left",
+        ).withColumn(
+            "ref",
+            F.when((F.col("mtype") == t) & F.col(f"nid_{t}").isNotNull(), F.col(f"nid_{t}")).otherwise(F.col("ref")),
+        ).drop(f"nid_{t}")
+    rebuilt = mex.groupBy("type", "id", "version").agg(
+        F.array_sort(F.collect_list(F.struct("pos", F.struct("mtype", "ref", "role").alias("m")))).alias("pms")
+    ).select("type", "id", "version", F.transform("pms", lambda s: s.m).alias("new_members"))
+    rels = rels.join(rebuilt, on=["type", "id", "version"], how="left").withColumn(
+        "members", F.coalesce("new_members", "members")
+    ).drop("new_members")
+
+    return canonical_sort(non_rels.unionByName(ways).unionByName(rels))
+
+
+def check_refs(entities: DataFrame, check_relations: bool = False) -> DataFrame:
+    """Referential-integrity check (command_check_refs.cpp:100-323): returns
+    a DataFrame of missing references (ref_type, ref_id, src_type, src_id).
+    """
+    nodes = entities.filter(F.col("type") == NODE).select("id").distinct()
+    ways = entities.filter(F.col("type") == WAY)
+    rels = entities.filter(F.col("type") == RELATION)
+
+    missing_way_nodes = (
+        ways.select(F.col("id").alias("src_id"), F.explode("refs").alias("id"))
+        .join(nodes, on="id", how="left_anti")
+        .select(
+            F.lit(NODE).alias("ref_type"),
+            F.col("id").alias("ref_id"),
+            F.lit(WAY).alias("src_type"),
+            "src_id",
+        )
+    )
+    if not check_relations:
+        return missing_way_nodes.distinct()
+
+    way_ids = ways.select("id").distinct()
+    rel_ids = rels.select("id").distinct()
+    mem = rels.select(F.col("id").alias("src_id"), F.explode("members").alias("m")).select(
+        "src_id", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("id")
+    )
+    missing = []
+    for t, present in ((NODE, nodes), (WAY, way_ids), (RELATION, rel_ids)):
+        missing.append(
+            mem.filter(F.col("mtype") == t)
+            .join(present, on="id", how="left_anti")
+            .select(
+                F.lit(t).alias("ref_type"),
+                F.col("id").alias("ref_id"),
+                F.lit(RELATION).alias("src_type"),
+                "src_id",
+            )
+        )
+    out = missing_way_nodes
+    for m in missing:
+        out = out.unionByName(m)
+    return out.distinct()
