@@ -1,38 +1,1024 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + per-operator queries with DuckDB
+oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every `queries()` entry exercises a real operator from
+osmium_tool_spark (SURVEY.md §2 inventory + the training-data-pipeline
+ops); the matching `oracle_sql()` restates it in ANSI SQL over the same
+parquet views. All derivations use portable arithmetic (integer mul/mod,
+polynomial-31 string hash, sequential double folds) so Spark and DuckDB
+produce bit-identical values — see osmium_tool_spark/sources/testdata.py.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB twins of osmium_tool_spark expressions)
+# ---------------------------------------------------------------------------
+
+P_LON = "((p_partkey) * 2654435761) % 3600000000 - 1800000000"
+P_LAT = "((p_partkey) * 2246822519) % 1800000000 - 900000000"
+NODES_CTE = f"nodes AS (SELECT p_partkey AS id, {P_LON} AS lon, {P_LAT} AS lat FROM part)"
+
+HIST_CTE = (
+    "hist AS (SELECT user_id AS id, epoch_us(ts) AS ts, (event_type <> 'error') AS visible, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version "
+    "FROM events)"
+)
+
+TOKS = "list_filter(string_split(text,' '), t -> t <> '')"
+
+
+def _sh3_sql(w: str) -> str:
+    """word-3gram distinct shingles of token list `w`."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({w})-2, 0)+1), "
+        f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+    )
+
+
+def _polyhash_sql(expr: str) -> str:
+    """fold(h*31 + codepoint) % 1e9+7 — twin of dedup.poly_hash."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr},''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(a,b) -> (a*31+b) % 1000000007)"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """sequential left-fold double dot product — twin of similarity.dot."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1,{dim + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x,y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+CELL_RES = 6
+
+
+def _ix_sql(lon: str, res: int = CELL_RES) -> str:
+    n = 1 << res
+    return f"least(CAST(floor((({lon}) + 1800000000) * {n} / 3600000000) AS BIGINT), {n - 1})"
+
+
+def _iy_sql(lat: str, res: int = CELL_RES) -> str:
+    n = 1 << res
+    return f"least(CAST(floor((({lat}) + 900000000) * {n} / 1800000000) AS BIGINT), {n - 1})"
+
+
+def _morton_sql(ix: str, iy: str, res: int = CELL_RES) -> str:
+    terms = []
+    for b in range(res):
+        terms.append(f"((({ix} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {2 * b + 1})")
+    return f"((CAST({res} AS BIGINT) << 56) | " + " | ".join(terms) + ")"
+
+
+# time window constants (epoch micros; events span 2024-01-01 .. 2024-01-31)
+T_SNAP = 1_705_000_000_000_000
+T_FROM = 1_704_500_000_000_000
+T_TO = 1_705_500_000_000_000
+
+BBOX = (-60.0, -45.0, 80.0, 60.0)  # degrees
+BBOX_FP = (-600_000_000, -450_000_000, 800_000_000, 600_000_000)
+DIAMOND_R = 999_999_999
+
+QUADS_FP = [
+    (-1_800_000_000, -900_000_000, 0, 0),
+    (0, -900_000_000, 1_800_000_000, 0),
+    (-1_800_000_000, 0, 0, 900_000_000),
+    (0, 0, 1_800_000_000, 900_000_000),
+]
+
+
+def _L(c) -> F.Column:  # cast helper: stable BIGINT outputs
+    return F.col(c).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: image table -> geo-referenced nodes -> multi-extract
+    spatial join (bbox + polygon PIP) -> per-extract tile rollup."""
+    import numpy as np
+
+    from osmium_tool_spark.functions.cells import cell_id
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import assign_extracts
+    from osmium_tool_spark.sources.images import images_as_nodes, synth_images_from_documents
+
+    sf_dir = "/root/testdata/sf0.001"
+    nodes = images_as_nodes(synth_images_from_documents(spark, sf_dir))
+    r = DIAMOND_R
+    extracts = [
+        Extract.bbox(0, *BBOX),
+        Extract.bbox(1, -180.0, -90.0, 0.0, 0.0),
+        Extract.polygon(2, [np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], dtype=np.int64)]),
+    ]
+    assigned = assign_extracts(nodes, extracts)
+    tiles = assigned.join(nodes.select("id", "lon", "lat"), on="id").select(
+        "extract_id", cell_id(F.col("lon"), F.col("lat"), 4).alias("cell")
+    )
+    return (
+        tiles.groupBy("extract_id", "cell")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("extract_id", "cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — osmium core operators
+# ---------------------------------------------------------------------------
+
+
+def q_extract_bbox_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import extract
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = extract(ents, [Extract.bbox(0, *BBOX)], strategy="simple")
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
+def q_extract_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import assign_extracts
+    from osmium_tool_spark.sources import testdata as td
+
+    r = DIAMOND_R
+    ring = np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], dtype=np.int64)
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = assign_extracts(nodes, [Extract.polygon(0, [ring])])
+    return out.select(_L("id").alias("id"))
+
+
+def q_extract_multi_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import assign_extracts
+    from osmium_tool_spark.sources import testdata as td
+
+    extracts = [
+        Extract(i, "bbox", minx=q[0], miny=q[1], maxx=q[2], maxy=q[3])
+        for i, q in enumerate(QUADS_FP)
+    ]
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = assign_extracts(nodes, extracts)
+    return out.select(_L("extract_id").alias("extract_id"), _L("id").alias("id"))
+
+
+def q_tags_filter_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.tags_filter import tags_filter
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = tags_filter(
+        ents,
+        ["n/type=MEDIUM,SMALL", "w/priority=1-URGENT", "n/brand=Brand#3*"],
+        omit_referenced=True,
+    )
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
+def q_tags_filter_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.tags_filter import tags_filter
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = tags_filter(ents, ["n/type=MEDIUM", "w/status=O"], invert=True, omit_referenced=True)
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
+def q_tags_filter_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.tags_filter import tags_filter
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = tags_filter(ents, ["w/priority=1-URGENT"], remove_tags=True)
+    return out.select(
+        _L("type").alias("type"),
+        _L("id").alias("id"),
+        (F.size(F.map_keys("tags")) > 0).alias("kept"),
+    )
+
+
+def q_getid_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.idops import getid
+    from osmium_tool_spark.schema import NODE, RELATION, WAY
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = getid(ents, {NODE: [], WAY: [], RELATION: [1, 3, 5, 7]}, recursive=True)
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
+def q_getparents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.idops import getparents
+    from osmium_tool_spark.schema import NODE
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = getparents(ents, {NODE: list(range(1, 21))})
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
+def q_removeid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.idops import removeid
+    from osmium_tool_spark.schema import NODE
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir).filter(F.col("id") <= 30)
+    out = removeid(nodes, {NODE: [1, 2, 3, 5, 8, 13, 21]})
+    return out.select(_L("id").alias("id"))
+
+
+def q_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.idops import renumber
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.nodes_from_part(spark, sf_dir).unionByName(td.ways_from_orders(spark, sf_dir))
+    out = renumber(ents)
+    return out.select(
+        _L("type").alias("type"),
+        _L("id").alias("id"),
+        F.element_at("refs", 1).cast("long").alias("ref0"),
+    )
+
+
+def q_sort_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.functions.sortkeys import id_sort_key
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir).withColumn(
+        "id", F.when(F.col("id") % 5 == 0, -F.col("id")).otherwise(F.col("id"))
+    )
+    w = Window.orderBy(id_sort_key(F.col("id")))
+    return nodes.select(_L("id").alias("id"), F.row_number().over(w).cast("long").alias("rank"))
+
+
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.sort_merge import merge
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    s1 = nodes.filter(F.col("id") % 2 == 0)
+    s2 = nodes.filter(F.col("id") % 3 == 0)
+    s3 = nodes.filter(F.col("id") < 50)
+    return merge([s1, s2, s3]).select(_L("id").alias("id"))
+
+
+def q_time_filter_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import time_filter
+    from osmium_tool_spark.sources import testdata as td
+
+    hist = td.history_from_events(spark, sf_dir)
+    out = time_filter(hist, T_SNAP)
+    return out.select(_L("id").alias("id"), _L("version").alias("version"), _L("ts").alias("ts"))
+
+
+def q_time_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import time_filter
+    from osmium_tool_spark.sources import testdata as td
+
+    hist = td.history_from_events(spark, sf_dir)
+    out = time_filter(hist, T_FROM, T_TO)
+    return out.select(_L("id").alias("id"), _L("version").alias("version"), _L("ts").alias("ts"))
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.sources.testdata import load
+
+    return load(spark, sf_dir, "orders").select(
+        F.lit(0).alias("type"),
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("visible"),
+        F.create_map(F.lit("status"), F.col("o_orderstatus")).alias("tags"),
+    )
+
+
+def q_apply_changes_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import apply_changes
+
+    base = _orders_base(spark, sf_dir)
+    c1 = (
+        base.filter(F.map_values("tags")[0] == "O")
+        .withColumn("version", F.lit(2))
+        .withColumn("tags", F.map_concat("tags", F.create_map(F.lit("mark"), F.lit("1"))))
+    )
+    c2 = (
+        base.filter(F.col("id") % 10 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("visible", F.lit(False))
+    )
+    out = apply_changes(base, [c1, c2])
+    return out.select(_L("id").alias("id"), _L("version").alias("version"))
+
+
+def q_apply_changes_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import apply_changes
+
+    base = _orders_base(spark, sf_dir)
+    c1 = base.filter(F.col("id") % 4 == 0).withColumn(
+        "tags", F.map_concat("tags", F.create_map(F.lit("mark"), F.lit("1")))
+    )
+    out = apply_changes(base, [c1], with_history=True)
+    return out.select(
+        _L("id").alias("id"),
+        _L("version").alias("version"),
+        F.col("tags").getItem("mark").isNotNull().alias("marked"),
+    )
+
+
+def _old_new(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from osmium_tool_spark.sources import testdata as td
+
+    ways = td.ways_from_orders(spark, sf_dir)
+    old = ways.filter(F.col("id") % 7 != 0)
+    new = ways.filter(F.col("id") % 5 != 0).withColumn(
+        "tags",
+        F.when(
+            F.col("id") % 3 == 0,
+            F.map_concat("tags", F.create_map(F.lit("mark"), F.lit("1"))),
+        ).otherwise(F.col("tags")),
+    )
+    return old, new
+
+
+def q_derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import derive_changes
+
+    old, new = _old_new(spark, sf_dir)
+    out = derive_changes(old, new)
+    return out.select(_L("id").alias("id"), F.col("change_op"))
+
+
+def q_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import diff
+
+    old, new = _old_new(spark, sf_dir)
+    out = diff(old, new)
+    return out.select(_L("id").alias("id"), F.col("status"))
+
+
+def q_check_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.idops import check_refs
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir).filter(F.col("id") % 4 != 0)
+    ents = nodes.unionByName(td.ways_from_orders(spark, sf_dir))
+    out = check_refs(ents)
+    return out.select(_L("ref_id").alias("ref_id"), _L("src_id").alias("src_id"))
+
+
+def q_tags_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.aggregates import tags_count
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = tags_count(ents, expressions=["brand", "priority"], count_values=True)
+    return out.select(
+        "key", "value", _L("count").alias("count"), _L("rank").alias("rank")
+    )
+
+
+def q_fileinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.aggregates import fileinfo
+    from osmium_tool_spark.sources import testdata as td
+
+    out = fileinfo(td.entities(spark, sf_dir))
+    return out.select(
+        _L("type").alias("type"),
+        _L("count").alias("count"),
+        _L("min_id").alias("min_id"),
+        _L("max_id").alias("max_id"),
+        _L("max_version").alias("max_version"),
+        _L("min_ts").alias("min_ts"),
+        _L("max_ts").alias("max_ts"),
+        _L("min_lon").alias("min_lon"),
+        _L("max_lon").alias("max_lon"),
+        _L("min_lat").alias("min_lat"),
+        _L("max_lat").alias("max_lat"),
+    )
+
+
+def q_changeset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changesets import changeset_filter
+    from osmium_tool_spark.sources import testdata as td
+
+    cs = td.changesets_from_events(spark, sf_dir)
+    out = changeset_filter(
+        cs,
+        open_=True,
+        with_changes=True,
+        uids=list(range(0, 60)),
+        after=T_FROM,
+        before=T_TO,
+        bbox=(-900_000_000, -450_000_000, 900_000_000, 450_000_000),
+    )
+    return out.select(_L("id").alias("id"), _L("created_at").alias("created_at"), _L("uid").alias("uid"))
+
+
+# ---------------------------------------------------------------------------
+# queries — tiling & spatial similarity (north rule)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.functions.cells import cell_id
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    return (
+        nodes.select(cell_id(F.col("lon"), F.col("lat"), CELL_RES).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .select(_L("cell").alias("cell"), _L("n").alias("n"))
+    )
+
+
+def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import knn_cellring
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    queries = nodes.filter(F.col("id") % 97 == 0)
+    out = knn_cellring(nodes, queries, res=CELL_RES, ring=2, k=5)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.col("dist2").cast("double").alias("dist2"),
+        _L("rank").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.dedup import exact_dedup
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = exact_dedup(docs, F.col("text"), F.col("doc_id"))
+    return out.select(_L("keeper_id").alias("keeper_id"), _L("n_copies").alias("n_copies"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.dedup import ngram_jaccard_pairs
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    return out.select(
+        _L("a").alias("a"), _L("b").alias("b"), F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.dedup import minhash_lsh_pairs
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, band_size=4, threshold=0.1)
+    return out.select(
+        _L("a").alias("a"), _L("b").alias("b"), F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.dedup import simhash_pairs
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=2, block_col="lang")
+    return out.select(_L("a").alias("a"), _L("b").alias("b"), _L("hamming").alias("hamming"))
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.dedup import phash_near_dup_pairs
+    from osmium_tool_spark.sources.images import synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir)
+    out = phash_near_dup_pairs(imgs, max_hamming=20, prefix_bits=8, block_col="fmt")
+    return out.select(F.col("a"), F.col("b"), _L("hamming").alias("hamming"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import ann_topk
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk(emb, queries, k=5)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.round("cos", 6).alias("cos"),
+        _L("rank").alias("rank"),
+    )
+
+
+def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import ann_topk_bucketed
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_bucketed(emb, queries, k=5)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        _L("rank").alias("rank"),
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import embedding_near_dup
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_near_dup(emb, threshold=0.35)
+    return out.select(_L("a").alias("a"), _L("b").alias("b"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.text import lang_id
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = lang_id(docs)
+    return out.select(_L("id").alias("id"), F.col("pred_lang"), _L("score").alias("score"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.text import quality_score
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = quality_score(docs)
+    return out.select(
+        _L("id").alias("id"),
+        _L("n_tokens").alias("n_tokens"),
+        F.col("mean_token_len").cast("double").alias("mean_token_len"),
+        F.col("stopword_ratio").cast("double").alias("stopword_ratio"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.text import token_counts
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return token_counts(docs, min_count=50).select(F.col("token"), _L("cnt").alias("cnt"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.text import fingerprint
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs).select(_L("id").alias("id"), _L("fp").alias("fp"))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.sources.images import decode_stub_meta, synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir)
+    return decode_stub_meta(imgs)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_bbox_simple": q_extract_bbox_simple,
+        "extract_polygon": q_extract_polygon,
+        "extract_multi_tile": q_extract_multi_tile,
+        "tags_filter_plain": q_tags_filter_plain,
+        "tags_filter_invert": q_tags_filter_invert,
+        "tags_filter_closure": q_tags_filter_closure,
+        "getid_recursive": q_getid_recursive,
+        "getparents": q_getparents,
+        "removeid": q_removeid,
+        "renumber": q_renumber,
+        "sort_canonical": q_sort_canonical,
+        "merge_dedup": q_merge_dedup,
+        "time_filter_snapshot": q_time_filter_snapshot,
+        "time_filter_range": q_time_filter_range,
+        "apply_changes_latest": q_apply_changes_latest,
+        "apply_changes_history": q_apply_changes_history,
+        "derive_changes": q_derive_changes,
+        "diff_status": q_diff_status,
+        "check_refs": q_check_refs,
+        "tags_count": q_tags_count,
+        "fileinfo": q_fileinfo,
+        "changeset_filter": q_changeset_filter,
+        "tile_rollup": q_tile_rollup,
+        "knn_cellring": q_knn_cellring,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "phash_near_dup": q_phash_near_dup,
+        "ann_topk": q_ann_topk,
+        "ann_topk_bucketed": q_ann_topk_bucketed,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmium_tool_spark.operators.dedup import minhash_perms
+    from osmium_tool_spark.operators.text import (
+        DEFAULT_MARKERS,
+        DEFAULT_STOPWORDS,
+    )
+
+    o: dict[str, str] = {}
+
+    bb = BBOX_FP
+    o["extract_bbox_simple"] = f"""
+WITH {NODES_CTE},
+mn AS (SELECT id FROM nodes WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}),
+mw AS (SELECT DISTINCT l_orderkey AS id FROM lineitem WHERE l_partkey IN (SELECT id FROM mn)),
+fm AS (SELECT o_custkey, min(o_orderkey) AS first_way FROM orders GROUP BY o_custkey),
+mr AS (SELECT o_custkey AS id FROM fm WHERE first_way IN (SELECT id FROM mw))
+SELECT CAST(0 AS BIGINT) AS type, CAST(id AS BIGINT) AS id FROM mn
+UNION ALL SELECT 1, id FROM mw
+UNION ALL SELECT 2, id FROM mr
+"""
+
+    o["extract_polygon"] = f"""
+WITH {NODES_CTE}
+SELECT CAST(id AS BIGINT) AS id FROM nodes WHERE abs(lon) + abs(lat) < {DIAMOND_R}
+"""
+
+    quads = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS extract_id, CAST(id AS BIGINT) AS id FROM nodes "
+        f"WHERE lon BETWEEN {q[0]} AND {q[2]} AND lat BETWEEN {q[1]} AND {q[3]}"
+        for i, q in enumerate(QUADS_FP)
+    )
+    o["extract_multi_tile"] = f"WITH {NODES_CTE} {quads}"
+
+    o["tags_filter_plain"] = """
+SELECT CAST(0 AS BIGINT) AS type, CAST(p_partkey AS BIGINT) AS id FROM part
+ WHERE p_type IN ('MEDIUM','SMALL') OR p_brand LIKE 'Brand#3%'
+UNION ALL
+SELECT 1, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+    o["tags_filter_invert"] = """
+SELECT CAST(0 AS BIGINT) AS type, CAST(p_partkey AS BIGINT) AS id FROM part WHERE p_type <> 'MEDIUM'
+UNION ALL SELECT 1, o_orderkey FROM orders WHERE o_orderstatus <> 'O'
+UNION ALL SELECT 2, c_custkey FROM customer
+"""
+
+    o["tags_filter_closure"] = """
+WITH mw AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT CAST(1 AS BIGINT) AS type, CAST(o_orderkey AS BIGINT) AS id, true AS kept FROM mw
+UNION ALL
+SELECT 0, l_partkey, false FROM (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM mw))
+"""
+
+    o["getid_recursive"] = """
+WITH rsel AS (SELECT c_custkey AS id FROM customer WHERE c_custkey IN (1,3,5,7)),
+wsel AS (SELECT DISTINCT o_orderkey AS id FROM orders WHERE o_custkey IN (SELECT id FROM rsel)),
+nsel AS (SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_orderkey IN (SELECT id FROM wsel))
+SELECT CAST(0 AS BIGINT) AS type, CAST(id AS BIGINT) AS id FROM nsel
+UNION ALL SELECT 1, id FROM wsel
+UNION ALL SELECT 2, id FROM rsel
+"""
+
+    o["getparents"] = """
+SELECT CAST(1 AS BIGINT) AS type, CAST(l_orderkey AS BIGINT) AS id
+FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey BETWEEN 1 AND 20)
+"""
+
+    o["removeid"] = """
+SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+WHERE p_partkey <= 30 AND p_partkey NOT IN (1,2,3,5,8,13,21)
+"""
+
+    o["renumber"] = """
+WITH nm AS (SELECT p_partkey AS old, CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS new FROM part),
+wm AS (SELECT o_orderkey AS old, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS new FROM orders),
+fr AS (SELECT l_orderkey, (list(l_partkey ORDER BY l_linenumber, l_partkey))[1] AS r0 FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(0 AS BIGINT) AS type, new AS id, CAST(NULL AS BIGINT) AS ref0 FROM nm
+UNION ALL
+SELECT 1, wm.new, nm2.new FROM wm LEFT JOIN fr ON wm.old = fr.l_orderkey LEFT JOIN nm nm2 ON fr.r0 = nm2.old
+"""
+
+    o["sort_canonical"] = """
+WITH s AS (SELECT CASE WHEN p_partkey % 5 = 0 THEN -p_partkey ELSE p_partkey END AS id FROM part)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(row_number() OVER (ORDER BY (id >= 0), abs(id)) AS BIGINT) AS rank
+FROM s
+"""
+
+    o["merge_dedup"] = """
+SELECT DISTINCT CAST(p_partkey AS BIGINT) AS id FROM part
+WHERE p_partkey % 2 = 0 OR p_partkey % 3 = 0 OR p_partkey < 50
+"""
+
+    o["time_filter_snapshot"] = f"""
+WITH {HIST_CTE},
+w AS (SELECT *, lead(ts) OVER (PARTITION BY id ORDER BY version) AS nts FROM hist)
+SELECT CAST(id AS BIGINT) AS id, version, ts FROM w
+WHERE ts <= {T_SNAP} AND (nts IS NULL OR nts > {T_SNAP}) AND visible
+"""
+
+    o["time_filter_range"] = f"""
+WITH {HIST_CTE},
+w AS (SELECT *, lead(ts) OVER (PARTITION BY id ORDER BY version) AS nts FROM hist)
+SELECT CAST(id AS BIGINT) AS id, version, ts FROM w
+WHERE ts <= {T_TO} AND (nts IS NULL OR nts > {T_FROM})
+"""
+
+    o["apply_changes_latest"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CAST(CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS BIGINT) AS version
+FROM orders WHERE o_orderkey % 10 <> 0
+"""
+
+    o["apply_changes_history"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(1 AS BIGINT) AS version,
+       (o_orderkey % 4 = 0) AS marked
+FROM orders
+"""
+
+    o["derive_changes"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'create'
+            WHEN o_orderkey % 5 = 0 THEN 'delete'
+            ELSE 'modify' END AS change_op
+FROM orders
+WHERE (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+   OR (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+   OR (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0)
+"""
+
+    o["diff_status"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0 THEN 'right'
+            WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 THEN 'left'
+            WHEN o_orderkey % 3 = 0 THEN 'different'
+            ELSE 'same' END AS status
+FROM orders
+WHERE o_orderkey % 7 <> 0 OR o_orderkey % 5 <> 0
+"""
+
+    o["check_refs"] = """
+SELECT DISTINCT CAST(l_partkey AS BIGINT) AS ref_id, CAST(l_orderkey AS BIGINT) AS src_id
+FROM lineitem WHERE l_partkey % 4 = 0
+"""
+
+    o["tags_count"] = """
+WITH kv AS (
+  SELECT 'brand' AS key, p_brand AS value FROM part
+  UNION ALL SELECT 'priority', o_orderpriority FROM orders
+),
+c AS (SELECT key, value, CAST(count(*) AS BIGINT) AS count FROM kv GROUP BY key, value)
+SELECT key, value, count,
+       CAST(row_number() OVER (ORDER BY count DESC, key ASC, value ASC) AS BIGINT) AS rank
+FROM c
+"""
+
+    o["fileinfo"] = f"""
+SELECT CAST(0 AS BIGINT) AS type, CAST(count(*) AS BIGINT) AS count,
+       CAST(min(p_partkey) AS BIGINT) AS min_id, CAST(max(p_partkey) AS BIGINT) AS max_id,
+       CAST(1 AS BIGINT) AS max_version,
+       CAST(min(p_partkey*1000) AS BIGINT) AS min_ts, CAST(max(p_partkey*1000) AS BIGINT) AS max_ts,
+       min({P_LON}) AS min_lon, max({P_LON}) AS max_lon,
+       min({P_LAT}) AS min_lat, max({P_LAT}) AS max_lat
+FROM part
+UNION ALL
+SELECT 1, count(*), min(o_orderkey), max(o_orderkey), 1,
+       min(epoch_us(o_orderdate)), max(epoch_us(o_orderdate)),
+       NULL, NULL, NULL, NULL
+FROM orders
+UNION ALL
+SELECT 2, count(*), min(c_custkey), max(c_custkey), 1,
+       min(c_custkey*1000), max(c_custkey*1000),
+       NULL, NULL, NULL, NULL
+FROM customer
+"""
+
+    uid_list = ",".join(str(u) for u in range(0, 60))
+    o["changeset_filter"] = f"""
+WITH cs AS (
+  SELECT event_id AS id, epoch_us(ts) AS created_at,
+         event_type IN ('view','click') AS open,
+         user_id AS uid,
+         CAST(floor(value*100) AS BIGINT) AS num_changes,
+         (event_id * 2654435761) % 3600000000 - 1800000000 AS clon,
+         (event_id * 2246822519) % 1800000000 - 900000000 AS clat
+  FROM events)
+SELECT CAST(id AS BIGINT) AS id, created_at, CAST(uid AS BIGINT) AS uid FROM cs
+WHERE open AND num_changes > 0 AND uid IN ({uid_list})
+  AND created_at >= {T_FROM} AND created_at <= {T_TO}
+  AND (clon - 50000000) <= 900000000 AND (clon + 50000000) >= -900000000
+  AND (clat - 50000000) <= 450000000 AND (clat + 50000000) >= -450000000
+"""
+
+    ix, iy = _ix_sql("lon"), _iy_sql("lat")
+    o["tile_rollup"] = f"""
+WITH {NODES_CTE},
+cells AS (SELECT {_morton_sql(ix, iy)} AS cell FROM nodes)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell
+"""
+
+    n_cells = 1 << CELL_RES
+    o["knn_cellring"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT id, lon, lat, {ix} AS ix, {iy} AS iy FROM nodes),
+q AS (SELECT * FROM g WHERE id % 97 = 0),
+cand AS (
+  SELECT q.id AS query_id, g.id AS neighbor_id,
+         CAST(q.lon - g.lon AS DOUBLE) AS dx, CAST(q.lat - g.lat AS DOUBLE) AS dy
+  FROM q JOIN g ON q.id <> g.id
+   AND abs(q.iy - g.iy) <= 2
+   AND least(abs(q.ix - g.ix), {n_cells} - abs(q.ix - g.ix)) <= 2),
+scored AS (SELECT query_id, neighbor_id, dx*dx + dy*dy AS dist2,
+           row_number() OVER (PARTITION BY query_id ORDER BY dx*dx + dy*dy, neighbor_id) AS rank
+           FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       dist2, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 5
+"""
+
+    o["dedup_exact"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH sh AS (SELECT doc_id, {_sh3_sql(TOKS)} AS s FROM documents),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        len(list_intersect(a.s, b.s)) AS common, len(a.s) AS sza, len(b.s) AS szb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(round(CAST(common AS DOUBLE)/(sza + szb - common), 6) AS DOUBLE) AS jaccard
+FROM p WHERE CAST(common AS DOUBLE)/(sza + szb - common) >= 0.1
+"""
+
+    perms = minhash_perms(16)
+    minexprs = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h*{a}+{b}) % 1000000007), 'min')"
+        for a, b in perms
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.sig[{4 * i + j + 1}] = b.sig[{4 * i + j + 1}]" for j in range(4)) + ")"
+        for i in range(4)
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH sh AS (SELECT doc_id, {_sh3_sql(TOKS)} AS s FROM documents),
+hs AS (SELECT doc_id, s, list_transform(s, x -> {_polyhash_sql('x')}) AS hs FROM sh WHERE len(s) > 0),
+sig AS (SELECT doc_id, s, [{minexprs}] AS sig FROM hs),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.s, b.s)) AS common, len(a.s) AS sza, len(b.s) AS szb
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds}))
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(round(CAST(common AS DOUBLE)/(sza + szb - common), 6) AS DOUBLE) AS jaccard
+FROM cand WHERE CAST(common AS DOUBLE)/(sza + szb - common) >= 0.1
+"""
+
+    simhash_bits = " + ".join(
+        f"CASE WHEN 2*len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    o["dedup_simhash"] = f"""
+WITH dt AS (SELECT doc_id, lang, list_distinct({TOKS}) AS toks FROM documents),
+hx AS (SELECT doc_id, lang,
+        list_transform(toks, x -> ({_polyhash_sql('x')} * 2654435761) % 4294967296) AS hs
+       FROM dt),
+sg AS (SELECT doc_id, lang, ({simhash_bits}) AS sig FROM hx)
+SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE bit_count(xor(a.sig, b.sig)) <= 2
+"""
+
+    o["phash_near_dup"] = """
+WITH img AS (SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+        (doc_id * 2654435761) % 16777216 + ((doc_id * 2246822519) % 16777216) * 16777216 AS phash
+      FROM documents)
+SELECT a.image_id AS a, b.image_id AS b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM img a JOIN img b
+  ON a.image_id < b.image_id AND a.fmt = b.fmt AND (a.phash >> 40) = (b.phash >> 40)
+WHERE bit_count(xor(a.phash, b.phash)) <= 20
+"""
+
+    o["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN c ON query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(round(cos, 6) AS DOUBLE) AS cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+    o["ann_topk_bucketed"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+    o["embedding_near_dup"] = f"""
+SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+"""
+
+    codes = sorted(DEFAULT_MARKERS)
+    score_cols = []
+    for code in codes:
+        mk = ",".join(f"'{m}'" for m in DEFAULT_MARKERS[code])
+        score_cols.append(f"len(list_filter(toks, t -> t IN ({mk}))) AS s_{code}")
+    pred = f"'{codes[0]}'"
+    best = f"s_{codes[0]}"
+    for code in codes[1:]:
+        pred = f"CASE WHEN s_{code} > {best} THEN '{code}' ELSE {pred} END"
+        best = f"greatest({best}, s_{code})"
+    o["text_langid"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+SELECT CAST(doc_id AS BIGINT) AS id, {pred} AS pred_lang, CAST({best} AS BIGINT) AS score FROM s
+"""
+
+    stop = ",".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
+    o["text_quality"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / len(toks), 6) AS DOUBLE) AS mean_token_len,
+       CAST(round(CAST(len(list_filter(toks, t2 -> t2 IN ({stop}))) AS DOUBLE) / len(toks), 6) AS DOUBLE) AS stopword_ratio
+FROM t
+"""
+
+    o["text_tokens"] = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({TOKS}) AS token FROM documents)
+GROUP BY token HAVING count(*) >= 50
+"""
+
+    o["text_fingerprint"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS id, {_polyhash_sql('text')} AS fp FROM documents
+"""
+
+    o["multimodal_decode"] = """
+SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(64 + (doc_id * 37) % 448 AS INTEGER) AS w,
+       CAST(64 + (doc_id * 53) % 448 AS INTEGER) AS h,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(((doc_id * 2654435761) % 16777216 + ((doc_id * 2246822519) % 16777216) * 16777216) % 256 AS DOUBLE) AS mean_luma
+FROM documents
+"""
+
+    return o

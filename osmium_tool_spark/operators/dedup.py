@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (osmium `merge` dedups exact
+(type,id,version) duplicates — /root/reference/src/command_merge.cpp:260-262),
+a 10^12-row image+caption table needs *near*-duplicate detection. All hot
+paths are built-in Column expressions (whole-stage codegen); pair generation
+never cross-joins — candidates come from inverted-index / LSH-band equi-joins
+so the shuffle is keyed and AQE-skew-splittable.
+
+Portability note: hashes are Knuth-multiplicative / polynomial-31 mod
+1e9+7 — deterministic integer arithmetic reproducible in ANSI SQL (the
+driver's DuckDB oracle), unlike engine-specific xxhash64/murmur.
+
+Scale design:
+  - exact_dedup: one hash-agg shuffle on the key; map-side partial agg.
+  - ngram/minhash/simhash: explode(shingles) -> equi-join on shingle/band
+    keys. Frequent-shingle skew is bounded with an optional document-
+    frequency cap (`max_df`); at 100 TB you ALWAYS set it (a stopword
+    shingle would otherwise fan out quadratically).
+  - verification joins (exact Jaccard / hamming) only run on candidate
+    pairs, which are a vanishing fraction of n^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+MIX = 2654435761  # Knuth multiplicative constant
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split, empties dropped)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingle strings of a text column."""
+    toks = word_tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    # guard: sequence(0, negative) would count DOWN in Spark
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def poly_hash(s: Column) -> Column:
+    """Portable polynomial string hash: fold(h*31 + codepoint) % (1e9+7)."""
+    return F.aggregate(
+        F.split(s, ""), F.lit(0).cast("long"), lambda h, c: (h * 31 + F.ascii(c)) % HASH_MOD
+    )
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: Column) -> DataFrame:
+    """Exact duplicate groups: (keeper_id = min id, n_copies) per key value.
+
+    The merge-dedup analog (command_merge.cpp:260-262) generalized to any
+    content key; one groupBy shuffle, partial-agg on the map side.
+    """
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def _pair_candidates(
+    exploded: DataFrame, id_col: str, token_col: str, max_df: int | None
+) -> DataFrame:
+    """(a, b) candidate pairs sharing >=1 token, with common-token counts.
+
+    `exploded` has one row per (id, token). The join is an equi-join on the
+    token — no cross product; `max_df` drops tokens whose document frequency
+    exceeds the cap (frequent-shingle skew guard)."""
+    if max_df is not None:
+        keep = (
+            exploded.groupBy(token_col)
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select(token_col)
+        )
+        exploded = exploded.join(keep, on=token_col, how="left_semi")
+    l = exploded.select(F.col(id_col).alias("a"), F.col(token_col).alias("t"))
+    r = exploded.select(F.col(id_col).alias("b"), F.col(token_col).alias("t"))
+    return (
+        l.join(r, on="t")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard >= threshold.
+
+    Inverted-index pattern: explode distinct shingles, equi-join on the
+    shingle, count common per pair, then jaccard = common/(|A|+|B|-common).
+    Pairs sharing no shingle have jaccard 0 and are (correctly) never
+    generated. Returns (a, b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    exploded = sh.select("id", F.explode("sh").alias("t"))
+    pairs = _pair_candidates(exploded, "id", "t", max_df)
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), on="a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), on="b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_perms(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for h_i(x) = (a_i*x+b_i) % P."""
+    return [
+        ((i * 2 + 1) * MIX % HASH_MOD, (i * MIX + 12345) % HASH_MOD)
+        for i in range(num_perm)
+    ]
+
+
+def minhash_signature(shingle_hashes: Column, num_perm: int) -> Column:
+    """Array of num_perm min-hash values over a shingle-hash array column."""
+    def perm_fn(a: int, b: int):
+        # closure (not defaulted lambda args — PySpark would read a 2nd/3rd
+        # lambda parameter as the HOF index argument)
+        return lambda h: (h * a + b) % HASH_MOD
+
+    sig = [
+        F.array_min(F.transform(shingle_hashes, perm_fn(a, b)))
+        for a, b in minhash_perms(num_perm)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified by exact Jaccard.
+
+    shingle -> poly-hash -> num_perm permutation mins -> bands of band_size
+    -> candidate pairs share >=1 full band (equi-join on (band_idx, band
+    values)) -> exact-Jaccard verification on candidates only.
+    Returns (a, b, jaccard). At scale the band join is the only wide op and
+    its key space is huge (band values), so skew is negligible by design."""
+    assert num_perm % band_size == 0
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = sh.select(
+        "id", "sh", F.transform("sh", poly_hash).alias("hs")
+    ).withColumn("sig", minhash_signature(F.col("hs"), num_perm)).persist()
+
+    nbands = num_perm // band_size
+    bands = hashed.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.slice("sig", i * band_size + 1, band_size).alias("band"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band_idx", "bk.band")
+    l = bands.select(F.col("id").alias("a"), "band_idx", "band")
+    r = bands.select(F.col("id").alias("b"), "band_idx", "band")
+    cand = (
+        l.join(r, on=["band_idx", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets = hashed.select("id", "sh")
+    verified = (
+        cand.join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), on="a")
+        .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), on="b")
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sha") + F.size("shb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(tokens: Column) -> Column:
+    """32-bit SimHash over a distinct-token array column.
+
+    Token hash = poly_hash mixed by MIX mod 2^32; bit b of the signature is
+    1 iff more token hashes have bit b set than not (strict majority)."""
+    hs = F.transform(F.array_distinct(tokens), lambda t: (poly_hash(t) * MIX) % F.lit(4294967296))
+    n = F.size(hs)
+    sig = F.lit(0).cast("long")
+
+    def bit_pred(b: int):
+        # NOTE: a defaulted second lambda arg would be mistaken for the HOF
+        # index parameter by PySpark — close over b instead
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    for b in range(SIMHASH_BITS):
+        ones = F.size(F.filter(hs, bit_pred(b)))
+        sig = sig + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Candidates are blocked (equi-join) on `block_col` if given, else on the
+    signature's top byte (a 1-band LSH on the simhash itself) — never a full
+    cross join. Returns (a, b, hamming)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash(word_tokens(F.col(text_col))).alias("sig"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    if not block_col:
+        sigs = sigs.withColumn("blk", F.shiftright("sig", SIMHASH_BITS - 8))
+    l = sigs.select(F.col("id").alias("a"), F.col("sig").alias("siga"), "blk")
+    r = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), "blk")
+    return (
+        l.join(r, on="blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int,
+    prefix_bits: int = 8,
+    id_col: str = "image_id",
+    block_col: str | None = "fmt",
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance.
+
+    LSH banding on the phash's top `prefix_bits` bits (+ optional block
+    column) generates candidates with an equi-join; the hamming filter runs
+    only on those. This is the image-payload analog of minhash dedup; at
+    10^12 rows the prefix join keys ~2^prefix_bits × blocks buckets, so
+    bucket sizes stay bounded and AQE handles stragglers."""
+    cols = [F.col(id_col).alias("id"), F.col("phash")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    p = images.select(*cols).withColumn(
+        "bucket", F.shiftright(F.col("phash"), 48 - prefix_bits)
+    )
+    on = ["bucket"] + (["blk"] if block_col else [])
+    l = p.select(F.col("id").alias("a"), F.col("phash").alias("pa"), *on)
+    r = p.select(F.col("id").alias("b"), F.col("phash").alias("pb"), *on)
+    return (
+        l.join(r, on=on)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

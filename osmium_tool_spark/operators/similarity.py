@@ -1,0 +1,204 @@
+"""Similarity search: cosine kNN over embeddings + spatial kNN via
+cell-ring expansion.
+
+The spatial variant is the north-rule operator: candidate pairs come from
+an equi-join on grid-cell ids (functions/cells.py neighbor rings), never a
+cross product — the distributed analog of osmium's y-band segment index
+idea (sub-linear candidate pruning; /root/reference/src/extract/
+extract_polygon.cpp:77-100), applied to point-point search instead of
+point-polygon.
+
+Embedding kNN: brute-force is a broadcast join of the (small) query set
+against the corpus with a JVM-side dot product (F.aggregate over zip_with —
+no Python); the scale path buckets the corpus by an LSH/IVF-style coarse
+key first so each query only scans its bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_id, neighbor_cells
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (JVM, no Python).
+
+    Left-to-right fold => bit-reproducible across engines (the DuckDB
+    oracle evaluates the same IEEE sequence)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    Query set is broadcast (it is small relative to the corpus); the per-row
+    work is a codegen'd double fold over the vectors. Returns
+    (query_id, neighbor_id, cos, rank). Ties break by neighbor id."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: only the query's coarse bucket is
+    scanned (equi-join on the bucket key -> shuffle-hash join, no broadcast
+    needed at scale). Semantics: exact top-k WITHIN the bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col(bucket_col).alias("bk")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col(bucket_col).alias("bk")
+    )
+    scored = (
+        q.join(c, on="bk")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def knn_cellring(
+    points: DataFrame,
+    queries: DataFrame,
+    res: int,
+    ring: int,
+    k: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Spatial kNN via cell-ring expansion (north-rule operator).
+
+    Each query explodes its (2*ring+1)^2 neighbor-cell ids (longitude wraps
+    at the antimeridian); candidates come from an equi-join on the cell id;
+    top-k per query by squared euclidean distance in fixed-point coords
+    (computed in double — same IEEE sequence as the SQL oracle), ties by
+    candidate id. Semantics: exact k nearest WITHIN the Chebyshev cell
+    block — callers iterate with growing `ring` until satisfied (the
+    expansion loop mirrors osmium's band-index walk).
+
+    Scale: points carry a precomputed cell column in practice (Iceberg
+    partition/sort key), so the join prunes files; dense-cell skew is AQE's
+    skew-join problem, and `queries` is tiny relative to `points`.
+    Returns (query_id, neighbor_id, dist2, rank)."""
+    from ..functions.cells import _ix, _iy, cell_from_xy
+
+    pts = points.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("lon").alias("nlon"),
+        F.col("lat").alias("nlat"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+    # materialize the query's cell ordinates FIRST (attribute refs), then
+    # derive the ring cells from them — inlining the de-interleave into all
+    # (2r+1)^2 neighbor expressions duplicates the whole subtree per cell
+    # and blows up codegen
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in range(-ring, ring + 1)
+                for dy in range(-ring, ring + 1)
+            ]
+        )
+    ).alias("o")
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+        _ix(F.col("lon"), res).alias("qx"),
+        _iy(F.col("lat"), res).alias("qy"),
+    )
+    qs = q0.select("query_id", "qlon", "qlat", "qx", "qy", offsets).select(
+        "query_id",
+        "qlon",
+        "qlat",
+        cell_from_xy(F.col("qx") + F.col("o.dx"), F.col("qy") + F.col("o.dy"), res).alias("cell"),
+    )
+    cand = qs.join(pts, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    dx = (F.col("qlon") - F.col("nlon")).cast("double")
+    dy = (F.col("qlat") - F.col("nlat")).cast("double")
+    scored = cand.withColumn("dist2", dx * dx + dy * dy).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs >= threshold.
+
+    Blocked on `block_col` (IVF-coarse analog) so the pair join is an
+    equi-join; within-block pair scoring is JVM-side. Returns (a, b, cos)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    p = emb.select(*cols)
+    on = ["blk"] if block_col else []
+    l = p.select(F.col("id").alias("a"), F.col("v").alias("va"), *on)
+    r = p.select(F.col("id").alias("b"), F.col("v").alias("vb"), *on)
+    j = l.join(r, on=on) if on else l.crossJoin(r)
+    return (
+        j.filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These are the caption-column analogs of osmium's tag machinery (the
+reference's only "text" surface is tag matching, /root/reference/src/
+util.cpp:142-200); a web-scale image+caption table needs real text ops.
+Everything is built-in Column math (split/filter/aggregate higher-order
+functions) — JVM codegen, zero Python — and uses only portable arithmetic
+so the DuckDB oracle can restate each op exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import HASH_MOD, poly_hash, word_tokens
+
+# marker vocabularies for the n-gram-free language-ID heuristic: score each
+# language by occurrences of its marker tokens, predict the argmax
+# (ties -> lexicographically first language code)
+DEFAULT_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "value", "table", "row"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "wert"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with",
+)
+
+
+def marker_score(tokens: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrence count (not distinct) of marker tokens."""
+    mset = list(markers)
+    return F.size(F.filter(tokens, lambda t: t.isin(mset)))
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Predict language per document by marker-token votes.
+
+    Returns (id, pred_lang, score). Argmax with deterministic tie-break:
+    higher score wins, ties go to the lexicographically smaller code."""
+    markers = markers or DEFAULT_MARKERS
+    toks = word_tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        *[marker_score(toks, m).alias(f"s_{code}") for code, m in markers.items()],
+    )
+    codes = sorted(markers)  # lexicographic order = tie-break order
+    best = F.col(f"s_{codes[0]}")
+    pred = F.lit(codes[0])
+    for code in codes[1:]:
+        s = F.col(f"s_{code}")
+        pred = F.when(s > best, F.lit(code)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return scored.select("id", pred.alias("pred_lang"), best.cast("long").alias("score"))
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, and a composite keep-score.
+
+    Returns (id, n_tokens, mean_token_len, stopword_ratio)."""
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(total_len / n, 6).alias("mean_token_len"),
+        F.round(stop_n / n, 6).alias("stopword_ratio"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token histogram (the tags-count analog over text): explode
+    tokens, one hash-agg shuffle with map-side combine. Returns
+    (token, cnt)."""
+    return (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whole-document polynomial rolling hash (mod 1e9+7) — the content-CRC
+    analog of osmium fileinfo/diff (command_diff.cpp:278-291), portable to
+    the SQL oracle. Returns (id, fp)."""
+    return df.select(
+        F.col(id_col).alias("id"), poly_hash(F.col(text_col)).alias("fp")
+    )

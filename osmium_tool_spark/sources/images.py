@@ -1,0 +1,159 @@
+"""The engine's native input: an image+caption table (BASELINE.json
+input_hint schema: image_id, bytes, w, h, fmt, caption, phash) and its
+geo-referencing onto the entity model.
+
+In production this is an Iceberg table at 10^12 rows; here we synthesize it
+deterministically (no external data) either standalone or from the driver's
+`documents` parquet so the DuckDB oracle can re-derive every non-binary
+column with portable arithmetic.
+
+Geo-referencing (SURVEY.md §1.4): each image row becomes a "node" whose
+fixed-point lon/lat derive from its phash via the same Knuth-multiplicative
+mix used everywhere else — so the whole osmium operator suite (extract /
+tags-filter / sort / tiling) runs unchanged over images.
+
+Image DECODING is stubbed: the container has no codec libraries, so
+`decode_stub_meta` fakes per-image pixel stats deterministically from the
+payload while keeping the Spark-side plumbing (binary column through Arrow
+batches, mapInPandas schema/partitioning) fully real — swap `_fake_decode`
+for a real codec (PIL/libvips) in production. `decode_real` raises
+NotImplementedError by design.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import NODE
+
+PHASH_MOD = 281474976710656  # 2^48
+MIX = 2654435761
+MIX2 = 2246822519
+
+
+def _phash(k):
+    """48-bit pseudo-random perceptual-hash stand-in: two independent
+    24-bit Knuth mixes (a single multiply mod 2^48 would leave the top
+    bits zero for small keys)."""
+    from pyspark.sql import functions as F
+
+    return (k * MIX) % F.lit(16777216) + ((k * MIX2) % F.lit(16777216)) * F.lit(16777216)
+
+FMTS = ("png", "jpeg", "webp")
+
+
+def synth_images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image table over the driver's documents parquet.
+
+    All non-binary columns are arithmetic on doc_id (portable to SQL);
+    `bytes` is the UTF-8 caption payload — a stand-in with realistic
+    per-row variable length that exercises the binary column end-to-end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id").cast("long")
+    return docs.select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+        (64 + (k * 37) % 448).cast("int").alias("w"),
+        (64 + (k * 53) % 448).cast("int").alias("h"),
+        F.element_at(F.array(*[F.lit(f) for f in FMTS]), (k % 3 + 1).cast("int")).alias("fmt"),
+        F.col("text").alias("caption"),
+        _phash(k).alias("phash"),
+        F.col("doc_id").alias("doc_id"),
+    )
+
+
+def synth_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Standalone deterministic image table of n rows (benchmarks use this;
+    no external input). bytes is a phash-seeded pseudo-payload."""
+    k = F.col("id")
+    return spark.range(0, n, 1, partitions).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        F.encode(
+            F.conv(_phash(k).cast("string"), 10, 16), "UTF-8"
+        ).alias("bytes"),
+        (64 + (k * 37) % 448).cast("int").alias("w"),
+        (64 + (k * 53) % 448).cast("int").alias("h"),
+        F.element_at(F.array(*[F.lit(f) for f in FMTS]), (k % 3 + 1).cast("int")).alias("fmt"),
+        F.concat(F.lit("caption for image "), F.col("id").cast("string")).alias("caption"),
+        _phash(k).alias("phash"),
+    )
+
+
+def images_as_nodes(images: DataFrame) -> DataFrame:
+    """Geo-reference the image table as entity nodes: lon/lat from phash,
+    caption/fmt as tag analogs, id = dense image ordinal (from image_id's
+    numeric suffix). This is the graft point — every spatial operator of the
+    engine runs on the result."""
+    iid = F.substring("image_id", 4, 20).cast("long")
+    return images.select(
+        F.lit(NODE).alias("type"),
+        iid.alias("id"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("visible"),
+        F.lit(0).cast("long").alias("changeset"),
+        iid.alias("ts"),
+        F.lit(0).alias("uid"),
+        F.lit("").alias("user"),
+        F.create_map(
+            F.lit("fmt"), F.col("fmt"),
+            F.lit("caption"), F.col("caption"),
+        ).alias("tags"),
+        # phash is already a Knuth mix of the id — slice it directly (a
+        # further lon_expr multiply would overflow int64 at phash ~ 2^48)
+        (F.col("phash") % F.lit(3_600_000_000) - F.lit(1_800_000_000)).alias("lon"),
+        (F.shiftright(F.col("phash"), 16) % F.lit(1_800_000_000) - F.lit(900_000_000)).alias("lat"),
+        F.lit(None).cast("array<long>").alias("refs"),
+        F.lit(None).cast("array<struct<mtype:int,ref:long,role:string>>").alias("members"),
+        F.col("image_id"),
+        F.col("phash"),
+    )
+
+
+DECODE_META_SCHEMA = (
+    "image_id string, w int, h int, fmt string, n_bytes long, mean_luma double"
+)
+
+
+def decode_stub_meta(images: DataFrame) -> DataFrame:
+    """Arrow-batched 'decode' stage: real plumbing, fake pixels.
+
+    The mapInPandas stage receives the binary column in Arrow batches
+    exactly as a real decoder would; per-image stats are derived
+    deterministically (mean_luma = phash % 256) instead of decoding, since
+    codec libs are absent here. Batch shape / schema / partitioning match
+    the production decode stage 1:1."""
+
+    cols = images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["bytes"].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "fmt": pdf["fmt"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "mean_luma": (pdf["phash"] % 256).astype("float64"),
+                }
+            )
+
+    return cols.mapInPandas(fake_decode, schema=DECODE_META_SCHEMA)
+
+
+def decode_real(images: DataFrame) -> DataFrame:
+    """Real pixel decode — requires codec libraries not present in this
+    environment. The production implementation decodes `bytes` per `fmt`
+    inside the same mapInPandas shape as `decode_stub_meta` and must uphold
+    the per-row invariant: decoded-pixel allclose (PSNR>=40dB for lossy
+    formats) + caption equality (BASELINE.json input_hint)."""
+    raise NotImplementedError(
+        "image codecs unavailable in this container; use decode_stub_meta "
+        "for plumbing tests and swap in PIL/libvips in production"
+    )
