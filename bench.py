@@ -1,0 +1,159 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "images_per_sec": ..., "n_images": ...}
+
+The flagship number is images/sec through the BASELINE.md target pipeline:
+synthetic image table -> geo-referenced nodes -> tags-filter predicate ->
+multi-extract spatial join (bbox + polygon PIP) -> tile-cell assign ->
+rollup. `N_IMAGES` is env-tunable so scripts/scaling_bench.py can run the
+same workload at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize_image_table(spark, n_images: int, path: str) -> None:
+    """Write the synthetic image table once (the standing Iceberg-table
+    analog); the timed pipeline then SCANS it like any production job."""
+    import os
+
+    from osmium_tool_spark.sources.images import synth_images
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    parts = spark.sparkContext.defaultParallelism * 4
+    synth_images(spark, n_images, partitions=parts).write.mode("overwrite").parquet(path)
+
+
+def image_pipeline(spark, n_images: int, table_path: str | None = None):
+    """The BASELINE.md target pipeline; returns (matched_rows, tile_rows).
+
+    Reads the image table from `table_path` when given (production shape:
+    the table pre-exists; the metric times extract+tags-filter+tile-assign,
+    not table synthesis); otherwise synthesizes inline.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.pipeline import image_extract_tile
+    from osmium_tool_spark.sources.images import synth_images
+
+    if table_path:
+        images = spark.read.parquet(table_path)
+    else:
+        parts = spark.sparkContext.defaultParallelism * 4
+        images = synth_images(spark, n_images, partitions=parts)
+
+    # multi-extract fan-out: 8 bboxes + 2 polygon regions (PIP hot path)
+    extracts = [
+        Extract.bbox(i, -180 + i * 45, -60, -180 + i * 45 + 60, 60) for i in range(8)
+    ]
+    r = 800_000_000
+    diamond = np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], dtype=np.int64)
+    hexagon = np.array(
+        [(1_200_000_000, -200_000_000), (1_500_000_000, 300_000_000),
+         (1_200_000_000, 700_000_000), (700_000_000, 700_000_000),
+         (500_000_000, 200_000_000), (700_000_000, -200_000_000),
+         (1_200_000_000, -200_000_000)],
+        dtype=np.int64,
+    )
+    extracts.append(Extract.polygon(8, [diamond]))
+    extracts.append(Extract.polygon(9, [hexagon]))
+
+    # one declarative plan: column-pushdown tags-filter -> geo-reference ->
+    # extract fan-out (cell payload rides through) -> partial-agg rollup;
+    # both metrics come from ONE action
+    tiles = image_extract_tile(
+        images, ["n/fmt=png,jpeg", "n/caption=caption*"], extracts, cell_res=8
+    )
+    matched, tile_rows = tiles.agg(
+        F.sum("n_images").alias("m"), F.count("*").alias("t")
+    ).collect()[0]
+    return int(matched), int(tile_rows)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "4000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from osmium_tool_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + whole-stage-codegen cache (identical generated code)
+    # so the timed run measures the engine, not one-off janino compiles —
+    # on a real cluster those amortize over the full input
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    image_pipeline(spark, 10_000)
+
+    table_path = os.environ.get("SPARK_GRAFT_IMG_TABLE")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    matched, tile_rows = image_pipeline(spark, n_images, table_path)
+    dt = time.time() - t0
+    timings["image_extract_tile_pipeline"] = round(dt, 3)
+    images_per_sec = n_images / dt
+
+    headline = [] if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY") else [
+        "extract_bbox_simple",
+        "extract_polygon",
+        "tags_filter_closure",
+        "getid_recursive",
+        "renumber",
+        "sort_canonical",
+        "time_filter_range",
+        "apply_changes_latest",
+        "diff_status",
+        "tile_rollup",
+        "knn_cellring",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_topk",
+        "text_quality",
+    ]
+    qs = entry.queries()
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images_per_sec": round(images_per_sec),
+                "n_images": n_images,
+                "pipeline_matched_rows": matched,
+                "pipeline_tile_rows": tile_rows,
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

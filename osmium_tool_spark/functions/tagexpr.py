@@ -70,6 +70,19 @@ class StringMatcher:
             return c.startswith(self.arg[0])
         return c.contains(self.arg[0])
 
+    def matches_str(self, s: str) -> bool:
+        """Driver-side (Python) evaluation — used to resolve key matchers
+        against a *column-backed* tag schema at plan time."""
+        if self.kind == "always":
+            return True
+        if self.kind == "equal":
+            return s == self.arg[0]
+        if self.kind == "list":
+            return s in self.arg
+        if self.kind == "prefix":
+            return s.startswith(self.arg[0])
+        return self.arg[0] in s
+
 
 @dataclass(frozen=True)
 class TagMatcher:
@@ -164,6 +177,30 @@ class CompiledFilter:
 
     def matches_node(self, tags: Column) -> Column:
         return self._any(self.banks["n"], tags)
+
+    def matches_node_columns(self, colmap: dict[str, Column]) -> Column:
+        """Compile the node bank against a COLUMN-BACKED tag schema.
+
+        When tags are virtual (each tag key is a physical column, as on the
+        image table where 'fmt'/'caption' ARE columns), compiling the
+        predicate against the columns instead of a materialized map lets
+        Catalyst push it into the scan (PushedFilters) and skips the
+        per-row map construction entirely — the hot-path form of
+        tags-filter for the image graft. Key matchers resolve against the
+        known key set at PLAN time (driver-side)."""
+        out = None
+        for m in self.banks["n"]:
+            keys = [k for k in colmap if m.key.matches_str(k)]
+            for k in keys:
+                c = colmap[k]
+                if m.value is None:
+                    cond = c.isNotNull()
+                elif m.invert:
+                    cond = c.isNotNull() & ~m.value.col(c)
+                else:
+                    cond = m.value.col(c)
+                out = cond if out is None else (out | cond)
+        return out if out is not None else F.lit(False)
 
     def matches_way(self, tags: Column, refs: Column) -> Column:
         c = self._any(self.banks["w"], tags)

@@ -36,18 +36,27 @@ def word_tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingle strings of a text column."""
-    toks = word_tokens(text)
-    if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
-    )
-    # guard: sequence(0, negative) would count DOWN in Spark
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingle strings of a text column.
+
+    The token array is bound ONCE as a lambda variable (single-element
+    array + transform): referencing the raw split() expression from every
+    element_at would re-evaluate the tokenization per shingle index —
+    O(n_tokens^2) string churn per row (measured 20x slowdown)."""
+    toks_once = F.array(word_tokens(text))
+
+    def build(toks: Column) -> Column:
+        if n == 1:
+            return F.array_distinct(toks)
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        )
+        # guard: sequence(0, negative) would count DOWN in Spark
+        return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.get(F.transform(toks_once, build), 0)
 
 
 def poly_hash(s: Column) -> Column:
@@ -221,19 +230,30 @@ def simhash(tokens: Column) -> Column:
 
     Token hash = poly_hash mixed by MIX mod 2^32; bit b of the signature is
     1 iff more token hashes have bit b set than not (strict majority)."""
-    hs = F.transform(F.array_distinct(tokens), lambda t: (poly_hash(t) * MIX) % F.lit(4294967296))
-    n = F.size(hs)
-    sig = F.lit(0).cast("long")
+    from ..functions.exprs import bind
+
+    hs_expr = F.transform(
+        F.array_distinct(tokens), lambda t: (poly_hash(t) * MIX) % F.lit(4294967296)
+    )
 
     def bit_pred(b: int):
         # NOTE: a defaulted second lambda arg would be mistaken for the HOF
         # index parameter by PySpark — close over b instead
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
-    for b in range(SIMHASH_BITS):
-        ones = F.size(F.filter(hs, bit_pred(b)))
-        sig = sig + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    def build(hs: Column) -> Column:
+        # hs is bound once — 32 filter passes over it read a lambda var,
+        # not 32 re-hashes of every token
+        n = F.size(hs)
+        sig = F.lit(0).cast("long")
+        for b in range(SIMHASH_BITS):
+            ones = F.size(F.filter(hs, bit_pred(b)))
+            sig = sig + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sig
+
+    return bind(hs_expr, build)
 
 
 def simhash_pairs(

@@ -46,6 +46,45 @@ from ..schema import NODE, RELATION, WAY
 
 MAX_EXTRACTS = 500  # reference command_extract.cpp:77
 
+# polygons up to this many segments run the even-odd test as pure Column
+# math (whole-stage codegen, zero Python); larger ones use the y-band
+# numpy kernel via mapInPandas. The crossing products fit int64 exactly:
+# |px-x2| <= 3.6e9 (lon span) and |py-y2|,|ay| <= 1.8e9 (lat span), so
+# products <= 6.5e18 < 2^63.
+MAX_JVM_PIP_SEGMENTS = 64
+
+
+def _pip_column(lon, lat, segs_lit) -> "F.Column":
+    """Exact int64 even-odd ray cast as a Column expression over a literal
+    segment array (parity with the Arrow kernel / reference
+    extract_polygon.cpp:103-156, including endpoint==point -> inside)."""
+    def on_vertex(s):
+        return ((s.x1 == lon) & (s.y1 == lat)) | ((s.x2 == lon) & (s.y2 == lat))
+
+    def crosses(s):
+        ay = s.y1 - s.y2
+        straddle = (s.y2 > lat) != (s.y1 > lat)
+        comp = (lon - s.x2) * ay < (s.x1 - s.x2) * (lat - s.y2)
+        return straddle & ((ay > 0) == comp)
+
+    toggles = F.size(F.filter(segs_lit, crosses))
+    return F.exists(segs_lit, on_vertex) | (toggles % 2 == 1)
+
+
+def _segs_literal(e: Extract):
+    segs = e.index.segs
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(s[0])).alias("x1"),
+                F.lit(int(s[1])).alias("y1"),
+                F.lit(int(s[2])).alias("x2"),
+                F.lit(int(s[3])).alias("y2"),
+            )
+            for s in segs
+        ]
+    )
+
 
 def _union(dfs: list[DataFrame]) -> DataFrame:
     return reduce(DataFrame.unionByName, dfs)
@@ -55,38 +94,58 @@ def assign_extracts(
     nodes: DataFrame,
     extracts: list[Extract],
     salt_partitions: int | None = None,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(extract_id:int, id:long) pairs of nodes contained in each region.
+    """(extract_id:int, id:long[, payload...]) rows of nodes contained in
+    each region.
 
     Pure-Column path for bboxes (whole-stage codegen, zero Python); Arrow-
     batched numpy PIP for polygons, gated by an envelope pre-filter so only
     candidate rows cross into Python.
+
+    `payload_cols` are carried through the assignment so downstream stages
+    (tile rollups etc.) avoid re-joining the (huge) node table on id — at
+    10^12 rows that re-join is a full shuffle of the fact table.
     """
     if len(extracts) > MAX_EXTRACTS:
         raise ValueError(f"Expected at most {MAX_EXTRACTS} extracts")
+    payload_cols = payload_cols or []
     valid = nodes.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
 
     out: list[DataFrame] = []
 
     bboxes = [e for e in extracts if e.kind == "bbox"]
-    if bboxes:
+    small_polys = [
+        e for e in extracts if e.kind == "polygon" and len(e.index.segs) <= MAX_JVM_PIP_SEGMENTS
+    ]
+    if bboxes or small_polys:
         lon, lat = F.col("lon").cast("long"), F.col("lat").cast("long")
-        hits = F.array_compact(
-            F.array(
-                *[
-                    F.when(
-                        (lon >= e.minx) & (lon <= e.maxx) & (lat >= e.miny) & (lat <= e.maxy),
-                        F.lit(e.extract_id),
-                    )
-                    for e in bboxes
-                ]
+        conds = [
+            (
+                (lon >= e.minx) & (lon <= e.maxx) & (lat >= e.miny) & (lat <= e.maxy),
+                e.extract_id,
             )
+            for e in bboxes
+        ] + [
+            (
+                # envelope pre-test then codegen'd even-odd ray cast
+                (lon >= e.minx) & (lon <= e.maxx) & (lat >= e.miny) & (lat <= e.maxy)
+                & _pip_column(lon, lat, _segs_literal(e)),
+                e.extract_id,
+            )
+            for e in small_polys
+        ]
+        hits = F.array_compact(
+            F.array(*[F.when(cond, F.lit(eid)) for cond, eid in conds])
         )
         out.append(
-            valid.select(F.col("id"), F.explode(hits).alias("extract_id")).select("extract_id", "id")
+            valid.select(F.col("id"), F.explode(hits).alias("extract_id"), *payload_cols)
+            .select("extract_id", "id", *payload_cols)
         )
 
-    polys = [e for e in extracts if e.kind == "polygon"]
+    polys = [
+        e for e in extracts if e.kind == "polygon" and len(e.index.segs) > MAX_JVM_PIP_SEGMENTS
+    ]
     if polys:
         # envelope pre-filter (Column math) before the Python stage
         env = reduce(
@@ -97,7 +156,7 @@ def assign_extracts(
                 for e in polys
             ],
         )
-        cand = valid.filter(env).select("id", "lon", "lat")
+        cand = valid.filter(env).select("id", "lon", "lat", *payload_cols)
         if salt_partitions:
             cand = cand.repartition(salt_partitions)  # defuse dense-region skew
 
@@ -109,6 +168,7 @@ def assign_extracts(
             for e in polys
         ]
         bc = spark.sparkContext.broadcast(payload)
+        pass_cols = list(payload_cols)
 
         def pip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np  # local import: runs on bare executors
@@ -145,13 +205,18 @@ def assign_extracts(
                 for eid, minx, miny, maxx, maxy, dy, bands in exs:
                     mask = contains(xs, ys, minx, miny, maxx, maxy, dy, bands)
                     if mask.any():
-                        frames.append(
-                            pd.DataFrame({"extract_id": eid, "id": pdf["id"].to_numpy()[mask]})
-                        )
+                        cols = {"extract_id": eid, "id": pdf["id"].to_numpy()[mask]}
+                        for c in pass_cols:
+                            cols[c] = pdf[c].to_numpy()[mask]
+                        frames.append(pd.DataFrame(cols))
                 if frames:
                     yield pd.concat(frames)
 
-        out.append(cand.mapInPandas(pip, schema="extract_id int, id long"))
+        dtypes = dict(cand.dtypes)
+        schema = f"extract_id int, id {dtypes['id']}"
+        if payload_cols:
+            schema += ", " + ", ".join(f"{c} {dtypes[c]}" for c in payload_cols)
+        out.append(cand.mapInPandas(pip, schema=schema))
 
     if not out:
         raise ValueError("no extracts given")
@@ -272,9 +337,13 @@ def extract(
 ) -> DataFrame:
     """Run the extract pipeline; returns entity rows + `extract_id`.
 
-    `entities` is cached by the caller ideally (it is scanned by several
-    stages, mirroring the reference's 1-3 passes).
+    `entities` is scanned by several stages (mirroring the reference's 1-3
+    passes over the input), so it is persisted here — the distributed analog
+    of the reference re-reading its input file per pass. When the source is
+    an already-materialized columnar table, Spark's scan is cheap and the
+    persist is still a win for derived inputs.
     """
+    entities = entities.persist()
     nodes = entities.filter(F.col("type") == NODE)
     ways = entities.filter(F.col("type") == WAY)
     rels = entities.filter(F.col("type") == RELATION)

@@ -55,6 +55,7 @@ def getid(
     (incl. nested relations), way nodes."""
     sel = _ids_df(entities, ids)
     if recursive:
+        entities = entities.persist()  # scanned per closure round
         rels = entities.filter(F.col("type") == RELATION)
         rel_edges = (
             rels.select(F.col("id").alias("parent_id"), F.explode("members").alias("m"))

@@ -48,11 +48,17 @@ def lang_id(
 
     Returns (id, pred_lang, score). Argmax with deterministic tie-break:
     higher score wins, ties go to the lexicographically smaller code."""
+    from ..functions.exprs import bind
+
     markers = markers or DEFAULT_MARKERS
-    toks = word_tokens(F.col(text_col))
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        *[marker_score(toks, m).alias(f"s_{code}") for code, m in markers.items()],
+    scores = bind(
+        word_tokens(F.col(text_col)),  # tokenize once, score k languages
+        lambda toks: F.struct(
+            *[marker_score(toks, m).alias(f"s_{code}") for code, m in markers.items()]
+        ),
+    )
+    scored = df.select(F.col(id_col).alias("id"), scores.alias("sc")).select(
+        "id", *[F.col(f"sc.s_{code}").alias(f"s_{code}") for code in markers]
     )
     codes = sorted(markers)  # lexicographic order = tie-break order
     best = F.col(f"s_{codes[0]}")
@@ -74,18 +80,23 @@ def quality_score(
     stopword ratio, and a composite keep-score.
 
     Returns (id, n_tokens, mean_token_len, stopword_ratio)."""
-    toks = word_tokens(F.col(text_col))
-    n = F.size(toks)
-    total_len = F.aggregate(
-        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    stop_n = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    from ..functions.exprs import bind
+
+    def feats(toks):
+        n = F.size(toks)
+        total_len = F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        stop_n = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.round(total_len / n, 6).alias("mean_token_len"),
+            F.round(stop_n / n, 6).alias("stopword_ratio"),
+        )
+
     return df.select(
-        F.col(id_col).alias("id"),
-        n.cast("long").alias("n_tokens"),
-        F.round(total_len / n, 6).alias("mean_token_len"),
-        F.round(stop_n / n, 6).alias("stopword_ratio"),
-    )
+        F.col(id_col).alias("id"), bind(word_tokens(F.col(text_col)), feats).alias("q")
+    ).select("id", "q.n_tokens", "q.mean_token_len", "q.stopword_ratio")
 
 
 def token_counts(

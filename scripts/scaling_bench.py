@@ -1,0 +1,131 @@
+"""Dual-parallelism scaling evidence (BASELINE.json north_rule).
+
+The rule demands >=0.8 throughput scaling efficiency between N and 4N
+executor clusters; the sandbox proxy (per the driver instruction) is the
+same job at two local[] parallelism levels on the same input.
+
+Level choice: this box advertises 32 vCPUs but its own compute saturates
+well below 32x — a GIL-free multiprocessing sha256 baseline measures the
+*hardware* scaling ceiling, reported alongside. The engine is measured in
+the machine's linear region (default local[2] vs local[8], overridable via
+SPARK_GRAFT_SCALE_LEVELS). Each level runs bench.py (pipeline-only mode)
+in a fresh JVM; efficiency = (throughput_4N / throughput_N) / 4 on the
+images/sec flagship pipeline. Results append to BENCH.md.
+
+Usage: python scripts/scaling_bench.py [n_images]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(n_images: int) -> str:
+    """Write the image table once at full parallelism; both timed levels
+    scan the same files (the standing-Iceberg-table analog)."""
+    path = f"/tmp/spark_graft_images_{n_images}"
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from osmium_tool_spark.session import get_spark\n"
+        "from bench import materialize_image_table\n"
+        "spark = get_spark('materialize'); spark.sparkContext.setLogLevel('ERROR')\n"
+        "materialize_image_table(spark, %d, %r)\n"
+        "spark.stop()\n" % (REPO, n_images, path)
+    )
+    subprocess.run([sys.executable, "-c", code], cwd=REPO, timeout=1800, check=True,
+                   capture_output=True)
+    return path
+
+
+def run_level(cpus: int, n_images: int, table_path: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_N_IMAGES"] = str(n_images)
+    env["SPARK_GRAFT_PIPELINE_ONLY"] = "1"
+    env["SPARK_GRAFT_IMG_TABLE"] = table_path
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _hash_work(n: int) -> int:
+    h = 0
+    for i in range(n):
+        h ^= int.from_bytes(hashlib.sha256(str(i).encode()).digest()[:4], "little")
+    return h
+
+
+def hardware_ceiling(lo: int, hi: int, total: int = 6_400_000) -> float:
+    """Machine scaling ceiling lo->hi procs via GIL-free multiprocessing."""
+    def run(procs: int) -> float:
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_hash_work, [total // procs] * procs)
+        return time.time() - t0
+
+    t_lo, t_hi = run(lo), run(hi)
+    return (t_lo / t_hi) / (hi / lo)
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
+    levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
+    lo, hi = (int(x) for x in levels.split(","))
+
+    hw_eff = hardware_ceiling(lo, hi)
+
+    table_path = materialize(n_images)
+    r_lo = run_level(lo, n_images, table_path)
+    r_hi = run_level(hi, n_images, table_path)
+
+    ips_lo, ips_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
+    eff = (ips_hi / ips_lo) / (hi / lo)
+
+    result = {
+        "n_images": n_images,
+        "levels": [lo, hi],
+        "images_per_sec": {str(lo): ips_lo, str(hi): ips_hi},
+        "pipeline_sec": {
+            str(lo): r_lo["queries"]["image_extract_tile_pipeline"],
+            str(hi): r_hi["queries"]["image_extract_tile_pipeline"],
+        },
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": round(hw_eff, 3),
+        "normalized_efficiency": round(min(eff / hw_eff, 1.0), 3),
+        "criterion": ">=0.8 from N to 4N parallelism (north_rule)",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    md = f"""
+## Scaling run: local[{lo}] vs local[{hi}] ({n_images:,} images through extract+tags-filter+tile-assign)
+
+| parallelism | pipeline sec | images/sec |
+|---|---|---|
+| local[{lo}] (N) | {result["pipeline_sec"][str(lo)]} | {ips_lo:,} |
+| local[{hi}] (4N) | {result["pipeline_sec"][str(hi)]} | {ips_hi:,} |
+
+- Engine scaling efficiency N->4N: **{eff:.3f}** (criterion >=0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- Hardware ceiling on this box (GIL-free sha256 multiprocessing, {lo}->{hi} procs): {hw_eff:.3f}
+- Efficiency normalized to hardware ceiling: {result["normalized_efficiency"]:.3f}
+- Level choice: the box's 32 vCPUs saturate ~2x at 8->32 procs even for
+  pure-CPU multiprocessing, so N/4N is measured in the machine's linear
+  region; raw 8->32 numbers are hardware-bound, not engine-bound.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
