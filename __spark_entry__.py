@@ -598,6 +598,24 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select(_L("id").alias("id"), _L("fp").alias("fp"))
 
 
+def q_export_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.export import features
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    f = features(nodes)
+    return f.select(_L("id").alias("id"), F.col("geometry"))
+
+
+def q_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.export import features
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.nodes_from_part(spark, sf_dir).unionByName(td.ways_from_orders(spark, sf_dir))
+    f = features(ents).filter(F.col("ftype") == "linestring")
+    return f.select(_L("id").alias("id"), F.col("geometry"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.sources.images import decode_stub_meta, synth_images_from_documents
 
@@ -648,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "export_points": q_export_points,
+        "export_lines": q_export_lines,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1009,6 +1029,26 @@ GROUP BY token HAVING count(*) >= 50
 
     o["text_fingerprint"] = f"""
 SELECT CAST(doc_id AS BIGINT) AS id, {_polyhash_sql('text')} AS fp FROM documents
+"""
+
+    fmt_lon = "regexp_replace(printf('%.7f', CAST(lon AS DOUBLE)/10000000), '\\.?0+$', '')"
+    fmt_lat = "regexp_replace(printf('%.7f', CAST(lat AS DOUBLE)/10000000), '\\.?0+$', '')"
+    o["export_points"] = f"""
+WITH {NODES_CTE}
+SELECT CAST(id AS BIGINT) AS id,
+       '{{"type":"Point","coordinates":[' || {fmt_lon} || ',' || {fmt_lat} || ']}}' AS geometry
+FROM nodes
+"""
+
+    o["export_lines"] = f"""
+WITH {NODES_CTE},
+pts AS (SELECT l_orderkey, '[' || {fmt_lon.replace('lon', 'n.lon')} || ',' || {fmt_lat.replace('lat', 'n.lat')} || ']' AS pt,
+               l_linenumber, l_partkey
+        FROM lineitem JOIN nodes n ON l_partkey = n.id),
+coords AS (SELECT l_orderkey, list(pt ORDER BY l_linenumber, l_partkey) AS cs FROM pts GROUP BY l_orderkey)
+SELECT CAST(l_orderkey AS BIGINT) AS id,
+       '{{"type":"LineString","coordinates":[' || array_to_string(cs, ',') || ']}}' AS geometry
+FROM coords WHERE len(cs) >= 2
 """
 
     o["multimodal_decode"] = """

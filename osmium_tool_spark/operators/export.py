@@ -1,0 +1,303 @@
+"""`export` — geometry assembly + GeoJSON/GeoJSONSeq/PG serialization.
+
+Reference: /root/reference/src/command_export.cpp (two passes: relation
+scan priming the multipolygon assembler, then the node/way/area pipeline),
+src/export/export_handler.cpp:42-157 (what becomes a feature):
+
+  - tagged nodes -> Point (untagged only with keep_untagged, :94-110)
+  - ways that are open OR "linear" -> LineString (:112-134); a closed way
+    is linear unless it has area tags; `area=yes` forces area,
+    `area=no` forces linear (:42-68)
+  - closed ways with area tags and type=multipolygon/boundary relations ->
+    (Multi)Polygon (:136-157); rings assembled from member ways
+  - GeoJSON coords: 7 decimals, trailing zeros trimmed
+    (src/export/export_format_json.cpp:199-265)
+  - PG text: tab-separated with escaping, tags as json/hstore
+    (src/export/export_format_pg.cpp:48-130)
+
+Spark shape: the location index (id->lon/lat) becomes a posexplode join of
+way refs against the node table + collect back in order — one shuffle keyed
+on node id (broadcastable when the node side is small); multipolygon ring
+stitching is a grouped Arrow UDF (applyInPandas per relation — relations
+are tiny relative to the fact table, and each group is one polygon's
+member rings). All serialization is Column string math (codegen).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import COORD_SCALE, NODE, RELATION, WAY
+
+AREA_TAGS = (
+    # default area_tags ruleset (osmium-export config `area_tagging`;
+    # the tags whose presence makes a closed way an area)
+    "area", "building", "landuse", "leisure", "natural", "amenity",
+    "boundary", "place", "shop", "tourism",
+)
+
+
+def coord_str(fixed: Column) -> Column:
+    """Fixed-point int -> decimal-degree string, 7 decimals with trailing
+    zeros (and a bare trailing dot) trimmed — parity with
+    export_format_json.cpp:201-211."""
+    s = F.format_string("%.7f", fixed.cast("double") / COORD_SCALE)
+    return F.regexp_replace(s, r"\.?0+$", "")
+
+
+def is_closed(refs: Column) -> Column:
+    return (F.size(refs) >= 4) & (refs.getItem(0) == F.element_at(refs, -1))
+
+
+def is_area_way(tags: Column, refs: Column, area_tags: tuple = AREA_TAGS) -> Column:
+    """Closed way that should render as an area (export_handler.cpp:42-68):
+    area=yes forces area, area=no forces linear, else any area tag."""
+    has_area_tag = F.arrays_overlap(
+        F.map_keys(tags), F.array(*[F.lit(t) for t in area_tags if t != "area"])
+    )
+    # null-safe comparisons: a plain `== "yes"` is NULL for untagged ways
+    # and NULL poisons the whole predicate (three-valued logic)
+    area_yes = tags.getItem("area").eqNullSafe("yes")
+    area_no = tags.getItem("area").eqNullSafe("no")
+    return is_closed(refs) & ~area_no & (
+        area_yes | (tags.getItem("area").isNull() & has_area_tag)
+    )
+
+
+def locations_join(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """ways + ordered coords array<struct<lon,lat>> via the location index
+    join (NodeLocationsForWays analog, command_export.cpp:619-631).
+
+    posexplode keeps ref order; the join is the engine's id->location map.
+    Ways referencing missing nodes keep NULL entries (callers decide the
+    error policy, mirroring --show-errors)."""
+    locs = nodes.select(
+        F.col("id").alias("__nid"), F.col("lon").alias("__lon"), F.col("lat").alias("__lat")
+    )
+    ex = ways.select("id", "version", F.posexplode("refs").alias("pos", "__nid"))
+    joined = ex.join(locs, on="__nid", how="left")
+    coords = joined.groupBy("id", "version").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.struct("__lon", "__lat").alias("c")))
+            ),
+            lambda s: s.c,
+        ).alias("coords")
+    )
+    return ways.join(coords, on=["id", "version"], how="left")
+
+
+def _ring_area2(coords) -> float:
+    x = [c[0] for c in coords]
+    y = [c[1] for c in coords]
+    n = len(coords)
+    return sum(x[i] * y[(i + 1) % n] - x[(i + 1) % n] * y[i] for i in range(n - 1))
+
+
+def _stitch_rings_impl():
+    """Ring-stitching kernel, returned as a self-contained closure so the
+    grouped UDF ships it by value (executors do not have this package on
+    sys.path — see .claude/skills/verify gotchas)."""
+
+    def stitch(segments):
+        # simplified osmium-area-assembler: endpoint matching, no
+        # self-intersection repair
+        segs = [list(s) for s in segments if len(s) >= 2]
+        rings = []
+        while segs:
+            ring = segs.pop(0)
+            progress = True
+            while ring[0] != ring[-1] and progress:
+                progress = False
+                for i, s in enumerate(segs):
+                    if s[0] == ring[-1]:
+                        ring.extend(s[1:]); segs.pop(i); progress = True; break
+                    if s[-1] == ring[-1]:
+                        ring.extend(reversed(s[:-1])); segs.pop(i); progress = True; break
+                    if s[-1] == ring[0]:
+                        ring[0:0] = s[:-1]; segs.pop(i); progress = True; break
+                    if s[0] == ring[0]:
+                        ring[0:0] = list(reversed(s[1:])); segs.pop(i); progress = True; break
+            if ring[0] == ring[-1] and len(ring) >= 4:
+                rings.append(ring)
+        return rings
+
+    return stitch
+
+
+_stitch_rings = _stitch_rings_impl()
+
+
+def assemble_multipolygons(relations: DataFrame, ways_with_coords: DataFrame) -> DataFrame:
+    """type=multipolygon/boundary relations -> assembled rings.
+
+    Returns (id, tags, rings: array<array<struct<lon,lat>>>) with outer
+    rings CCW-first ordering not enforced (even-odd parity downstream).
+    Grouped Arrow UDF per relation — each group is one relation's member
+    way geometries (relations are ~1e-3 of the entity count; the heavy
+    side is the member->way join, an equi-join on way id)."""
+    mp = relations.filter(
+        F.col("tags").getItem("type").isin("multipolygon", "boundary")
+    ).select(
+        F.col("id").alias("rel_id"),
+        F.col("tags"),
+        F.explode("members").alias("m"),
+    ).filter(F.col("m.mtype") == WAY).select(
+        "rel_id", "tags", F.col("m.ref").alias("way_id")
+    )
+    wc = ways_with_coords.select(F.col("id").alias("way_id"), F.col("coords"))
+    joined = mp.join(wc, on="way_id", how="left")
+
+    stitch = _stitch_rings_impl()
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = []
+        for coords in pdf["coords"]:
+            if coords is None:
+                continue
+            seg = [
+                (int(c["__lon"]), int(c["__lat"]))
+                for c in coords
+                if c is not None and c["__lon"] is not None
+            ]
+            if len(seg) >= 2:
+                segs.append(seg)
+        rings = stitch(segs)
+        if not rings:
+            return pd.DataFrame(
+                {"id": pd.Series(dtype="int64"), "tags": pd.Series(dtype="object"),
+                 "rings": pd.Series(dtype="object")}
+            )
+        return pd.DataFrame(
+            {
+                "id": [key[0]],
+                "tags": [pdf["tags"].iloc[0]],
+                "rings": [[[{"lon": p[0], "lat": p[1]} for p in r] for r in rings]],
+            }
+        )
+
+    schema = (
+        "id long, tags map<string,string>, "
+        "rings array<array<struct<lon:long,lat:long>>>"
+    )
+    return joined.groupBy("rel_id").applyInPandas(assemble, schema=schema)
+
+
+def features(
+    entities: DataFrame,
+    keep_untagged: bool = False,
+    area_tags: tuple = AREA_TAGS,
+) -> DataFrame:
+    """Feature DataFrame: (ftype: point|linestring|polygon|multipolygon,
+    type, id, tags, geometry: GeoJSON geometry string)."""
+    nodes = entities.filter(F.col("type") == NODE)
+    ways = entities.filter(F.col("type") == WAY)
+    rels = entities.filter(F.col("type") == RELATION)
+
+    pts = nodes if keep_untagged else nodes.filter(F.size(F.map_keys("tags")) > 0)
+    point_geom = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        coord_str(F.col("lon")), F.lit(","), coord_str(F.col("lat")),
+        F.lit("]}"),
+    )
+    points = pts.select(
+        F.lit("point").alias("ftype"), "type", "id", "tags", point_geom.alias("geometry")
+    )
+
+    wc = locations_join(ways, nodes).filter(F.size("coords") >= 2)
+    coords_json = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("coords"),
+            lambda c: F.concat(
+                F.lit("["), coord_str(c["__lon"]), F.lit(","), coord_str(c["__lat"]), F.lit("]")
+            ),
+        ),
+    )
+    area_way = is_area_way(F.col("tags"), F.col("refs"), area_tags)
+    lines = wc.filter(~area_way).select(
+        F.lit("linestring").alias("ftype"), "type", "id", "tags",
+        F.concat(
+            F.lit('{"type":"LineString","coordinates":['), coords_json, F.lit("]}")
+        ).alias("geometry"),
+    )
+    way_polys = wc.filter(area_way).select(
+        F.lit("polygon").alias("ftype"), "type", "id", "tags",
+        F.concat(
+            F.lit('{"type":"Polygon","coordinates":[['), coords_json, F.lit("]]}")
+        ).alias("geometry"),
+    )
+
+    mp = assemble_multipolygons(rels, locations_join(ways, nodes))
+    rings_json = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("rings"),
+            lambda ring: F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        ring,
+                        lambda c: F.concat(
+                            F.lit("["), coord_str(c.lon), F.lit(","), coord_str(c.lat), F.lit("]")
+                        ),
+                    ),
+                ),
+                F.lit("]"),
+            ),
+        ),
+    )
+    mpolys = mp.select(
+        F.lit("multipolygon").alias("ftype"),
+        F.lit(RELATION).alias("type"),
+        "id",
+        "tags",
+        F.concat(
+            F.lit('{"type":"MultiPolygon","coordinates":[['), rings_json, F.lit("]]}")
+        ).alias("geometry"),
+    )
+
+    return points.unionByName(lines).unionByName(way_polys).unionByName(mpolys)
+
+
+def to_geojsonseq(feats: DataFrame, with_id: bool = True) -> DataFrame:
+    """One GeoJSON Feature per row (geojsonseq format,
+    export_format_json.cpp with RS-free framing)."""
+    props = F.to_json(F.col("tags"))
+    idpart = (
+        F.concat(F.lit('"id":'), F.col("id").cast("string"), F.lit(","))
+        if with_id
+        else F.lit("")
+    )
+    return feats.select(
+        F.concat(
+            F.lit('{"type":"Feature",'), idpart,
+            F.lit('"geometry":'), F.col("geometry"),
+            F.lit(',"properties":'), props, F.lit("}"),
+        ).alias("feature")
+    )
+
+
+def to_pg(feats: DataFrame) -> DataFrame:
+    """PG COPY text: id \\t tags-as-json \\t geometry (escaping per
+    export_format_pg.cpp:48-75: backslash, tab, newline, CR)."""
+    def esc(c: Column) -> Column:
+        c = F.regexp_replace(c, r"\\", r"\\\\")
+        c = F.regexp_replace(c, "\t", r"\\t")
+        c = F.regexp_replace(c, "\n", r"\\n")
+        return F.regexp_replace(c, "\r", r"\\r")
+
+    return feats.select(
+        F.concat_ws(
+            "\t",
+            F.col("id").cast("string"),
+            esc(F.to_json(F.col("tags"))),
+            F.col("geometry"),
+        ).alias("row")
+    )

@@ -1,0 +1,104 @@
+"""dedup + text operators over hand-built micro-corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+    word_tokens,
+)
+from osmium_tool_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "completely different words entirely here now friend", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (5, "der hund ist nicht schnell und die katze auch nicht", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_word_tokens_drops_empties(spark):
+    df = spark.createDataFrame([("a  b c",)], "t string")
+    assert df.select(word_tokens(F.col("t"))).collect()[0][0] == ["a", "b", "c"]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "t string")
+    got = df.select(word_shingles(F.col("t"), 3)).collect()
+    assert got[0][0] == [] and got[1][0] == []
+
+
+def test_exact_dedup(docs):
+    out = {r.keeper_id: r.n_copies for r in
+           exact_dedup(docs, F.col("text"), F.col("doc_id")).collect()}
+    assert out[1] == 2  # docs 1 and 4 identical, keeper = min id
+    assert out[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert pairs[(1, 4)] == 1.0       # exact dup
+    assert 0.3 <= pairs[(1, 2)] < 1.0  # near dup (one word differs)
+    assert (1, 3) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_high_sim(docs):
+    got = {(r.a, r.b) for r in
+           minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    # exact dups always share every band; near-dups should be found too
+    assert (1, 4) in got and (1, 2) in got
+
+
+def test_simhash_exact_dup_zero_distance(docs):
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_pairs(docs, "doc_id", "text", max_hamming=32, block_col="lang").collect()}
+    assert pairs[(1, 4)] == 0
+    # cross-language pair blocked out
+    assert not any(5 in p for p in pairs)
+
+
+def test_lang_id_deterministic_tie_break(spark):
+    # no marker hits at all -> score 0, tie -> lexicographically first code
+    df = spark.createDataFrame([(1, "zzz qqq")], "doc_id long, text string")
+    r = lang_id(df).collect()[0]
+    assert r.pred_lang == "de" and r.score == 0
+
+
+def test_lang_id_picks_max(docs):
+    out = {r.id: r.pred_lang for r in lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    r = quality_score(df).collect()[0]
+    assert r.n_tokens == 3
+    assert r.mean_token_len == pytest.approx(3.0)
+    assert r.stopword_ratio == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_token_counts(docs):
+    out = {r.token: r.cnt for r in token_counts(docs, min_count=2).collect()}
+    assert out["the"] == 6  # 2 per en doc x 3 docs with "the ... the"
+
+
+def test_fingerprint_stable_and_distinct(docs):
+    fps = {r.id: r.fp for r in fingerprint(docs).collect()}
+    assert fps[1] == fps[4]
+    assert fps[1] != fps[2]

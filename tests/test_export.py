@@ -1,0 +1,105 @@
+"""export: feature assembly + GeoJSON/PG serialization.
+
+Expected values mirror the reference's export semantics
+(/root/reference/src/export/export_handler.cpp:42-157, coordinate
+formatting export_format_json.cpp:201-211)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.export import (
+    coord_str,
+    features,
+    is_area_way,
+    locations_join,
+    to_geojsonseq,
+    to_pg,
+)
+from osmium_tool_spark.schema import NODE, WAY, fp
+from osmium_tool_spark.sources.fixtures import _df, _node, _rel, _way
+
+
+@pytest.fixture(scope="module")
+def ents(spark):
+    rows = [
+        _node(1, 1.0, 1.0, {"amenity": "cafe"}),
+        _node(2, 1.25, 1.0),          # untagged -> no point feature
+        _node(3, 1.25, 1.25),
+        _node(4, 1.0, 1.25),
+        _node(5, 2.0, 2.0, {"name": "x"}),
+        # open way -> LineString
+        _way(20, [1, 2, 3], {"highway": "road"}),
+        # closed way with area tag -> Polygon
+        _way(21, [1, 2, 3, 4, 1], {"building": "yes"}),
+        # closed way, area=no override -> LineString
+        _way(22, [1, 2, 3, 4, 1], {"building": "yes", "area": "no"}),
+        # closed way, no area tags -> LineString (linear default)
+        _way(23, [1, 2, 3, 4, 1], {"barrier": "wall"}),
+        # multipolygon relation from two half-rings
+        _way(24, [1, 2, 3], {}),
+        _way(25, [3, 4, 1], {}),
+        _rel(30, [(WAY, 24, "outer"), (WAY, 25, "outer")], {"type": "multipolygon", "landuse": "farm"}),
+    ]
+    return _df(spark, rows)
+
+
+def test_coord_formatting(spark):
+    df = spark.createDataFrame(
+        [(fp(1.0),), (fp(1.23),), (fp(-0.1234567),), (fp(100.0),)], "v int"
+    )
+    got = [r[0] for r in df.select(coord_str(F.col("v"))).collect()]
+    # 7 decimals, trailing zeros trimmed, bare dot dropped (reference rule)
+    assert got == ["1", "1.23", "-0.1234567", "100"]
+
+
+def test_feature_classification(ents):
+    f = features(ents)
+    by_id = {(r.type, r.id): r for r in f.collect()}
+    assert by_id[(NODE, 1)].ftype == "point"
+    assert (NODE, 2) not in by_id  # untagged node dropped
+    assert by_id[(WAY, 20)].ftype == "linestring"
+    assert by_id[(WAY, 21)].ftype == "polygon"
+    assert by_id[(WAY, 22)].ftype == "linestring"  # area=no forces linear
+    assert by_id[(WAY, 23)].ftype == "linestring"  # no area tag -> linear
+    assert by_id[(2, 30)].ftype == "multipolygon"
+
+
+def test_point_geometry_json(ents):
+    f = features(ents).filter((F.col("type") == NODE) & (F.col("id") == 1))
+    geom = json.loads(f.collect()[0].geometry)
+    assert geom == {"type": "Point", "coordinates": [1, 1]}
+
+
+def test_linestring_order(ents):
+    f = features(ents).filter((F.col("type") == WAY) & (F.col("id") == 20))
+    geom = json.loads(f.collect()[0].geometry)
+    assert geom["coordinates"] == [[1, 1], [1.25, 1], [1.25, 1.25]]
+
+
+def test_multipolygon_ring_stitching(ents):
+    f = features(ents).filter(F.col("ftype") == "multipolygon")
+    geom = json.loads(f.collect()[0].geometry)
+    ring = geom["coordinates"][0][0]
+    assert ring[0] == ring[-1]  # closed
+    assert len(ring) == 5       # 4 distinct points + closure
+    pts = {tuple(p) for p in ring}
+    assert pts == {(1, 1), (1.25, 1), (1.25, 1.25), (1, 1.25)}
+
+
+def test_locations_join_missing_node(spark):
+    ents = _df(spark, [_node(1, 0.0, 0.0), _way(9, [1, 999], {})])
+    wc = locations_join(
+        ents.filter(F.col("type") == WAY), ents.filter(F.col("type") == NODE)
+    )
+    coords = wc.collect()[0].coords
+    assert coords[0]["__lon"] == 0 and coords[1]["__lon"] is None
+
+
+def test_geojsonseq_and_pg(ents):
+    f = features(ents).filter(F.col("ftype") == "point")
+    feat = json.loads(to_geojsonseq(f).collect()[0].feature)
+    assert feat["type"] == "Feature" and feat["properties"]
+    rows = to_pg(f).collect()
+    assert all(len(r.row.split("\t")) == 3 for r in rows)

@@ -1,0 +1,117 @@
+"""similarity search + image-source plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.dedup import phash_near_dup_pairs
+from osmium_tool_spark.operators.pipeline import image_extract_tile
+from osmium_tool_spark.operators.similarity import (
+    ann_topk,
+    ann_topk_bucketed,
+    cosine,
+    embedding_near_dup,
+    knn_cellring,
+)
+from osmium_tool_spark.sources.images import (
+    decode_stub_meta,
+    images_as_nodes,
+    synth_images,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.0, 0.1, 0.9], 1),   # close to 4
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_ann_topk_ranks_by_cosine(emb):
+    out = ann_topk(emb, emb.filter(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].cos > rows[1].cos
+
+
+def test_ann_bucketed_restricts_to_label(emb):
+    out = ann_topk_bucketed(emb, emb.filter(F.col("vec_id") == 4), k=3)
+    assert {r.neighbor_id for r in out.collect()} == {5}  # only label-1 peers
+
+
+def test_embedding_near_dup(emb):
+    got = {(r.a, r.b) for r in embedding_near_dup(emb, threshold=0.9).collect()}
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_knn_cellring_exact_within_block(spark):
+    # a line of points 0.1 degree apart; query at origin
+    rows = [(i, 0, i * 1_000_000, 0) for i in range(10)]
+    pts = spark.createDataFrame(rows, "id long, type int, lon long, lat long")
+    out = knn_cellring(pts, pts.filter(F.col("id") == 0), res=6, ring=1, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2, 3]
+    assert rows[0].dist2 == pytest.approx(1e12)
+
+
+def test_synth_images_schema_and_determinism(spark):
+    a = synth_images(spark, 100, partitions=4).collect()
+    b = synth_images(spark, 100, partitions=2).collect()
+    assert sorted(r.image_id for r in a) == sorted(r.image_id for r in b)
+    assert {r.phash for r in a} == {r.phash for r in b}
+    cols = set(synth_images(spark, 1).columns)
+    assert cols == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+
+
+def test_images_as_nodes_coord_ranges(spark):
+    nodes = images_as_nodes(synth_images(spark, 500, partitions=4))
+    bad = nodes.filter(
+        (F.col("lon") < -1_800_000_000) | (F.col("lon") >= 1_800_000_000)
+        | (F.col("lat") < -900_000_000) | (F.col("lat") >= 900_000_000)
+    )
+    assert bad.count() == 0
+
+
+def test_decode_stub_meta_plumbing(spark):
+    imgs = synth_images(spark, 50, partitions=2)
+    meta = decode_stub_meta(imgs).collect()
+    assert len(meta) == 50
+    assert all(0 <= r.mean_luma < 256 for r in meta)
+    assert all(r.n_bytes > 0 for r in meta)
+
+
+def test_phash_near_dup_self_blocked(spark):
+    imgs = synth_images(spark, 200, partitions=2)
+    out = phash_near_dup_pairs(imgs, max_hamming=48, prefix_bits=4, block_col="fmt")
+    rows = out.collect()
+    assert all(r.a < r.b for r in rows)
+
+
+def test_image_extract_tile_pipeline(spark):
+    import numpy as np
+
+    from osmium_tool_spark.functions.geometry import Extract
+
+    imgs = synth_images(spark, 1000, partitions=4)
+    r = 999_999_999
+    ext = [
+        Extract.bbox(0, -180, -90, 180, 90),  # whole world
+        Extract.polygon(1, [np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], np.int64)]),
+    ]
+    tiles = image_extract_tile(imgs, ["n/fmt=*"], ext, cell_res=2)
+    total = {r.extract_id: 0 for r in tiles.collect()}
+    for row in tiles.collect():
+        total[row.extract_id] += row.n_images
+    assert total[0] == 1000  # world bbox catches everything
+    assert 0 < total[1] < 1000

@@ -1,0 +1,110 @@
+"""Structured Streaming CDC apply + checkpoint-resumable pipelines."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.plans.checkpointed import CheckpointedPipeline, partition_histogram
+from osmium_tool_spark.streaming.changes_stream import (
+    SnapshotStore,
+    apply_changes_stream,
+    read_change_stream,
+    stream_tile_counts,
+)
+
+CH_SCHEMA = (
+    "type int, id long, version int, visible boolean, tags map<string,string>"
+)
+
+
+def test_apply_changes_stream_latest_wins(spark, tmp_path):
+    chdir = str(tmp_path / "changes")
+    os.makedirs(chdir)
+    b1 = spark.createDataFrame(
+        [(0, 1, 1, True, {"v": "a"}), (0, 2, 1, True, {"v": "b"})], CH_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(0, 1, 2, True, {"v": "a2"}), (0, 2, 2, False, {})], CH_SCHEMA
+    )
+    b1.coalesce(1).write.parquet(chdir + "/b1")
+    b2.coalesce(1).write.parquet(chdir + "/b2")
+    # flatten into one stream dir (file source reads recursively via glob)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    i = 0
+    for sub in ("b1", "b2"):
+        for fn in sorted(os.listdir(chdir + "/" + sub)):
+            if fn.endswith(".parquet"):
+                os.rename(f"{chdir}/{sub}/{fn}", f"{stream_dir}/{i:03d}.parquet")
+                i += 1
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    changes = read_change_stream(spark, stream_dir, CH_SCHEMA)
+    q = apply_changes_stream(changes, store, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    snap = store.read(spark)
+    rows = {r.id: r for r in snap.collect()}
+    assert rows[1].version == 2 and rows[1].tags["v"] == "a2"
+    assert 2 not in rows  # deleted by the second batch
+    assert store.current_version() >= 1  # one snapshot per micro-batch
+
+
+def test_stream_tile_counts_plan_builds(spark):
+    # streaming plan construction (watermark + window agg) over a rate-like
+    # static frame converted via readStream is heavyweight; assert the
+    # aggregation logic on a batch frame with identical expressions
+    df = spark.createDataFrame(
+        [(1, 0, 0, "2024-01-01 00:00:10"), (2, 0, 0, "2024-01-01 00:00:20")],
+        "id long, lon long, lat long, ts string",
+    ).withColumn("ts_ev", F.col("ts").cast("timestamp"))
+    out = stream_tile_counts(df, res=4)  # batch DF: same API, no stream
+    got = out.collect()
+    assert got[0].n == 2  # same cell, same 1-minute window
+
+
+def test_checkpointed_pipeline_resume(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    calls = {"a": 0, "b": 0}
+
+    def build():
+        p = CheckpointedPipeline(root)
+
+        @p.stage("a")
+        def a(s, prev):
+            calls["a"] += 1
+            return s.range(100).withColumnRenamed("id", "x")
+
+        @p.stage("b")
+        def b(s, prev):
+            calls["b"] += 1
+            return prev.filter(F.col("x") % 2 == 0)
+
+        return p
+
+    out1 = build().run(spark)
+    assert out1.count() == 50
+    assert calls == {"a": 1, "b": 1}
+
+    # resume: nothing recomputes
+    out2 = build().run(spark)
+    assert out2.count() == 50
+    assert calls == {"a": 1, "b": 1}
+
+    # force from b: only b recomputes
+    out3 = build().run(spark, force_from="b")
+    assert out3.count() == 50
+    assert calls == {"a": 1, "b": 2}
+
+    # lineage + per-partition metrics persisted
+    m = build().metrics("b")
+    assert m["rows_out"] == 50 and m["rows_in"] == 100
+    assert sum(m["partition_rows"]) == 50
+    assert os.path.exists(os.path.join(root, "lineage.jsonl"))
+
+
+def test_partition_histogram(spark):
+    df = spark.range(0, 100, 1, 4)
+    hist = partition_histogram(df)
+    assert sum(hist) == 100 and len(hist) == 4
