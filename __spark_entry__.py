@@ -598,6 +598,50 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select(_L("id").alias("id"), _L("fp").alias("fp"))
 
 
+def q_cat_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.sort_merge import cat
+    from osmium_tool_spark.schema import NODE, WAY
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = cat([ents], object_types=[NODE, WAY], clean_attrs=["version", "ts"])
+    return out.select(
+        _L("type").alias("type"), _L("id").alias("id"),
+        _L("version").alias("version"), _L("ts").alias("ts"),
+    )
+
+
+def q_locations_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from osmium_tool_spark.operators.locations import (
+        create_locations_index,
+        query_locations_index,
+    )
+    from osmium_tool_spark.sources import testdata as td
+
+    path = tempfile.mkdtemp(prefix="locidx_")
+    create_locations_index(td.nodes_from_part(spark, sf_dir), path, buckets=8)
+    out = query_locations_index(spark, path, ids=list(range(0, 200, 7)))
+    return out.select(_L("id").alias("id"), _L("lon").alias("lon"), _L("lat").alias("lat"))
+
+
+def q_add_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.locations import add_locations_to_ways
+    from osmium_tool_spark.schema import WAY
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.nodes_from_part(spark, sf_dir).unionByName(td.ways_from_orders(spark, sf_dir))
+    out = add_locations_to_ways(ents).filter(F.col("type") == WAY)
+    first = F.get(F.col("locations"), 0)
+    return out.select(
+        _L("id").alias("id"),
+        first["lon"].cast("long").alias("lon0"),
+        first["lat"].cast("long").alias("lat0"),
+        F.col("missing_locations").alias("missing"),
+    )
+
+
 def q_export_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.export import features
     from osmium_tool_spark.sources import testdata as td
@@ -666,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "cat_clean": q_cat_clean,
+        "locations_index": q_locations_index,
+        "add_locations": q_add_locations,
         "export_points": q_export_points,
         "export_lines": q_export_lines,
         "multimodal_decode": q_multimodal_decode,
@@ -1029,6 +1076,31 @@ GROUP BY token HAVING count(*) >= 50
 
     o["text_fingerprint"] = f"""
 SELECT CAST(doc_id AS BIGINT) AS id, {_polyhash_sql('text')} AS fp FROM documents
+"""
+
+    o["cat_clean"] = """
+SELECT CAST(0 AS BIGINT) AS type, CAST(p_partkey AS BIGINT) AS id,
+       CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS ts
+FROM part
+UNION ALL
+SELECT 1, o_orderkey, 0, 0 FROM orders
+"""
+
+    ids_loc = ",".join(str(i) for i in range(0, 200, 7))
+    o["locations_index"] = f"""
+WITH {NODES_CTE}
+SELECT CAST(id AS BIGINT) AS id, lon, lat FROM nodes WHERE id IN ({ids_loc})
+"""
+
+    o["add_locations"] = f"""
+WITH {NODES_CTE},
+fr AS (SELECT l_orderkey, (list(l_partkey ORDER BY l_linenumber, l_partkey))[1] AS r0,
+              count(*) AS n FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       n2.lon AS lon0, n2.lat AS lat0,
+       false AS missing
+FROM orders LEFT JOIN fr ON o_orderkey = fr.l_orderkey
+LEFT JOIN nodes n2 ON fr.r0 = n2.id
 """
 
     fmt_lon = "regexp_replace(printf('%.7f', CAST(lon AS DOUBLE)/10000000), '\\.?0+$', '')"
