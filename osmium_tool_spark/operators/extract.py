@@ -343,6 +343,13 @@ def extract(
     an already-materialized columnar table, Spark's scan is cheap and the
     persist is still a win for derived inputs.
     """
+    if strategy == "complete_ways_with_history":
+        # the history variant (strategy_complete_ways_with_history.cpp:
+        # 30-188) marks ids when ANY version matches and emits EVERY
+        # version of marked ids — which is exactly what the id-keyed
+        # semi-joins below do when the input carries all versions: the
+        # version dimension rides along for free (SURVEY.md §2.3)
+        strategy = "complete_ways"
     entities = entities.persist()
     nodes = entities.filter(F.col("type") == NODE)
     ways = entities.filter(F.col("type") == WAY)

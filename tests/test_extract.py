@@ -90,3 +90,59 @@ class TestExtractInput1:
         rows = extract(input1, BBOX, strategy="complete_ways").collect()
         keys = [(r["type"], abs(r["id"]) if r["id"] < 0 else r["id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+class TestExtractHistory:
+    """complete_ways_with_history: marks ids when ANY version matches, emits
+    EVERY version of marked ids (reference
+    strategy_complete_ways_with_history.cpp:30-188)."""
+
+    def test_all_versions_of_marked_ids(self, spark):
+        from osmium_tool_spark.operators.extract import extract_bbox_df
+        from osmium_tool_spark.schema import NODE, WAY
+        from osmium_tool_spark.sources import fixtures
+
+        hist = fixtures.history_input(spark)
+        # bbox catches node 1 v1/v2 locations but NOT node 2's
+        out = extract_bbox_df(
+            hist, 0.5, 0.5, 1.4, 3.0, strategy="complete_ways_with_history"
+        )
+        got = {(r.type, r.id, r.version) for r in out.collect()}
+        # node 1: all 3 versions (incl. the delete); node 2: pulled in as an
+        # extra node of marked way 10 (both its versions); way 10: both versions
+        assert got == {
+            (NODE, 1, 1), (NODE, 1, 2), (NODE, 1, 3),
+            (NODE, 2, 1), (NODE, 2, 2),
+            (WAY, 10, 1), (WAY, 10, 2),
+        }
+
+
+class TestAntimeridian:
+    """A region spanning +/-180 is expressed as two polygons (reference
+    fixture test/extract/antimeridian.opl + CMakeLists.txt:52-63) — pure
+    even-odd per polygon, no special-casing."""
+
+    def test_two_polygon_region(self, spark):
+        import numpy as np
+
+        from osmium_tool_spark.functions.geometry import Extract
+        from osmium_tool_spark.operators.extract import assign_extracts
+        from osmium_tool_spark.sources.fixtures import _df, _node
+
+        rows = [
+            _node(1, 179.5, 0.0),    # east side of the antimeridian
+            _node(2, -179.5, 0.0),   # west side
+            _node(3, 0.0, 0.0),      # far away
+            _node(4, 178.0, 0.0),    # outside both halves
+        ]
+        nodes = _df(spark, rows)
+
+        def ring(pts):
+            return np.array([( int(x * 10**7), int(y * 10**7)) for x, y in pts], dtype=np.int64)
+
+        east = ring([(179, -1), (180, -1), (180, 1), (179, 1), (179, -1)])
+        west = ring([(-180, -1), (-179, -1), (-179, 1), (-180, 1), (-180, -1)])
+        # same extract_id for both halves = one logical region
+        out = assign_extracts(nodes, [Extract.polygon(0, [east]), Extract.polygon(0, [west])])
+        got = {r.id for r in out.collect()}
+        assert got == {1, 2}
