@@ -1,0 +1,374 @@
+"""Command-line front-end mirroring osmium-tool's command surface.
+
+Reference dispatch: /root/reference/src/main.cpp:57-131 (command word ->
+CommandFactory -> setup(args) -> run(), exit codes 0/1/2
+main.cpp:46-50); command registry src/commands.cpp:29-123.
+
+Entities travel as parquet directories in the canonical schema
+(schema.ENTITY_SCHEMA). Every subcommand builds a DataFrame plan with the
+operators package and writes via the sorted writer (order contract on
+write), so:
+
+    python -m osmium_tool_spark extract --bbox 1,2,3,4 in.parquet -o out
+    python -m osmium_tool_spark tags-filter in.parquet amenity=post_box -o out
+    python -m osmium_tool_spark cat a.parquet b.parquet -t n -o out
+
+behaves like `osmium extract/tags-filter/cat ...` over .osm files.
+Designed for `spark-submit --py-files osmium_tool_spark.zip` on a cluster;
+locally it creates its own session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import NAME_TO_TYPE
+
+
+def _read(spark: SparkSession, paths: list[str]) -> DataFrame:
+    from functools import reduce
+
+    dfs = [spark.read.parquet(p) for p in paths]
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def _write(df: DataFrame, out: str, fmt: str = "parquet") -> None:
+    if fmt == "parquet":
+        from .sinks.writer import write_sorted
+
+        write_sorted(df, out)
+    else:  # text formats (export serializations)
+        df.coalesce(1).write.mode("overwrite").text(out)
+
+
+def _types(arg: str | None) -> list[int] | None:
+    if not arg:
+        return None
+    return [NAME_TO_TYPE[{"n": "node", "w": "way", "r": "relation"}.get(t, t)] for t in arg.split(",")]
+
+
+def _parse_extracts(args) -> list:
+    import numpy as np
+
+    from .functions.geometry import Extract, parse_geojson, parse_poly
+    from .schema import fp
+
+    extracts = []
+    if args.bbox:
+        left, bottom, right, top = (float(x) for x in args.bbox.split(","))
+        extracts.append(Extract.bbox(0, left, bottom, right, top))
+    elif args.polygon:
+        text = open(args.polygon).read()
+        rings = (
+            parse_geojson(text)
+            if args.polygon.endswith((".json", ".geojson"))
+            else parse_poly(text)
+        )
+        extracts.append(Extract.polygon(0, [np.asarray(r) for r in rings]))
+    elif args.config:
+        cfg = json.load(open(args.config))
+        for i, e in enumerate(cfg["extracts"]):
+            if "bbox" in e:
+                b = e["bbox"]
+                if isinstance(b, dict):
+                    extracts.append(
+                        Extract(i, "bbox", fp(b["left"]), fp(b["bottom"]), fp(b["right"]), fp(b["top"]))
+                    )
+                else:
+                    extracts.append(Extract.bbox(i, *b))
+            elif "polygon" in e:
+                rings = [np.array([[fp(x), fp(y)] for x, y in ring], dtype="int64") for ring in e["polygon"]]
+                extracts.append(Extract.polygon(i, rings))
+    if not extracts:
+        raise SystemExit("extract: need --bbox, --polygon or --config")
+    return extracts
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="osmium_tool_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def io(sp, n_inputs="+"):
+        sp.add_argument("input", nargs=n_inputs)
+        sp.add_argument("-o", "--output", required=True)
+        return sp
+
+    sp = io(sub.add_parser("cat", help="concatenate inputs, optional type filter"))
+    sp.add_argument("-t", "--object-type", default=None)
+    sp.add_argument("--clean", action="append", default=[])
+
+    io(sub.add_parser("sort", help="canonical (type,id,version) sort"))
+    io(sub.add_parser("merge", help="sorted union, identical objects once"))
+    sp = io(sub.add_parser("merge-changes"))
+    sp.add_argument("--simplify", action="store_true")
+
+    sp = io(sub.add_parser("extract"), n_inputs=1)
+    sp.add_argument("--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP degrees")
+    sp.add_argument("--polygon", default=None, help=".poly or .geojson file")
+    sp.add_argument("--config", default=None, help="multi-extract JSON config")
+    sp.add_argument("-s", "--strategy", default="complete_ways",
+                    choices=["simple", "complete_ways", "smart", "complete_ways_with_history"])
+    sp.add_argument("-S", "--option", action="append", default=[],
+                    help="strategy options, e.g. relations=false, types=multipolygon")
+
+    sp = io(sub.add_parser("tags-filter"), n_inputs=1)
+    sp.add_argument("expressions", nargs="+")
+    sp.add_argument("-i", "--invert-match", action="store_true")
+    sp.add_argument("-R", "--omit-referenced", action="store_true")
+    sp.add_argument("-t", "--remove-tags", action="store_true")
+
+    sp = io(sub.add_parser("getid"), n_inputs=1)
+    sp.add_argument("ids", nargs="+")
+    sp.add_argument("-r", "--add-referenced", action="store_true")
+
+    sp = io(sub.add_parser("removeid"), n_inputs=1)
+    sp.add_argument("ids", nargs="+")
+
+    sp = io(sub.add_parser("getparents"), n_inputs=1)
+    sp.add_argument("ids", nargs="+")
+    sp.add_argument("--add-self", action="store_true")
+
+    sp = io(sub.add_parser("renumber"), n_inputs=1)
+    sp.add_argument("--start-id", default="1,1,1")
+
+    sp = io(sub.add_parser("check-refs"), n_inputs=1)
+    sp.add_argument("-r", "--check-relations", action="store_true")
+
+    sp = sub.add_parser("fileinfo")
+    sp.add_argument("input", nargs=1)
+    sp.add_argument("-j", "--json", action="store_true")
+
+    sp = io(sub.add_parser("tags-count"), n_inputs=1)
+    sp.add_argument("expressions", nargs="*")
+    sp.add_argument("--min-count", type=int, default=None)
+    sp.add_argument("--max-count", type=int, default=None)
+    sp.add_argument("-s", "--sort", default="count-desc")
+
+    sp = io(sub.add_parser("time-filter"), n_inputs=1)
+    sp.add_argument("time_from", type=int)
+    sp.add_argument("time_to", type=int, nargs="?", default=None)
+
+    sp = sub.add_parser("apply-changes")
+    sp.add_argument("input", nargs=1)
+    sp.add_argument("changes", nargs="+")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--with-history", action="store_true")
+
+    sp = sub.add_parser("derive-changes")
+    sp.add_argument("old")
+    sp.add_argument("new")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--increment-version", action="store_true")
+    sp.add_argument("--keep-details", action="store_true")
+
+    sp = sub.add_parser("diff")
+    sp.add_argument("left")
+    sp.add_argument("right")
+    sp.add_argument("-o", "--output", required=True)
+
+    sp = io(sub.add_parser("export"), n_inputs=1)
+    sp.add_argument("-f", "--output-format", default="geojsonseq", choices=["geojsonseq", "pg"])
+    sp.add_argument("-n", "--keep-untagged", action="store_true")
+
+    sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
+    sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
+    sp.add_argument("-i", "--ignore-missing-nodes", action="store_true")
+
+    sp = sub.add_parser("create-locations-index")
+    sp.add_argument("input", nargs=1)
+    sp.add_argument("-i", "--index-path", required=True)
+
+    sp = sub.add_parser("query-locations-index")
+    sp.add_argument("-i", "--index-path", required=True)
+    sp.add_argument("ids", nargs="*")
+
+    return p
+
+
+def run(args, spark: SparkSession) -> int:
+    from . import operators  # noqa: F401
+
+    cmd = args.command
+    if cmd == "cat":
+        from .operators.sort_merge import cat
+
+        dfs = [spark.read.parquet(p) for p in args.input]
+        out = cat(dfs, object_types=_types(args.object_type), clean_attrs=args.clean)
+        _write(out, args.output)
+    elif cmd == "sort":
+        from .operators.sort_merge import sort_entities
+
+        _write(sort_entities(_read(spark, args.input)), args.output)
+    elif cmd == "merge":
+        from .operators.sort_merge import merge
+
+        _write(merge([spark.read.parquet(p) for p in args.input]), args.output)
+    elif cmd == "merge-changes":
+        from .operators.sort_merge import merge_changes
+
+        _write(
+            merge_changes([spark.read.parquet(p) for p in args.input], simplify=args.simplify),
+            args.output,
+        )
+    elif cmd == "extract":
+        from .operators.extract import extract
+
+        opts = dict(o.split("=", 1) for o in args.option)
+        out = extract(
+            _read(spark, args.input),
+            _parse_extracts(args),
+            strategy=args.strategy,
+            relations=opts.get("relations", "true") != "false",
+            smart_types=(opts["types"].split(",") if "types" in opts else None),
+            complete_partial_relations_pct=(
+                int(opts["complete-partial-relations"])
+                if "complete-partial-relations" in opts
+                else None
+            ),
+        )
+        _write(out.drop("extract_id"), args.output)
+    elif cmd == "tags-filter":
+        from .operators.tags_filter import tags_filter
+
+        out = tags_filter(
+            _read(spark, args.input),
+            args.expressions,
+            invert=args.invert_match,
+            omit_referenced=args.omit_referenced,
+            remove_tags=args.remove_tags,
+        )
+        _write(out, args.output)
+    elif cmd in ("getid", "removeid", "getparents"):
+        from .operators.idops import getid, getparents, parse_id_list, removeid
+
+        ids = parse_id_list(args.ids)
+        ents = _read(spark, args.input)
+        if cmd == "getid":
+            out = getid(ents, ids, recursive=args.add_referenced)
+            if out.isEmpty():
+                return 1  # reference: exit 1 when ids not found
+        elif cmd == "removeid":
+            out = removeid(ents, ids)
+        else:
+            out = getparents(ents, ids, add_self=args.add_self)
+        _write(out, args.output)
+    elif cmd == "renumber":
+        from .operators.idops import renumber
+        from .schema import NODE, RELATION, WAY
+
+        s = [int(x) for x in args.start_id.split(",")]
+        s += [s[-1]] * (3 - len(s))
+        out = renumber(_read(spark, args.input), {NODE: s[0], WAY: s[1], RELATION: s[2]})
+        _write(out, args.output)
+    elif cmd == "check-refs":
+        from .operators.idops import check_refs
+
+        out = check_refs(_read(spark, args.input), check_relations=args.check_relations)
+        n = out.count()
+        out.write.mode("overwrite").parquet(args.output)
+        return 1 if n else 0  # reference exit code semantics
+    elif cmd == "fileinfo":
+        from .operators.aggregates import fileinfo
+
+        rows = fileinfo(_read(spark, args.input)).collect()
+        if args.json:
+            print(json.dumps([r.asDict() for r in rows], default=str))
+        else:
+            for r in rows:
+                print(r)
+    elif cmd == "tags-count":
+        from .operators.aggregates import tags_count
+
+        out = tags_count(
+            _read(spark, args.input),
+            expressions=args.expressions or None,
+            count_values=any("=" in e for e in (args.expressions or [])),
+            min_count=args.min_count,
+            max_count=args.max_count,
+            sort_order=args.sort,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+    elif cmd == "time-filter":
+        from .operators.changes import time_filter
+
+        _write(time_filter(_read(spark, args.input), args.time_from, args.time_to), args.output)
+    elif cmd == "apply-changes":
+        from .operators.changes import apply_changes
+
+        out = apply_changes(
+            spark.read.parquet(args.input[0]),
+            [spark.read.parquet(p) for p in args.changes],
+            with_history=args.with_history,
+        )
+        _write(out, args.output)
+    elif cmd == "derive-changes":
+        from .operators.changes import derive_changes
+
+        out = derive_changes(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            increment_version=args.increment_version,
+            keep_details=args.keep_details,
+        )
+        _write(out.drop("change_op"), args.output)
+    elif cmd == "diff":
+        from .operators.changes import diff
+
+        out = diff(spark.read.parquet(args.left), spark.read.parquet(args.right))
+        out.write.mode("overwrite").parquet(args.output)
+        return 1 if out.filter("status <> 'same'").count() else 0
+    elif cmd == "export":
+        from .operators.export import features, to_geojsonseq, to_pg
+
+        f = features(_read(spark, args.input), keep_untagged=args.keep_untagged)
+        out = to_geojsonseq(f) if args.output_format == "geojsonseq" else to_pg(f)
+        _write(out, args.output, fmt="text")
+    elif cmd == "add-locations-to-ways":
+        from .operators.locations import add_locations_to_ways
+
+        out = add_locations_to_ways(
+            _read(spark, args.input),
+            ignore_missing_nodes=args.ignore_missing_nodes,
+            keep_untagged_nodes=args.keep_untagged_nodes,
+        )
+        _write(out.drop("missing_locations"), args.output)
+    elif cmd == "create-locations-index":
+        from .operators.locations import create_locations_index
+
+        create_locations_index(_read(spark, args.input), args.index_path)
+    elif cmd == "query-locations-index":
+        from .operators.locations import query_locations_index
+
+        ids = [int(i) for i in args.ids] or None
+        for r in query_locations_index(spark, args.index_path, ids).collect():
+            print(f"{r.id} {r.lon} {r.lat}")
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown command {cmd}")
+    return 0
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(f"osmium-{args.command}")
+    try:
+        return run(args, spark)
+    except SystemExit:
+        raise
+    except Exception as e:  # reference: errors -> exit 2 (main.cpp:46-50)
+        print(f"osmium_tool_spark {args.command}: {e}", file=sys.stderr)
+        return 2
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

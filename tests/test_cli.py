@@ -1,0 +1,68 @@
+"""CLI front-end: reference command surface over entity parquet dirs."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.cli import main
+from osmium_tool_spark.schema import NODE, WAY
+from osmium_tool_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli") / "input1")
+    fixtures.extract_input1(spark).write.parquet(d)
+    return d
+
+
+def test_cli_extract_bbox(spark, input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    rc = main(
+        ["extract", "--bbox", "0,0,1.5,10", "-s", "simple", input_dir, "-o", out],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {(r.type, r.id) for r in spark.read.parquet(out).collect()}
+    assert got == fixtures.EXTRACT1_EXPECTED["simple"]
+
+
+def test_cli_tags_filter(spark, input_dir, tmp_path):
+    out = str(tmp_path / "tf")
+    rc = main(["tags-filter", input_dir, "w/foo=bar", "-R", "-o", out], spark=spark)
+    assert rc == 0
+    got = {(r.type, r.id) for r in spark.read.parquet(out).collect()}
+    assert got == {(WAY, 20)}
+
+
+def test_cli_cat_type_filter(spark, input_dir, tmp_path):
+    out = str(tmp_path / "cat")
+    rc = main(["cat", input_dir, "-t", "n", "-o", out], spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("type") != NODE).count() == 0
+
+
+def test_cli_getid_missing_exits_1(spark, input_dir, tmp_path):
+    rc = main(["getid", input_dir, "n999999", "-o", str(tmp_path / "g")], spark=spark)
+    assert rc == 1
+
+
+def test_cli_extract_conflicting_args_exit(spark, input_dir, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["extract", input_dir, "-o", str(tmp_path / "x")], spark=spark)
+
+
+def test_cli_export_geojsonseq(spark, input_dir, tmp_path):
+    out = str(tmp_path / "exp")
+    rc = main(["export", input_dir, "-o", out], spark=spark)
+    assert rc == 0
+    lines = spark.read.text(out).collect()
+    feats = [json.loads(r.value) for r in lines]
+    assert all(f["type"] == "Feature" for f in feats)
+
+
+def test_cli_bad_input_exit_2(spark, tmp_path):
+    rc = main(["sort", str(tmp_path / "nope"), "-o", str(tmp_path / "o")], spark=spark)
+    assert rc == 2
