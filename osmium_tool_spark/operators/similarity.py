@@ -177,6 +177,66 @@ def knn_cellring(
     )
 
 
+def knn_exact(
+    points: DataFrame,
+    queries: DataFrame,
+    res: int,
+    k: int,
+    id_col: str = "id",
+    max_ring: int = 8,
+) -> DataFrame:
+    """EXACT k nearest neighbors via iterative cell-ring expansion.
+
+    Round r runs the block-bounded kNN at ring r; a query is SETTLED when
+    it has k hits and its k-th squared distance is <= the squared distance
+    to the nearest edge of its (2r+1)^2 block — no point outside the block
+    can beat the current k-th. Unsettled queries expand to ring r+1
+    (driver loop; each round is one equi-join on cell ids, candidates only
+    for the shrinking unsettled set). `max_ring` bounds the loop for
+    pathological densities (falls back to the block-bounded answer).
+
+    The guarantee uses the conservative per-axis cell sizes at resolution
+    `res`: a query anywhere in its cell is at least (r*cw - cw) away from
+    cells outside the block on each axis, so we use (r-1)*cell_width as
+    the certified radius (exact-but-conservative; one extra round at most).
+    """
+    from ..functions.cells import _LAT_SPAN, _LON_SPAN
+
+    n = 1 << res
+    cw_x = _LON_SPAN // n
+    cw_y = _LAT_SPAN // n
+    cw = min(cw_x, cw_y)
+
+    remaining = queries
+    settled_parts: list[DataFrame] = []
+    for ring in range(1, max_ring + 1):
+        if remaining.isEmpty():
+            break
+        topk = knn_cellring(points, remaining, res, ring, k, id_col=id_col).persist()
+        certified = float((ring - 1) * cw) ** 2
+        stats = topk.groupBy("query_id").agg(
+            F.count("*").alias("__n"), F.max("dist2").alias("__kth")
+        )
+        done_ids = stats.filter(
+            (F.col("__n") >= k) & (F.col("__kth") <= F.lit(certified))
+        ).select("query_id")
+        if ring == max_ring:
+            done_ids = stats.select("query_id")  # give up: block-bounded result
+        settled_parts.append(
+            topk.join(done_ids, on="query_id", how="left_semi").localCheckpoint(eager=True)
+        )
+        remaining = remaining.join(
+            done_ids.withColumnRenamed("query_id", id_col), on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+        topk.unpersist()
+    if not settled_parts:
+        return knn_cellring(points, queries, res, 1, k, id_col=id_col).limit(0)
+    out = settled_parts[0]
+    for p_ in settled_parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float,
