@@ -154,6 +154,33 @@ def q_extract_bbox_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_L("type").alias("type"), _L("id").alias("id"))
 
 
+def q_extract_complete_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import extract
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    out = extract(ents, [Extract.bbox(0, *BBOX)], strategy="complete_ways")
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
+def q_extract_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import extract
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = td.entities(spark, sf_dir)
+    # complete-partial-relations: customers with >=80% of their orders
+    # marked get ALL their orders (and those orders' parts) completed
+    out = extract(
+        ents,
+        [Extract.bbox(0, *BBOX)],
+        strategy="smart",
+        complete_partial_relations_pct=80,
+    )
+    return out.select(_L("type").alias("type"), _L("id").alias("id"))
+
+
 def q_extract_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -675,6 +702,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_bbox_simple": q_extract_bbox_simple,
+        "extract_complete_ways": q_extract_complete_ways,
+        "extract_smart": q_extract_smart,
         "extract_polygon": q_extract_polygon,
         "extract_multi_tile": q_extract_multi_tile,
         "tags_filter_plain": q_tags_filter_plain,
@@ -742,6 +771,37 @@ fm AS (SELECT o_custkey, min(o_orderkey) AS first_way FROM orders GROUP BY o_cus
 mr AS (SELECT o_custkey AS id FROM fm WHERE first_way IN (SELECT id FROM mw))
 SELECT CAST(0 AS BIGINT) AS type, CAST(id AS BIGINT) AS id FROM mn
 UNION ALL SELECT 1, id FROM mw
+UNION ALL SELECT 2, id FROM mr
+"""
+
+    o["extract_complete_ways"] = f"""
+WITH {NODES_CTE},
+mn AS (SELECT id FROM nodes WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}),
+mw AS (SELECT DISTINCT l_orderkey AS id FROM lineitem WHERE l_partkey IN (SELECT id FROM mn)),
+extra AS (SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_orderkey IN (SELECT id FROM mw)),
+mr AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderkey IN (SELECT id FROM mw))
+SELECT CAST(0 AS BIGINT) AS type, CAST(id AS BIGINT) AS id
+  FROM (SELECT id FROM mn UNION SELECT id FROM extra)
+UNION ALL SELECT 1, id FROM mw
+UNION ALL SELECT 2, id FROM mr
+"""
+
+    o["extract_smart"] = f"""
+WITH {NODES_CTE},
+mn AS (SELECT id FROM nodes WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}),
+mw AS (SELECT DISTINCT l_orderkey AS id FROM lineitem WHERE l_partkey IN (SELECT id FROM mn)),
+cnt AS (SELECT o_custkey,
+          sum(CASE WHEN o_orderkey IN (SELECT id FROM mw) THEN 1 ELSE 0 END) AS w,
+          count(*) AS s
+        FROM orders GROUP BY o_custkey),
+pct AS (SELECT o_custkey FROM cnt WHERE w * 100 >= s * 80),
+allw AS (SELECT id FROM mw
+         UNION SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT o_custkey FROM pct)),
+extra AS (SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_orderkey IN (SELECT id FROM allw)),
+mr AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderkey IN (SELECT id FROM mw))
+SELECT CAST(0 AS BIGINT) AS type, CAST(id AS BIGINT) AS id
+  FROM (SELECT id FROM mn UNION SELECT id FROM extra)
+UNION ALL SELECT 1, id FROM allw
 UNION ALL SELECT 2, id FROM mr
 """
 
