@@ -114,6 +114,7 @@ def main() -> None:
 
     headline = [] if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY") else [
         "extract_bbox_simple",
+        "extract_complete_ways",
         "extract_polygon",
         "tags_filter_closure",
         "getid_recursive",
