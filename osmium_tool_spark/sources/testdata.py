@@ -153,12 +153,37 @@ def relations_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+def entities(spark: SparkSession, sf_dir: str, materialize: bool = True) -> DataFrame:
+    """The full heterogeneous entity stream.
+
+    With `materialize` (default) the derivation is written once per sf_dir
+    to a deterministic /tmp location and re-read as parquet — multi-pass
+    operators then scan a columnar table (the production shape: the entity
+    table EXISTS; deriving it per query re-runs two groupBy joins)."""
+    df = (
         nodes_from_part(spark, sf_dir)
         .unionByName(ways_from_orders(spark, sf_dir))
         .unionByName(relations_from_customer(spark, sf_dir))
     )
+    if not materialize:
+        return df
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/osmium_entities_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # write to a private dir + atomic rename: concurrent processes race
+        # benignly (first rename wins, losers read the winner's output)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,3 +87,40 @@ class TestTagsFilterGoldens:
     def test_key_not_value(self, inp):
         got = result_set(tags_filter(inp, ["w/highway!=primary"], omit_referenced=True))
         assert got == {(1, 21)}
+
+
+class TestAreaPseudoType:
+    """'a/' matches closed ways with >=4 nodes and
+    type=multipolygon/boundary relations (reference
+    command_tags_filter.cpp:207-231, man/osmium-tags-filter.md:61-131)."""
+
+    @pytest.fixture(scope="class")
+    def area_input(self, spark):
+        from osmium_tool_spark.sources.fixtures import _df, _node, _rel, _way
+        from osmium_tool_spark.schema import WAY
+
+        rows = [
+            _node(1, 0, 0),
+            _node(2, 1, 0),
+            _node(3, 1, 1),
+            # closed way, 5 refs, building tag -> area matches
+            _way(10, [1, 2, 3, 1], {"building": "yes"}),
+            # OPEN way with building tag -> 'a/' does NOT match
+            _way(11, [1, 2, 3], {"building": "yes"}),
+            # closed but only 3 refs (2 nodes + closure) -> too short
+            _way(12, [1, 2, 1], {"building": "yes"}),
+            # multipolygon relation with the tag -> area matches
+            _rel(20, [(WAY, 10, "outer")], {"type": "multipolygon", "building": "yes"}),
+            # plain relation with the tag -> not an area
+            _rel(21, [(WAY, 10, "outer")], {"building": "yes"}),
+        ]
+        return _df(spark, rows)
+
+    def test_area_bank(self, area_input):
+        got = result_set(tags_filter(area_input, ["a/building"], omit_referenced=True))
+        assert got == {(1, 10), (2, 20)}
+
+    def test_area_plus_way_bank(self, area_input):
+        # 'wa/' puts the matcher in BOTH banks: open ways match via 'w'
+        got = result_set(tags_filter(area_input, ["wa/building"], omit_referenced=True))
+        assert got == {(1, 10), (1, 11), (1, 12), (2, 20)}
