@@ -625,6 +625,47 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select(_L("id").alias("id"), _L("fp").alias("fp"))
 
 
+def q_validate_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.sort_merge import validate_order
+    from osmium_tool_spark.sources import testdata as td
+
+    # physical order = event_id; canonical key = (type, user_id, version):
+    # every place the stream jumps to a lower key is a violation
+    hist = td.history_from_events(spark, sf_dir).withColumn(
+        "seq", F.col("changeset")  # changeset carries event_id
+    )
+    out = validate_order(hist)
+    return out.select(
+        _L("seq").alias("seq"), _L("id").alias("id"),
+        _L("version").alias("version"), F.col("reason"),
+    )
+
+
+def q_merge_changes_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.sort_merge import merge_changes
+
+    base = _orders_base(spark, sf_dir)
+    c1 = base.withColumn("version", F.lit(2)).filter(F.col("id") % 3 == 0)
+    c2 = base.withColumn("version", F.lit(2)).filter(F.col("id") % 4 == 0).withColumn(
+        "tags", F.map_concat("tags", F.create_map(F.lit("mark"), F.lit("1")))
+    )
+    out = merge_changes([base, c1, c2], simplify=True)
+    return out.select(
+        _L("id").alias("id"), _L("version").alias("version"),
+        F.col("tags").getItem("mark").isNotNull().alias("marked"),
+    )
+
+
+def q_fileinfo_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine-hash based (xxhash64) -> no portable oracle; the driver
+    # records the weaker rows-only check for this one
+    from osmium_tool_spark.operators.aggregates import fileinfo_crc
+    from osmium_tool_spark.sources import testdata as td
+
+    out = fileinfo_crc(td.entities(spark, sf_dir))
+    return out.select(_L("content_hash").alias("content_hash"), _L("rows").alias("rows"))
+
+
 def q_cat_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.sort_merge import cat
     from osmium_tool_spark.schema import NODE, WAY
@@ -739,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "validate_order": q_validate_order,
+        "merge_changes_simplify": q_merge_changes_simplify,
+        "fileinfo_crc": q_fileinfo_crc,
         "cat_clean": q_cat_clean,
         "locations_index": q_locations_index,
         "add_locations": q_add_locations,
@@ -1136,6 +1180,25 @@ GROUP BY token HAVING count(*) >= 50
 
     o["text_fingerprint"] = f"""
 SELECT CAST(doc_id AS BIGINT) AS id, {_polyhash_sql('text')} AS fp FROM documents
+"""
+
+    o["validate_order"] = """
+WITH h AS (SELECT user_id AS id, event_id AS seq,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+           FROM events),
+w AS (SELECT *, lag(id) OVER (ORDER BY seq) AS pid, lag(version) OVER (ORDER BY seq) AS pv FROM h)
+SELECT CAST(seq AS BIGINT) AS seq, CAST(id AS BIGINT) AS id, version,
+       CASE WHEN id < pid THEN 'out-of-order'
+            WHEN id = pid AND version < pv THEN 'out-of-order-version'
+            ELSE 'duplicate-version' END AS reason
+FROM w WHERE pid IS NOT NULL AND (id < pid OR (id = pid AND version <= pv))
+"""
+
+    o["merge_changes_simplify"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CAST(CASE WHEN o_orderkey % 4 = 0 OR o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+       (o_orderkey % 4 = 0) AS marked
+FROM orders
 """
 
     o["cat_clean"] = """

@@ -41,8 +41,9 @@ def fileinfo(entities: DataFrame) -> DataFrame:
 
 def fileinfo_crc(entities: DataFrame) -> DataFrame:
     """Content fingerprint: xxhash64 over the canonical row encoding,
-    aggregated order-independently (sum of row hashes) — the distributed
-    analog of the reference's streaming CRC32 (command_fileinfo.cpp:102-126).
+    combined order-independently with bit_xor (a sum would overflow int64
+    under ANSI mode) — the distributed analog of the reference's streaming
+    CRC32 (command_fileinfo.cpp:102-126).
     """
     row_hash = F.xxhash64(
         F.col("type"), F.col("id"), F.col("version"), F.col("visible"), F.col("ts"),
@@ -50,7 +51,7 @@ def fileinfo_crc(entities: DataFrame) -> DataFrame:
         F.col("lon"), F.col("lat"), F.col("refs"), F.col("members"),
     )
     return entities.agg(
-        F.sum(row_hash).alias("content_hash"), F.count("*").alias("rows")
+        F.bit_xor(row_hash).alias("content_hash"), F.count("*").alias("rows")
     )
 
 
