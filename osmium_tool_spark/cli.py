@@ -29,15 +29,28 @@ from pyspark.sql import DataFrame, SparkSession
 from .schema import NAME_TO_TYPE
 
 
+def _read_one(spark: SparkSession, path: str) -> DataFrame:
+    # format autodetect by suffix (reference io.cpp:39-61 analog)
+    if path.endswith(".opl"):
+        from .sources.opl import read_opl
+
+        return read_opl(spark, path)
+    return spark.read.parquet(path)
+
+
 def _read(spark: SparkSession, paths: list[str]) -> DataFrame:
     from functools import reduce
 
-    dfs = [spark.read.parquet(p) for p in paths]
+    dfs = [_read_one(spark, p) for p in paths]
     return reduce(DataFrame.unionByName, dfs)
 
 
 def _write(df: DataFrame, out: str, fmt: str = "parquet") -> None:
-    if fmt == "parquet":
+    if out.endswith(".opl") or fmt == "opl":
+        from .sources.opl import write_opl
+
+        write_opl(df, out)
+    elif fmt == "parquet":
         from .sinks.writer import write_sorted
 
         write_sorted(df, out)
@@ -196,7 +209,7 @@ def run(args, spark: SparkSession) -> int:
     if cmd == "cat":
         from .operators.sort_merge import cat
 
-        dfs = [spark.read.parquet(p) for p in args.input]
+        dfs = [_read_one(spark, p) for p in args.input]
         out = cat(dfs, object_types=_types(args.object_type), clean_attrs=args.clean)
         _write(out, args.output)
     elif cmd == "sort":
@@ -206,12 +219,12 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "merge":
         from .operators.sort_merge import merge
 
-        _write(merge([spark.read.parquet(p) for p in args.input]), args.output)
+        _write(merge([_read_one(spark, p) for p in args.input]), args.output)
     elif cmd == "merge-changes":
         from .operators.sort_merge import merge_changes
 
         _write(
-            merge_changes([spark.read.parquet(p) for p in args.input], simplify=args.simplify),
+            merge_changes([_read_one(spark, p) for p in args.input], simplify=args.simplify),
             args.output,
         )
     elif cmd == "extract":
@@ -300,8 +313,8 @@ def run(args, spark: SparkSession) -> int:
         from .operators.changes import apply_changes
 
         out = apply_changes(
-            spark.read.parquet(args.input[0]),
-            [spark.read.parquet(p) for p in args.changes],
+            _read_one(spark, args.input[0]),
+            [_read_one(spark, p) for p in args.changes],
             with_history=args.with_history,
         )
         _write(out, args.output)
@@ -309,8 +322,8 @@ def run(args, spark: SparkSession) -> int:
         from .operators.changes import derive_changes
 
         out = derive_changes(
-            spark.read.parquet(args.old),
-            spark.read.parquet(args.new),
+            _read_one(spark, args.old),
+            _read_one(spark, args.new),
             increment_version=args.increment_version,
             keep_details=args.keep_details,
         )
@@ -318,7 +331,7 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "diff":
         from .operators.changes import diff
 
-        out = diff(spark.read.parquet(args.left), spark.read.parquet(args.right))
+        out = diff(_read_one(spark, args.left), _read_one(spark, args.right))
         out.write.mode("overwrite").parquet(args.output)
         return 1 if out.filter("status <> 'same'").count() else 0
     elif cmd == "export":

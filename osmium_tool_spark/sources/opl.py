@@ -1,0 +1,206 @@
+"""OPL format reader/writer — the reference's line-based interchange
+format (man/osmium-file-formats.md:42-66; fixtures like
+test/extract/antimeridian.opl use it).
+
+Line shape (one object per line, space-separated single-letter fields):
+
+    n10 v1 dV c1 t2020-01-01T00:00:00Z i0 u T x170 y66
+    w40 v1 dV c1 t... i0 u Thighway=primary Nn10,n11,n12
+    r30 v1 dV c1 t... i0 u Ttype=multipolygon Mw40@outer,w41@inner
+
+Field letters: n/w/r=id(+object type), v=version, d=V|D visible/deleted,
+c=changeset, t=ISO timestamp, i=uid, u=user, T=tags (k=v comma list),
+x/y=lon/lat, N=way refs (nIDs), M=members (Tid@role). Special characters
+in strings are %-escaped as %<hex codepoint>%.
+
+Spark shape: `spark.read.text` splits the file(s) into line partitions;
+parsing runs as an Arrow-batched closure (ingest edge, not a query hot
+path — mirrors the reference doing format decode on reader threads). The
+parser ships by value (no package import on executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import ENTITY_SCHEMA
+
+_TYPES = {"n": 0, "w": 1, "r": 2}
+_TYPE_CH = {0: "n", 1: "w", 2: "r"}
+
+
+def _make_parser():
+    """Self-contained OPL line parser (closure, cloudpickled by value)."""
+    import calendar
+    import time as _time
+
+    types = {"n": 0, "w": 1, "r": 2}
+    scale = 10_000_000
+
+    def unescape(s: str) -> str:
+        if "%" not in s:
+            return s
+        out, i = [], 0
+        while i < len(s):
+            if s[i] == "%":
+                j = s.index("%", i + 1)
+                out.append(chr(int(s[i + 1:j], 16)))
+                i = j + 1
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+    def parse_ts(v: str):
+        if not v:
+            return None
+        return calendar.timegm(_time.strptime(v, "%Y-%m-%dT%H:%M:%SZ"))
+
+    def parse_line(line: str):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            return None
+        fields = line.split(" ")
+        t = types.get(fields[0][0])
+        if t is None:
+            return None
+        row = {
+            "type": t, "id": int(fields[0][1:]), "version": None, "visible": True,
+            "changeset": None, "ts": None, "uid": None, "user": None,
+            "tags": {}, "lon": None, "lat": None, "refs": None, "members": None,
+        }
+        for f in fields[1:]:
+            if not f:
+                continue
+            k, v = f[0], f[1:]
+            if k == "v" and v:
+                row["version"] = int(v)
+            elif k == "d":
+                row["visible"] = v != "D"
+            elif k == "c" and v:
+                row["changeset"] = int(v)
+            elif k == "t":
+                row["ts"] = parse_ts(v)
+            elif k == "i" and v:
+                row["uid"] = int(v)
+            elif k == "u":
+                row["user"] = unescape(v)
+            elif k == "T":
+                if v:
+                    tags = {}
+                    for kv in v.split(","):
+                        kk, _, vv = kv.partition("=")
+                        tags[unescape(kk)] = unescape(vv)
+                    row["tags"] = tags
+            elif k == "x" and v:
+                row["lon"] = int(round(float(v) * scale))
+            elif k == "y" and v:
+                row["lat"] = int(round(float(v) * scale))
+            elif k == "N":
+                row["refs"] = [int(r[1:]) for r in v.split(",")] if v else []
+            elif k == "M":
+                mem = []
+                if v:
+                    for m in v.split(","):
+                        body, _, role = m.partition("@")
+                        mem.append(
+                            {"mtype": types[body[0]], "ref": int(body[1:]), "role": unescape(role)}
+                        )
+                row["members"] = mem
+        return row
+
+    return parse_line
+
+
+def read_opl(spark: SparkSession, path: str) -> DataFrame:
+    """Read .opl file(s) into the canonical entity schema."""
+    lines = spark.read.text(path)
+    parse_line = _make_parser()
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [r for r in (parse_line(ln) for ln in pdf["value"]) if r]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "type", "id", "version", "visible", "changeset", "ts",
+                    "uid", "user", "tags", "lon", "lat", "refs", "members",
+                ],
+            )
+
+    return lines.mapInPandas(parse_batches, schema=ENTITY_SCHEMA)
+
+
+_ESCAPE = set(' ,=@%\n\t\r')
+
+
+def _make_serializer():
+    """Self-contained OPL line serializer (closure)."""
+    import time as _time
+
+    type_ch = {0: "n", 1: "w", 2: "r"}
+    scale = 10_000_000
+    esc_set = set(' ,=@%\n\t\r')
+
+    def escape(s: str) -> str:
+        if not s or not any(c in esc_set for c in s):
+            return s or ""
+        return "".join(f"%{ord(c):x}%" if c in esc_set else c for c in s)
+
+    def fmt_coord(v) -> str:
+        s = f"{v / scale:.7f}".rstrip("0").rstrip(".")
+        return s if s else "0"
+
+    def fmt_ts(ts) -> str:
+        if ts is None:
+            return ""
+        return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts))
+
+    def serialize(row) -> str:
+        parts = [f"{type_ch[row['type']]}{row['id']}"]
+        parts.append(f"v{row['version'] if row['version'] is not None else ''}")
+        parts.append(f"d{'V' if row['visible'] or row['visible'] is None else 'D'}")
+        parts.append(f"c{row['changeset'] if row['changeset'] is not None else ''}")
+        parts.append(f"t{fmt_ts(row['ts'])}")
+        parts.append(f"i{row['uid'] if row['uid'] is not None else ''}")
+        parts.append(f"u{escape(row['user'] or '')}")
+        tags = row["tags"] or {}
+        parts.append("T" + ",".join(f"{escape(k)}={escape(v)}" for k, v in tags.items()))
+        if row["type"] == 0:
+            if row["lon"] is not None:
+                parts.append(f"x{fmt_coord(row['lon'])}")
+                parts.append(f"y{fmt_coord(row['lat'])}")
+        elif row["type"] == 1:
+            # pandas hands arrays, not lists — no truthiness
+            refs = row["refs"]
+            refs = [] if refs is None else list(refs)
+            parts.append("N" + ",".join(f"n{int(r)}" for r in refs))
+        else:
+            mem = row["members"]
+            mem = [] if mem is None else list(mem)
+            parts.append(
+                "M" + ",".join(f"{type_ch[m['mtype']]}{m['ref']}@{escape(m['role'] or '')}" for m in mem)
+            )
+        return " ".join(parts)
+
+    return serialize
+
+
+def write_opl(entities: DataFrame, path: str) -> None:
+    """Write entities as .opl text (canonical order restored first)."""
+    from ..functions.sortkeys import canonical_sort
+
+    serialize = _make_serializer()
+
+    def ser_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lines = [serialize(r) for r in pdf.to_dict("records")]
+            yield pd.DataFrame({"value": lines})
+
+    canonical_sort(entities).mapInPandas(ser_batches, schema="value string").write.mode(
+        "overwrite"
+    ).text(path)

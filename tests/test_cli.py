@@ -66,3 +66,17 @@ def test_cli_export_geojsonseq(spark, input_dir, tmp_path):
 def test_cli_bad_input_exit_2(spark, tmp_path):
     rc = main(["sort", str(tmp_path / "nope"), "-o", str(tmp_path / "o")], spark=spark)
     assert rc == 2
+
+
+def test_cli_opl_input_output(spark, tmp_path):
+    src = tmp_path / "in.opl"
+    src.write_text(
+        "n1 v1 dV c1 t2020-01-01T00:00:00Z i0 u Tamenity=cafe x1 y1\n"
+        "n2 v1 dV c1 t2020-01-01T00:00:00Z i0 u T x5 y5\n"
+        "w9 v1 dV c1 t2020-01-01T00:00:00Z i0 u Thighway=x Nn1,n2\n"
+    )
+    out = str(tmp_path / "out.opl")
+    rc = main(["tags-filter", str(src), "n/amenity", "-R", "-o", out], spark=spark)
+    assert rc == 0
+    text = "".join(p.read_text() for p in (tmp_path / "out.opl").glob("part-*"))
+    assert text.startswith("n1 ") and "amenity=cafe" in text and "w9" not in text
