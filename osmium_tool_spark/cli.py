@@ -191,6 +191,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
     sp.add_argument("-i", "--ignore-missing-nodes", action="store_true")
 
+    sp = io(sub.add_parser("changeset-filter"), n_inputs=1)
+    sp.add_argument("--open", dest="open_", action="store_true", default=None)
+    sp.add_argument("--closed", dest="closed", action="store_true", default=None)
+    sp.add_argument("--with-changes", action="store_true", default=None)
+    sp.add_argument("--uid", type=int, default=None)
+    sp.add_argument("--user", default=None)
+    sp.add_argument("--after", type=int, default=None)
+    sp.add_argument("--before", type=int, default=None)
+    sp.add_argument("-b", "--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP fixed-point")
+
+    sp = sub.add_parser("show")
+    sp.add_argument("input", nargs=1)
+    sp.add_argument("-n", "--rows", type=int, default=20)
+
     sp = sub.add_parser("create-locations-index")
     sp.add_argument("input", nargs=1)
     sp.add_argument("-i", "--index-path", required=True)
@@ -349,6 +363,30 @@ def run(args, spark: SparkSession) -> int:
             keep_untagged_nodes=args.keep_untagged_nodes,
         )
         _write(out.drop("missing_locations"), args.output)
+    elif cmd == "changeset-filter":
+        from .operators.changesets import changeset_filter
+
+        open_ = True if args.open_ else (False if args.closed else None)
+        bbox = tuple(int(x) for x in args.bbox.split(",")) if args.bbox else None
+        out = changeset_filter(
+            _read(spark, args.input),
+            open_=open_,
+            with_changes=args.with_changes,
+            uid=args.uid,
+            user=args.user,
+            after=args.after,
+            before=args.before,
+            bbox=bbox,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+    elif cmd == "show":
+        from .functions.sortkeys import canonical_sort
+        from .sources.opl import _make_serializer
+
+        ser = _make_serializer()
+        rows = canonical_sort(_read_one(spark, args.input[0])).limit(args.rows).collect()
+        for r in rows:
+            print(ser(r.asDict(recursive=True)))
     elif cmd == "create-locations-index":
         from .operators.locations import create_locations_index
 

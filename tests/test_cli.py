@@ -80,3 +80,25 @@ def test_cli_opl_input_output(spark, tmp_path):
     assert rc == 0
     text = "".join(p.read_text() for p in (tmp_path / "out.opl").glob("part-*"))
     assert text.startswith("n1 ") and "amenity=cafe" in text and "w9" not in text
+
+
+def test_cli_show_prints_opl(spark, input_dir, capsys):
+    rc = main(["show", input_dir, "-n", "3"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and out[0].startswith("n10 ")
+
+
+def test_cli_changeset_filter(spark, tmp_path):
+    cs = spark.createDataFrame(
+        [(1, 100, True, 5, "", 3, 0, 10, 0, 10), (2, 200, False, 5, "", 0, 0, 10, 0, 10)],
+        "id long, created_at long, open boolean, uid int, user string, "
+        "num_changes long, min_lon long, max_lon long, min_lat long, max_lat long",
+    )
+    src = str(tmp_path / "cs")
+    cs.write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["changeset-filter", src, "--open", "--with-changes", "-o", out], spark=spark)
+    assert rc == 0
+    got = spark.read.parquet(out).collect()
+    assert [r.id for r in got] == [1]
