@@ -154,19 +154,35 @@ def getparents(
 def renumber(
     entities: DataFrame,
     start_ids: dict[int, int] | None = None,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Order-preserving dense re-numbering per type (command_renumber.cpp:
     61-91,257-292): new ids assigned in canonical id order starting at
     start_id (default 1; negative start counts down). Refs and members are
     remapped through the same mapping.
 
+    `index_dir` persists/reloads the mapping (the reference's --index-dir,
+    command_renumber.cpp:367-441): a later batch (e.g. applying updates to
+    a renumbered planet) reuses existing assignments and appends new ids
+    after each type's current maximum.
+
     Scale note: the mapping is a window row_number per type — one shuffle —
     then ref-rewrite is an equi-join of exploded refs against the mapping
     (same as the reference's in-RAM id_map, distributed).
     """
-    start_ids = start_ids or {}
+    import os
 
-    mapping = entities.select("type", "id").distinct().withColumn(
+    start_ids = start_ids or {}
+    spark = entities.sparkSession
+
+    prior = None
+    if index_dir and os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        prior = spark.read.parquet(index_dir)
+
+    fresh = entities.select("type", "id").distinct()
+    if prior is not None:
+        fresh = fresh.join(prior.select("type", "id"), on=["type", "id"], how="left_anti")
+    mapping = fresh.withColumn(
         "new_id",
         F.row_number().over(Window.partitionBy("type").orderBy(id_sort_key(F.col("id")))),
     )
@@ -181,7 +197,25 @@ def renumber(
                 "new_id",
                 F.when(F.col("type") == t, F.col("new_id") + s - 1).otherwise(F.col("new_id")),
             )
-    mapping = mapping.withColumn("new_id", F.col("new_id").cast("long")).persist()
+    mapping = mapping.withColumn("new_id", F.col("new_id").cast("long"))
+    if prior is not None:
+        # shift fresh assignments past each type's persisted maximum
+        maxes = prior.groupBy("type").agg(F.max("new_id").alias("__mx"))
+        mapping = (
+            mapping.join(maxes, on="type", how="left")
+            .withColumn("new_id", F.col("new_id") + F.coalesce("__mx", F.lit(0)))
+            .drop("__mx")
+            .unionByName(prior.select("type", "id", "new_id"))
+        )
+    mapping = mapping.persist()
+    if index_dir:
+        mapping.write.mode("overwrite").parquet(index_dir + ".tmp")
+        tmp_df = spark.read.parquet(index_dir + ".tmp")
+        tmp_df.write.mode("overwrite").parquet(index_dir)
+        import shutil
+
+        shutil.rmtree(index_dir + ".tmp", ignore_errors=True)
+        mapping = spark.read.parquet(index_dir)
 
     node_map = mapping.filter(F.col("type") == NODE).select(F.col("id"), F.col("new_id"))
     way_map = mapping.filter(F.col("type") == WAY).select(F.col("id"), F.col("new_id"))

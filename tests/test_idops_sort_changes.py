@@ -218,3 +218,22 @@ class TestChanges:
         assert ops == {(NODE, 1): "delete", (NODE, 2): "modify", (WAY, 10): "modify"}
         deleted = [r for r in out.collect() if r["change_op"] == "delete"][0]
         assert deleted["visible"] is False and deleted["tags"] == {}
+
+
+def test_renumber_index_dir_persistence(spark, tmp_path):
+    """--index-dir analog: later batches reuse persisted assignments and
+    append after each type's max (command_renumber.cpp:367-441)."""
+    from osmium_tool_spark.operators.idops import renumber
+    from osmium_tool_spark.sources.fixtures import _df, _node
+
+    idx = str(tmp_path / "renumber_idx")
+    b1 = _df(spark, [_node(5, 0, 0), _node(10, 0, 1)])
+    out1 = {r.id for r in renumber(b1, index_dir=idx).collect()}
+    assert out1 == {1, 2}
+
+    # node 10 keeps its persisted id 2; new nodes 3 and 20 get 3 and 4
+    b2 = _df(spark, [_node(10, 0, 1), _node(20, 0, 2), _node(3, 0, 3)])
+    all_ids = {r.id for r in renumber(b2, index_dir=idx).collect()}
+    assert all_ids == {2, 3, 4}
+    got = {r.id for r in renumber(_df(spark, [_node(10, 0, 1)]), index_dir=idx).collect()}
+    assert got == {2}

@@ -108,3 +108,48 @@ def test_partition_histogram(spark):
     df = spark.range(0, 100, 1, 4)
     hist = partition_histogram(df)
     assert sum(hist) == 100 and len(hist) == 4
+
+
+def test_stream_tile_counts_executes_as_stream(spark, tmp_path):
+    """Run the watermarked tile rollup as an ACTUAL streaming query
+    (file source, availableNow trigger, memory sink, append mode)."""
+    src = str(tmp_path / "nodes_stream")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [
+            (1, 0, 0, "2024-01-01 00:00:10"),
+            (2, 0, 0, "2024-01-01 00:00:40"),
+            (3, 900_000_000, 450_000_000, "2024-01-01 00:00:20"),
+        ],
+        "id long, lon long, lat long, ts string",
+    ).withColumn("ts_ev", F.col("ts").cast("timestamp")).drop("ts")
+    batch.coalesce(1).write.parquet(src + "/b0")
+    import shutil
+
+    for fn in os.listdir(src + "/b0"):
+        if fn.endswith(".parquet"):
+            shutil.move(f"{src}/b0/{fn}", f"{src}/{fn}")
+    shutil.rmtree(src + "/b0")
+
+    stream = (
+        spark.readStream.schema("id long, lon long, lat long, ts_ev timestamp")
+        .parquet(src)
+    )
+    from osmium_tool_spark.streaming.changes_stream import stream_tile_counts
+
+    out = stream_tile_counts(stream, res=4, watermark="1 minute", window="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tiles_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tiles_stream").collect()
+    # two cells; the origin cell has 2 rows in the same 1-minute window
+    by_cell = {}
+    for r in rows:
+        by_cell[r.cell] = by_cell.get(r.cell, 0) + r.n
+    assert sorted(by_cell.values()) == [1, 2]
