@@ -494,6 +494,21 @@ def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import knn_exact
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    queries = nodes.filter(F.col("id") % 97 == 0)
+    out = knn_exact(nodes, queries, res=CELL_RES, k=5)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.col("dist2").cast("double").alias("dist2"),
+        _L("rank").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -768,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changeset_filter": q_changeset_filter,
         "tile_rollup": q_tile_rollup,
         "knn_cellring": q_knn_cellring,
+        "knn_exact": q_knn_exact,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1039,6 +1055,21 @@ cand AS (
   FROM q JOIN g ON q.id <> g.id
    AND abs(q.iy - g.iy) <= 2
    AND least(abs(q.ix - g.ix), {n_cells} - abs(q.ix - g.ix)) <= 2),
+scored AS (SELECT query_id, neighbor_id, dx*dx + dy*dy AS dist2,
+           row_number() OVER (PARTITION BY query_id ORDER BY dx*dx + dy*dy, neighbor_id) AS rank
+           FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       dist2, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 5
+"""
+
+    o["knn_exact"] = f"""
+WITH {NODES_CTE},
+q AS (SELECT * FROM nodes WHERE id % 97 = 0),
+cand AS (
+  SELECT q.id AS query_id, n.id AS neighbor_id,
+         CAST(q.lon - n.lon AS DOUBLE) AS dx, CAST(q.lat - n.lat AS DOUBLE) AS dy
+  FROM q JOIN nodes n ON q.id <> n.id),
 scored AS (SELECT query_id, neighbor_id, dx*dx + dy*dy AS dist2,
            row_number() OVER (PARTITION BY query_id ORDER BY dx*dx + dy*dy, neighbor_id) AS rank
            FROM cand)

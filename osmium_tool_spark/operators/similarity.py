@@ -207,9 +207,19 @@ def knn_exact(
     cw_y = _LAT_SPAN // n
     cw = min(cw_x, cw_y)
 
+    # seed the ring from the expected k-th neighbor distance under uniform
+    # density (d_k ~ sqrt(k*A/(pi*n))), with 1.5x margin, so most queries
+    # SETTLE (certified radius >= d_k) in one round — the expansion loop
+    # still guarantees exactness for dense/sparse outliers
+    import math
+
+    n_points = max(points.count(), 1)
+    d_k = math.sqrt(k * float(_LON_SPAN) * float(_LAT_SPAN) / (math.pi * n_points))
+    ring0 = max(1, min(max_ring, int(math.ceil(1.5 * d_k / cw)) + 1))
+
     remaining = queries
     settled_parts: list[DataFrame] = []
-    for ring in range(1, max_ring + 1):
+    for ring in range(ring0, max_ring + 1):
         if remaining.isEmpty():
             break
         topk = knn_cellring(points, remaining, res, ring, k, id_col=id_col).persist()
