@@ -150,7 +150,7 @@ def q_extract_bbox_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.sources import testdata as td
 
     ents = td.entities(spark, sf_dir)
-    out = extract(ents, [Extract.bbox(0, *BBOX)], strategy="simple")
+    out = extract(ents, [Extract.bbox(0, *BBOX)], strategy="simple", persist_input=False)
     return out.select(_L("type").alias("type"), _L("id").alias("id"))
 
 
@@ -160,7 +160,7 @@ def q_extract_complete_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.sources import testdata as td
 
     ents = td.entities(spark, sf_dir)
-    out = extract(ents, [Extract.bbox(0, *BBOX)], strategy="complete_ways")
+    out = extract(ents, [Extract.bbox(0, *BBOX)], strategy="complete_ways", persist_input=False)
     return out.select(_L("type").alias("type"), _L("id").alias("id"))
 
 
@@ -177,6 +177,7 @@ def q_extract_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
         [Extract.bbox(0, *BBOX)],
         strategy="smart",
         complete_partial_relations_pct=80,
+        persist_input=False,
     )
     return out.select(_L("type").alias("type"), _L("id").alias("id"))
 

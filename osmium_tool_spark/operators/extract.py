@@ -334,6 +334,7 @@ def extract(
     smart_tags: list[str] | None = None,
     complete_partial_relations_pct: int | None = None,
     salt_partitions: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Run the extract pipeline; returns entity rows + `extract_id`.
 
@@ -350,7 +351,10 @@ def extract(
         # semi-joins below do when the input carries all versions: the
         # version dimension rides along for free (SURVEY.md §2.3)
         strategy = "complete_ways"
-    entities = entities.persist()
+    if persist_input:
+        # skip for inputs that are already materialized columnar tables —
+        # re-caching a parquet scan costs a full pass for little gain
+        entities = entities.persist()
     nodes = entities.filter(F.col("type") == NODE)
     ways = entities.filter(F.col("type") == WAY)
     rels = entities.filter(F.col("type") == RELATION)
