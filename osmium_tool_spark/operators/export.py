@@ -266,6 +266,67 @@ def features(
     return points.unionByName(lines).unionByName(way_polys).unionByName(mpolys)
 
 
+def filter_tags(
+    feats: DataFrame,
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
+) -> DataFrame:
+    """Export-config tag projection (command_export.cpp:201-230):
+    include_tags keeps ONLY listed keys (`prefix*` wildcards allowed);
+    exclude_tags drops listed keys; the two are mutually exclusive in the
+    reference — include wins here if both given."""
+
+    def key_pred(patterns: list[str]):
+        def pred(k, _v):
+            c = None
+            for p in patterns:
+                m = k.startswith(p[:-1]) if p.endswith("*") else (k == F.lit(p))
+                c = m if c is None else (c | m)
+            return c if c is not None else F.lit(False)
+
+        return pred
+
+    if include_tags:
+        return feats.withColumn("tags", F.map_filter("tags", key_pred(include_tags)))
+    if exclude_tags:
+        drop = key_pred(exclude_tags)
+        return feats.withColumn(
+            "tags", F.map_filter("tags", lambda k, v: ~drop(k, v))
+        )
+    return feats
+
+
+def with_attributes(
+    feats: DataFrame, entities: DataFrame, attrs: list[str] | None = None
+) -> DataFrame:
+    """Fold object attributes into the tag map with '@' prefixes
+    (--attributes, command_export.cpp; keys @id,@type,@version,@changeset,
+    @timestamp,@uid,@user)."""
+    attrs = attrs or ["id", "type", "version", "changeset", "timestamp", "uid", "user"]
+    meta = entities.select(
+        "type", "id",
+        F.col("version").alias("__v"), F.col("changeset").alias("__c"),
+        F.col("ts").alias("__t"), F.col("uid").alias("__u"), F.col("user").alias("__n"),
+    ).dropDuplicates(["type", "id"])
+    j = feats.join(meta, on=["type", "id"], how="left")
+    pairs = []
+    mapping = {
+        "id": F.col("id").cast("string"),
+        "type": F.when(F.col("type") == NODE, "node").when(F.col("type") == WAY, "way").otherwise("relation"),
+        "version": F.col("__v").cast("string"),
+        "changeset": F.col("__c").cast("string"),
+        "timestamp": F.col("__t").cast("string"),
+        "uid": F.col("__u").cast("string"),
+        "user": F.col("__n"),
+    }
+    for a in attrs:
+        pairs += [F.lit("@" + a), mapping[a]]
+    attr_map = F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
+    return j.withColumn("tags", F.map_concat(attr_map, F.col("tags"))).drop(
+        "__v", "__c", "__t", "__u", "__n"
+    )
+
+
 def to_geojsonseq(feats: DataFrame, with_id: bool = True) -> DataFrame:
     """One GeoJSON Feature per row (geojsonseq format,
     export_format_json.cpp with RS-free framing)."""

@@ -103,3 +103,30 @@ def test_geojsonseq_and_pg(ents):
     assert feat["type"] == "Feature" and feat["properties"]
     rows = to_pg(f).collect()
     assert all(len(r.row.split("\t")) == 3 for r in rows)
+
+
+def test_filter_tags_include_exclude(ents):
+    from osmium_tool_spark.operators.export import filter_tags
+
+    f = features(ents).filter(F.col("ftype") == "point")
+    inc = filter_tags(f, include_tags=["amen*"])
+    tags = {r.id: dict(r.tags) for r in inc.collect()}
+    assert tags[1] == {"amenity": "cafe"}
+    assert tags[5] == {}
+    exc = filter_tags(f, exclude_tags=["name"])
+    tags = {r.id: dict(r.tags) for r in exc.collect()}
+    assert tags[5] == {}
+    assert tags[1] == {"amenity": "cafe"}
+
+
+def test_with_attributes(ents):
+    import json as _json
+
+    from osmium_tool_spark.operators.export import to_geojsonseq, with_attributes
+
+    f = features(ents).filter((F.col("type") == NODE) & (F.col("id") == 1))
+    fa = with_attributes(f, ents, ["id", "type", "version"])
+    feat = _json.loads(to_geojsonseq(fa).collect()[0].feature)
+    props = feat["properties"]
+    assert props["@id"] == "1" and props["@type"] == "node" and props["@version"] == "1"
+    assert props["amenity"] == "cafe"
