@@ -111,32 +111,25 @@ def _L(c) -> F.Column:  # cast helper: stable BIGINT outputs
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: image table -> geo-referenced nodes -> multi-extract
-    spatial join (bbox + polygon PIP) -> per-extract tile rollup."""
+    """Flagship: image table -> tags-filter (column pushdown) ->
+    multi-extract spatial join (bbox + polygon PIP) -> per-extract tile
+    rollup, as ONE fused plan (operators/pipeline.py)."""
     import numpy as np
 
-    from osmium_tool_spark.functions.cells import cell_id
     from osmium_tool_spark.functions.geometry import Extract
-    from osmium_tool_spark.operators.extract import assign_extracts
-    from osmium_tool_spark.sources.images import images_as_nodes, synth_images_from_documents
+    from osmium_tool_spark.operators.pipeline import image_extract_tile
+    from osmium_tool_spark.sources.images import synth_images_from_documents
 
     sf_dir = "/root/testdata/sf0.001"
-    nodes = images_as_nodes(synth_images_from_documents(spark, sf_dir))
+    images = synth_images_from_documents(spark, sf_dir)
     r = DIAMOND_R
     extracts = [
         Extract.bbox(0, *BBOX),
         Extract.bbox(1, -180.0, -90.0, 0.0, 0.0),
         Extract.polygon(2, [np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], dtype=np.int64)]),
     ]
-    assigned = assign_extracts(nodes, extracts)
-    tiles = assigned.join(nodes.select("id", "lon", "lat"), on="id").select(
-        "extract_id", cell_id(F.col("lon"), F.col("lat"), 4).alias("cell")
-    )
-    return (
-        tiles.groupBy("extract_id", "cell")
-        .agg(F.count("*").alias("n_images"))
-        .orderBy("extract_id", "cell")
-    )
+    tiles = image_extract_tile(images, ["n/fmt=*"], extracts, cell_res=4)
+    return tiles.orderBy("extract_id", "cell")
 
 
 # ---------------------------------------------------------------------------
@@ -633,6 +626,17 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(docs, min_count=50).select(F.col("token"), _L("cnt").alias("cnt"))
 
 
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.text import token_stats
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return token_stats(docs).select(
+        _L("id").alias("id"), _L("n_words").alias("n_words"),
+        _L("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.text import fingerprint
     from osmium_tool_spark.sources.testdata import load
@@ -796,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
+        "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "validate_order": q_validate_order,
         "merge_changes_simplify": q_merge_changes_simplify,
@@ -1208,6 +1213,13 @@ FROM t
 SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM (SELECT unnest({TOKS}) AS token FROM documents)
 GROUP BY token HAVING count(*) >= 50
+"""
+
+    o["text_token_stats"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(len({TOKS}) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
 """
 
     o["text_fingerprint"] = f"""

@@ -113,6 +113,30 @@ def token_counts(
     )
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks (the GPT-style pre-tokenizer shape restricted to a portable
+# character-class regex — identical semantics in Java regex and RE2, so the
+# DuckDB oracle can restate it)
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts under both tokenizers: whitespace words
+    and the BPE-ish regex (training-data budgeting signal). Returns
+    (id, n_words, n_bpe_tokens)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_tokens(F.col(text_col))).cast("long").alias("n_words"),
+        F.size(bpe_ish_tokens(F.col(text_col))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
