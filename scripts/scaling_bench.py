@@ -86,8 +86,16 @@ def main() -> None:
     hw_eff = hardware_ceiling(lo, hi)
 
     table_path = materialize(n_images)
-    r_lo = run_level(lo, n_images, table_path)
-    r_hi = run_level(hi, n_images, table_path)
+    # best-of-2 fresh-JVM runs per level: the shared box's co-tenant noise
+    # is the dominant variance source (observed 0.78..0.88 efficiency on
+    # identical code); bench.py itself also takes best-of-2 internally
+    def best(cpus: int) -> dict:
+        a = run_level(cpus, n_images, table_path)
+        b = run_level(cpus, n_images, table_path)
+        return a if a["images_per_sec"] >= b["images_per_sec"] else b
+
+    r_lo = best(lo)
+    r_hi = best(hi)
 
     ips_lo, ips_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
     eff = (ips_hi / ips_lo) / (hi / lo)
