@@ -187,51 +187,59 @@ def knn_exact(
 ) -> DataFrame:
     """EXACT k nearest neighbors via iterative cell-ring expansion.
 
-    Round r runs the block-bounded kNN at ring r; a query is SETTLED when
-    it has k hits and its k-th squared distance is <= the squared distance
-    to the nearest edge of its (2r+1)^2 block — no point outside the block
-    can beat the current k-th. Unsettled queries expand to ring r+1
-    (driver loop; each round is one equi-join on cell ids, candidates only
-    for the shrinking unsettled set). `max_ring` bounds the loop for
-    pathological densities (falls back to the block-bounded answer).
-
-    The guarantee uses the conservative per-axis cell sizes at resolution
-    `res`: a query anywhere in its cell is at least (r*cw - cw) away from
-    cells outside the block on each axis, so we use (r-1)*cell_width as
-    the certified radius (exact-but-conservative; one extra round at most).
+    Each round runs the block-bounded kNN; a query is SETTLED when it has
+    k hits and its k-th squared distance is <= the certified radius — the
+    distance below which no point outside the explored block can lie
+    ((ring-1) * cell_width, conservative for any query position in its
+    cell). Unsettled queries double their search radius; when the needed
+    ring exceeds `max_ring` the search COARSENS the resolution instead of
+    growing the literal neighbor array (a ring-9 search at res r is a
+    ring-5 search at res r-1), so the per-round Column plan stays bounded.
+    The final escalation covers the whole world => trivially exact, so the
+    result is always the true kNN (queries with < k total candidates
+    return what exists).
     """
-    from ..functions.cells import _LAT_SPAN, _LON_SPAN
-
-    n = 1 << res
-    cw_x = _LON_SPAN // n
-    cw_y = _LAT_SPAN // n
-    cw = min(cw_x, cw_y)
-
-    # seed the ring from the expected k-th neighbor distance under uniform
-    # density (d_k ~ sqrt(k*A/(pi*n))), with 1.5x margin, so most queries
-    # SETTLE (certified radius >= d_k) in one round — the expansion loop
-    # still guarantees exactness for dense/sparse outliers
     import math
 
+    from ..functions.cells import _LAT_SPAN, _LON_SPAN
+
+    def cw_at(r: int) -> int:
+        n_r = 1 << r
+        return min(_LON_SPAN // n_r, _LAT_SPAN // n_r)
+
+    def plan(ring_needed: int) -> tuple[int, int]:
+        """Map a needed ring at `res` to (res_eff, ring_eff<=max_ring)."""
+        r, ring = res, ring_needed
+        while ring > max_ring and r > 1:
+            r -= 1
+            ring = (ring + 1) // 2
+        return r, min(ring, max_ring if r > 1 else ring)
+
+    # seed from the expected k-th neighbor distance under uniform density
+    # (d_k ~ sqrt(k*A/(pi*n))), 1.5x margin: most queries settle in round 1
     n_points = max(points.count(), 1)
     d_k = math.sqrt(k * float(_LON_SPAN) * float(_LAT_SPAN) / (math.pi * n_points))
-    ring0 = max(1, min(max_ring, int(math.ceil(1.5 * d_k / cw)) + 1))
+    ring_needed = max(1, int(math.ceil(1.5 * d_k / cw_at(res))) + 1)
 
     remaining = queries
     settled_parts: list[DataFrame] = []
-    for ring in range(ring0, max_ring + 1):
+    for _round in range(16):
         if remaining.isEmpty():
             break
-        topk = knn_cellring(points, remaining, res, ring, k, id_col=id_col).persist()
-        certified = float((ring - 1) * cw) ** 2
+        res_r, ring_r = plan(ring_needed)
+        covers_world = (2 * ring_r + 1) >= (1 << res_r)
+        topk = knn_cellring(points, remaining, res_r, ring_r, k, id_col=id_col).persist()
+        if covers_world:
+            settled_parts.append(topk.localCheckpoint(eager=True))
+            topk.unpersist()
+            break
+        certified = float((ring_r - 1) * cw_at(res_r)) ** 2
         stats = topk.groupBy("query_id").agg(
             F.count("*").alias("__n"), F.max("dist2").alias("__kth")
         )
         done_ids = stats.filter(
             (F.col("__n") >= k) & (F.col("__kth") <= F.lit(certified))
         ).select("query_id")
-        if ring == max_ring:
-            done_ids = stats.select("query_id")  # give up: block-bounded result
         settled_parts.append(
             topk.join(done_ids, on="query_id", how="left_semi").localCheckpoint(eager=True)
         )
@@ -239,6 +247,7 @@ def knn_exact(
             done_ids.withColumnRenamed("query_id", id_col), on=id_col, how="left_anti"
         ).localCheckpoint(eager=True)
         topk.unpersist()
+        ring_needed *= 2
     if not settled_parts:
         return knn_cellring(points, queries, res, 1, k, id_col=id_col).limit(0)
     out = settled_parts[0]
