@@ -102,3 +102,31 @@ def test_cli_changeset_filter(spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(out).collect()
     assert [r.id for r in got] == [1]
+
+
+def test_cli_extract_polygon_file(spark, input_dir, tmp_path):
+    poly = tmp_path / "region.poly"
+    poly.write_text("region\nfirst\n  0.0 -1.0\n  3.0 -1.0\n  3.0 11.0\n  0.0 11.0\nEND\nEND\n")
+    out = str(tmp_path / "pout")
+    rc = main(["extract", "--polygon", str(poly), "-s", "simple", input_dir, "-o", out], spark=spark)
+    assert rc == 0
+    got = {(r.type, r.id) for r in spark.read.parquet(out).collect()}
+    # the poly box covers all fixture nodes (lon 1-2, lat 0-6)
+    assert (0, 10) in got and (1, 20) in got
+
+
+def test_cli_extract_config_multi(spark, input_dir, tmp_path):
+    import json as _json
+
+    cfg = tmp_path / "extracts.json"
+    cfg.write_text(_json.dumps({
+        "extracts": [
+            {"bbox": [0, 0, 1.5, 10]},
+            {"bbox": {"left": 1.6, "bottom": 0, "right": 3, "top": 10}},
+            {"polygon": [[[0.5, -0.5], [2.5, -0.5], [2.5, 6.5], [0.5, 6.5], [0.5, -0.5]]]},
+        ]
+    }))
+    out = str(tmp_path / "cout")
+    rc = main(["extract", "--config", str(cfg), "-s", "simple", input_dir, "-o", out], spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0

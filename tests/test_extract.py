@@ -146,3 +146,42 @@ class TestAntimeridian:
         out = assign_extracts(nodes, [Extract.polygon(0, [east]), Extract.polygon(0, [west])])
         got = {r.id for r in out.collect()}
         assert got == {1, 2}
+
+
+class TestSmartTagsFilter:
+    """-S tags= restricts which relations complete their members
+    (strategy_smart.cpp:88-100,128-130)."""
+
+    def test_smart_tags_gate(self, spark, input1):
+        from osmium_tool_spark.operators.extract import extract
+        from osmium_tool_spark.functions.geometry import Extract
+        from osmium_tool_spark.schema import NODE, WAY
+
+        # rel 34 is type=multipolygon; with a non-matching tags filter it
+        # must NOT complete its members -> smart degrades to complete_ways
+        out = extract(
+            input1,
+            [Extract.bbox(0, 0, 0, 1.5, 10)],
+            strategy="smart",
+            smart_types=[],  # any type
+            smart_tags=["natural=water"],
+        )
+        got = {(r.type, r.id) for r in out.collect()}
+        from osmium_tool_spark.sources.fixtures import EXTRACT1_EXPECTED
+
+        assert got == EXTRACT1_EXPECTED["complete_ways"]
+
+    def test_smart_tags_match_completes(self, spark, input1):
+        from osmium_tool_spark.operators.extract import extract
+        from osmium_tool_spark.functions.geometry import Extract
+        from osmium_tool_spark.sources.fixtures import EXTRACT1_EXPECTED
+
+        out = extract(
+            input1,
+            [Extract.bbox(0, 0, 0, 1.5, 10)],
+            strategy="smart",
+            smart_types=["multipolygon"],
+            smart_tags=["type=multipolygon"],
+        )
+        got = {(r.type, r.id) for r in out.collect()}
+        assert got == EXTRACT1_EXPECTED["smart"]
