@@ -127,6 +127,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["simple", "complete_ways", "smart", "complete_ways_with_history"])
     sp.add_argument("-S", "--option", action="append", default=[],
                     help="strategy options, e.g. relations=false, types=multipolygon")
+    sp.add_argument("--clean", action="append", default=[],
+                    help="zero out attributes on output (version/changeset/ts/uid/user)")
 
     sp = io(sub.add_parser("tags-filter"), n_inputs=1)
     sp.add_argument("expressions", nargs="+")
@@ -170,6 +172,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("changes", nargs="+")
     sp.add_argument("-o", "--output", required=True)
     sp.add_argument("--with-history", action="store_true")
+    sp.add_argument("--locations-on-ways", action="store_true")
 
     sp = sub.add_parser("derive-changes")
     sp.add_argument("old")
@@ -182,6 +185,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("left")
     sp.add_argument("right")
     sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--ignore", action="append", default=[],
+                    help="columns excluded from the content compare (e.g. changeset, uid, user, ts)")
 
     sp = io(sub.add_parser("export"), n_inputs=1)
     sp.add_argument("-f", "--output-format", default="geojsonseq", choices=["geojsonseq", "pg"])
@@ -257,7 +262,12 @@ def run(args, spark: SparkSession) -> int:
                 else None
             ),
         )
-        _write(out.drop("extract_id"), args.output)
+        out = out.drop("extract_id")
+        if args.clean:
+            from .operators.sort_merge import cat
+
+            out = cat([out], clean_attrs=args.clean)
+        _write(out, args.output)
     elif cmd == "tags-filter":
         from .operators.tags_filter import tags_filter
 
@@ -330,6 +340,7 @@ def run(args, spark: SparkSession) -> int:
             _read_one(spark, args.input[0]),
             [_read_one(spark, p) for p in args.changes],
             with_history=args.with_history,
+            locations_on_ways=args.locations_on_ways,
         )
         _write(out, args.output)
     elif cmd == "derive-changes":
@@ -345,7 +356,7 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "diff":
         from .operators.changes import diff
 
-        out = diff(_read_one(spark, args.left), _read_one(spark, args.right))
+        out = diff(_read_one(spark, args.left), _read_one(spark, args.right), ignore=set(args.ignore))
         out.write.mode("overwrite").parquet(args.output)
         return 1 if out.filter("status <> 'same'").count() else 0
     elif cmd == "export":

@@ -66,6 +66,10 @@ def apply_changes(
         c.withColumn("__src", F.lit(i + 1)) for i, c in enumerate(changes)
     ]
     all_rows = reduce(DataFrame.unionByName, tagged)
+    if locations_on_ways:
+        # refresh inlined way locations from the post-merge node set
+        # (command_apply_changes.cpp:185-196): applied after the dedup below
+        pass
     if with_history:
         w = Window.partitionBy("type", "id", "version").orderBy(F.desc("__src"))
         out = (
@@ -80,6 +84,12 @@ def apply_changes(
         .filter((F.col("__rn") == 1) & F.col("visible"))
         .drop("__rn", "__src")
     )
+    if locations_on_ways:
+        from .locations import add_locations_to_ways
+
+        out = add_locations_to_ways(
+            out, ignore_missing_nodes=True, keep_untagged_nodes=True
+        )
     return canonical_sort(out)
 
 

@@ -237,3 +237,17 @@ def test_renumber_index_dir_persistence(spark, tmp_path):
     assert all_ids == {2, 3, 4}
     got = {r.id for r in renumber(_df(spark, [_node(10, 0, 1)]), index_dir=idx).collect()}
     assert got == {2}
+
+
+def test_apply_changes_locations_on_ways(spark):
+    """--locations-on-ways: way locations refreshed from the post-merge
+    node set (command_apply_changes.cpp:185-196)."""
+    from osmium_tool_spark.operators import changes
+    from osmium_tool_spark.sources.fixtures import _df, _node, _way
+
+    base = _df(spark, [_node(1, 1.0, 1.0), _node(2, 2.0, 2.0), _way(9, [1, 2], {"h": "x"})])
+    # change moves node 1
+    ch = _df(spark, [_node(1, 5.0, 5.0, version=2)])
+    out = changes.apply_changes(base, [ch], locations_on_ways=True)
+    w = out.filter(out.type == 1).collect()[0]
+    assert [(loc.lon, loc.lat) for loc in w.locations] == [(50000000, 50000000), (20000000, 20000000)]
