@@ -748,6 +748,17 @@ def q_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(_L("id").alias("id"), F.col("geometry"))
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.curation import curate_documents
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = curate_documents(
+        docs, jaccard_threshold=0.5, min_tokens=40, max_stopword_ratio=0.08
+    )
+    return out.select(_L("doc_id").alias("doc_id"), _L("n_tokens").alias("n_tokens"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.sources.images import decode_stub_meta, synth_images_from_documents
 
@@ -810,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_locations": q_add_locations,
         "export_points": q_export_points,
         "export_lines": q_export_lines,
+        "curate_documents": q_curate_documents,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1288,6 +1300,25 @@ coords AS (SELECT l_orderkey, list(pt ORDER BY l_linenumber, l_partkey) AS cs FR
 SELECT CAST(l_orderkey AS BIGINT) AS id,
        '{{"type":"LineString","coordinates":[' || array_to_string(cs, ',') || ']}}' AS geometry
 FROM coords WHERE len(cs) >= 2
+"""
+
+    stop = ",".join(f"'{s_}'" for s_ in DEFAULT_STOPWORDS)
+    o["curate_documents"] = f"""
+WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+uniq AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+sh AS (SELECT doc_id, {_sh3_sql(TOKS)} AS s FROM uniq),
+hs2 AS (SELECT doc_id, s, list_transform(s, x -> {_polyhash_sql('x')}) AS hs FROM sh WHERE len(s) > 0),
+sig AS (SELECT doc_id, s, [{minexprs}] AS sig FROM hs2),
+dropped AS (SELECT DISTINCT b.doc_id AS doc_id
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+deduped AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+q AS (SELECT doc_id, {TOKS} AS toks FROM deduped)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+FROM q
+WHERE len(toks) >= 40
+  AND CAST(round(CAST(len(list_filter(toks, t2 -> t2 IN ({stop}))) AS DOUBLE) / len(toks), 6) AS DOUBLE) <= 0.08
 """
 
     o["multimodal_decode"] = """

@@ -1,0 +1,62 @@
+"""End-to-end training-data curation: the composition the dedup/text
+operators exist for.
+
+    raw docs -> exact dedup -> MinHash near-dup removal -> quality gate
+             -> language gate -> curated set + token budget
+
+Dedup keep-rule: within an exact-duplicate group the smallest doc_id
+survives; for near-dup pairs (a < b) the LARGER id is dropped (greedy,
+deterministic, union-find-free — the standard web-scale choice since
+transitive chains are rare after exact dedup).
+
+Scale shape: every stage is a Column filter or an (already skew-guarded)
+pair join from operators/dedup.py; the final anti-join keys on doc id.
+Run it inside plans.CheckpointedPipeline for resumability + lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, minhash_lsh_pairs
+from .text import lang_id, quality_score
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+    languages: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Returns (doc_id, n_tokens) for the curated (kept) documents."""
+    # 1. exact dedup: keep the group keeper only
+    keepers = exact_dedup(docs, F.col(text_col), F.col(id_col)).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    uniq = docs.join(keepers, on=id_col, how="left_semi")
+
+    # 2. near-dup removal: drop the larger id of each qualifying pair
+    pairs = minhash_lsh_pairs(uniq, id_col, text_col, threshold=jaccard_threshold)
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    deduped = uniq.join(drop, on=id_col, how="left_anti")
+
+    # 3. quality gate
+    q = quality_score(deduped, text_col=text_col, id_col=id_col)
+    good_q = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    ).select(F.col("id").alias(id_col), "n_tokens")
+
+    # 4. language gate (predicted language must be in the allow-list)
+    out = deduped.join(good_q, on=id_col)
+    if languages:
+        lang = lang_id(deduped, text_col=text_col, id_col=id_col)
+        ok_lang = lang.filter(F.col("pred_lang").isin(list(languages))).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(ok_lang, on=id_col, how="left_semi")
+    return out.select(F.col(id_col), F.col("n_tokens"))

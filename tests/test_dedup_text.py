@@ -102,3 +102,19 @@ def test_fingerprint_stable_and_distinct(docs):
     fps = {r.id: r.fp for r in fingerprint(docs).collect()}
     assert fps[1] == fps[4]
     assert fps[1] != fps[2]
+
+
+def test_curate_documents(spark):
+    from osmium_tool_spark.operators.curation import curate_documents
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs very far away today", "en"),
+        (2, "the quick brown fox jumps over the lazy dog and runs very far away today", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog and runs very far away now", "en"),    # near dup
+        (4, "tiny", "en"),                                                                      # too short
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi", "en"),     # keeper
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_documents(docs, min_tokens=5, jaccard_threshold=0.5, max_stopword_ratio=0.5)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 5}  # 2 exact-dup dropped, 3 near-dup dropped, 4 short
