@@ -49,13 +49,16 @@ def getid(
     ids: dict[int, list[int]],
     recursive: bool = False,
     max_iters: int = 50,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Semi-join by explicit (type,id) list; `recursive` follows references
     downward until closed (command_getid.cpp:235-333): relation members
-    (incl. nested relations), way nodes."""
+    (incl. nested relations), way nodes. Set persist_input=False when the
+    input is an already-materialized table (re-caching a scan is waste)."""
     sel = _ids_df(entities, ids)
     if recursive:
-        entities = entities.persist()  # scanned per closure round
+        if persist_input:
+            entities = entities.persist()  # scanned per closure round
         rels = entities.filter(F.col("type") == RELATION)
         rel_edges = (
             rels.select(F.col("id").alias("parent_id"), F.explode("members").alias("m"))
