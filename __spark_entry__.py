@@ -748,6 +748,53 @@ def q_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(_L("id").alias("id"), F.col("geometry"))
 
 
+HEX_FP = [
+    (1_200_000_000, -200_000_000), (1_500_000_000, 300_000_000),
+    (1_200_000_000, 700_000_000), (700_000_000, 700_000_000),
+    (500_000_000, 200_000_000), (700_000_000, -200_000_000),
+    (1_200_000_000, -200_000_000),
+]
+
+
+def _pip_sql(ring: list[tuple[int, int]], x: str, y: str) -> str:
+    """Even-odd ray cast as generated SQL over explicit segments (twin of
+    operators/extract._pip_column)."""
+    segs = list(zip(ring[:-1], ring[1:]))
+    on_vertex = " OR ".join(
+        f"(({x}) = {x1} AND ({y}) = {y1})" for (x1, y1), _ in segs
+    )
+    crossings = " + ".join(
+        f"(CASE WHEN (({y2} > ({y})) <> ({y1} > ({y}))) AND "
+        f"((({y1} - {y2}) > 0) = ((({x}) - {x2}) * ({y1} - {y2}) < ({x1} - {x2}) * (({y}) - {y2}))) "
+        f"THEN 1 ELSE 0 END)"
+        for (x1, y1), (x2, y2) in segs
+    )
+    return f"(({on_vertex}) OR (({crossings}) % 2 = 1))"
+
+
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition itself, oracle-checked end-to-end."""
+    import numpy as np
+
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.pipeline import image_extract_tile
+    from osmium_tool_spark.sources.images import synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir)
+    r = DIAMOND_R
+    extracts = [
+        Extract.bbox(0, *BBOX),
+        Extract.bbox(1, -180.0, -90.0, 0.0, 0.0),
+        Extract.polygon(2, [np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], np.int64)]),
+        Extract.polygon(3, [np.array(HEX_FP, np.int64)]),
+    ]
+    tiles = image_extract_tile(imgs, ["n/fmt=png,jpeg"], extracts, cell_res=CELL_RES)
+    return tiles.select(
+        _L("extract_id").alias("extract_id"), _L("cell").alias("cell"),
+        _L("n_images").alias("n_images"),
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.curation import curate_documents
     from osmium_tool_spark.sources.testdata import load
@@ -821,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_locations": q_add_locations,
         "export_points": q_export_points,
         "export_lines": q_export_lines,
+        "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1300,6 +1348,30 @@ coords AS (SELECT l_orderkey, list(pt ORDER BY l_linenumber, l_partkey) AS cs FR
 SELECT CAST(l_orderkey AS BIGINT) AS id,
        '{{"type":"LineString","coordinates":[' || array_to_string(cs, ',') || ']}}' AS geometry
 FROM coords WHERE len(cs) >= 2
+"""
+
+    r_ = DIAMOND_R
+    diamond_ring = [(r_, 0), (0, r_), (-r_, 0), (0, -r_), (r_, 0)]
+    o["image_pipeline"] = f"""
+WITH img AS (
+  SELECT (doc_id * 2654435761) % 16777216 + ((doc_id * 2246822519) % 16777216) * 16777216 AS phash,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+  FROM documents),
+f AS (SELECT phash % 3600000000 - 1800000000 AS lon,
+             (phash >> 16) % 1800000000 - 900000000 AS lat
+      FROM img WHERE fmt IN ('png','jpeg')),
+g AS (SELECT lon, lat, {_morton_sql(_ix_sql('lon'), _iy_sql('lat'))} AS cell FROM f),
+a AS (
+  SELECT 0 AS extract_id, cell FROM g
+    WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}
+  UNION ALL SELECT 1, cell FROM g
+    WHERE lon BETWEEN -1800000000 AND 0 AND lat BETWEEN -900000000 AND 0
+  UNION ALL SELECT 2, cell FROM g WHERE {_pip_sql(diamond_ring, 'lon', 'lat')}
+  UNION ALL SELECT 3, cell FROM g WHERE {_pip_sql(HEX_FP, 'lon', 'lat')}
+)
+SELECT CAST(extract_id AS BIGINT) AS extract_id, CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_images
+FROM a GROUP BY extract_id, cell
 """
 
     stop = ",".join(f"'{s_}'" for s_ in DEFAULT_STOPWORDS)

@@ -198,7 +198,9 @@ class CompiledFilter:
                 elif m.invert:
                     cond = c.isNotNull() & ~m.value.col(c)
                 else:
-                    cond = m.value.col(c)
+                    # isNotNull keeps map semantics: `key=*` still requires
+                    # the tag to EXIST (a NULL column = absent tag)
+                    cond = c.isNotNull() & m.value.col(c)
                 out = cond if out is None else (out | cond)
         return out if out is not None else F.lit(False)
 
