@@ -156,6 +156,25 @@ def assemble_multipolygons(relations: DataFrame, ways_with_coords: DataFrame) ->
     stitch = _stitch_rings_impl()
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # ring classification mirrors the osmium area assembler's outcome:
+        # a ring contained in an odd number of other rings is a HOLE,
+        # assigned to its smallest containing outer; outers wind CCW,
+        # inners CW (geometry_util.cpp:22-34 orientation convention)
+        def area2(r):
+            return sum(
+                r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]
+                for i in range(len(r) - 1)
+            )
+
+        def contains_pt(ring, px, py):
+            cnt = 0
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                if (y2 > py) != (y1 > py):
+                    ay = y1 - y2
+                    if (ay > 0) == ((px - x2) * ay < (x1 - x2) * (py - y2)):
+                        cnt += 1
+            return cnt % 2 == 1
+
         segs = []
         for coords in pdf["coords"]:
             if coords is None:
@@ -171,19 +190,49 @@ def assemble_multipolygons(relations: DataFrame, ways_with_coords: DataFrame) ->
         if not rings:
             return pd.DataFrame(
                 {"id": pd.Series(dtype="int64"), "tags": pd.Series(dtype="object"),
-                 "rings": pd.Series(dtype="object")}
+                 "polys": pd.Series(dtype="object")}
             )
+
+        depth = []
+        for i, r in enumerate(rings):
+            d = sum(
+                1 for j, other in enumerate(rings)
+                if j != i and contains_pt(other, r[0][0], r[0][1])
+            )
+            depth.append(d)
+        outers = [i for i, d in enumerate(depth) if d % 2 == 0]
+        polys: dict[int, list] = {}
+        for i in outers:
+            ring = rings[i]
+            if area2(ring) < 0:
+                ring = ring[::-1]  # outer CCW
+            polys[i] = [ring]
+        for i, d in enumerate(depth):
+            if d % 2 == 0:
+                continue
+            # smallest containing outer by |area|
+            cands = [
+                j for j in outers if contains_pt(rings[j], rings[i][0][0], rings[i][0][1])
+            ]
+            if not cands:
+                continue
+            j = min(cands, key=lambda j_: abs(area2(rings[j_])))
+            hole = rings[i]
+            if area2(hole) > 0:
+                hole = hole[::-1]  # inner CW
+            polys[j].append(hole)
+
+        out = [
+            [[{"lon": p[0], "lat": p[1]} for p in ring] for ring in rings_of_poly]
+            for rings_of_poly in polys.values()
+        ]
         return pd.DataFrame(
-            {
-                "id": [key[0]],
-                "tags": [pdf["tags"].iloc[0]],
-                "rings": [[[{"lon": p[0], "lat": p[1]} for p in r] for r in rings]],
-            }
+            {"id": [key[0]], "tags": [pdf["tags"].iloc[0]], "polys": [out]}
         )
 
     schema = (
         "id long, tags map<string,string>, "
-        "rings array<array<struct<lon:long,lat:long>>>"
+        "polys array<array<array<struct<lon:long,lat:long>>>>"
     )
     return joined.groupBy("rel_id").applyInPandas(assemble, schema=schema)
 
@@ -234,22 +283,28 @@ def features(
     )
 
     mp = assemble_multipolygons(rels, locations_join(ways, nodes))
-    rings_json = F.concat_ws(
-        ",",
-        F.transform(
-            F.col("rings"),
-            lambda ring: F.concat(
-                F.lit("["),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        ring,
-                        lambda c: F.concat(
-                            F.lit("["), coord_str(c.lon), F.lit(","), coord_str(c.lat), F.lit("]")
-                        ),
+
+    def ring_json(ring):
+        return F.concat(
+            F.lit("["),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    ring,
+                    lambda c: F.concat(
+                        F.lit("["), coord_str(c.lon), F.lit(","), coord_str(c.lat), F.lit("]")
                     ),
                 ),
-                F.lit("]"),
+            ),
+            F.lit("]"),
+        )
+
+    polys_json = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("polys"),
+            lambda poly: F.concat(
+                F.lit("["), F.concat_ws(",", F.transform(poly, ring_json)), F.lit("]")
             ),
         ),
     )
@@ -259,7 +314,7 @@ def features(
         "id",
         "tags",
         F.concat(
-            F.lit('{"type":"MultiPolygon","coordinates":[['), rings_json, F.lit("]]}")
+            F.lit('{"type":"MultiPolygon","coordinates":['), polys_json, F.lit("]}")
         ).alias("geometry"),
     )
 

@@ -130,3 +130,45 @@ def test_with_attributes(ents):
     props = feat["properties"]
     assert props["@id"] == "1" and props["@type"] == "node" and props["@version"] == "1"
     assert props["amenity"] == "cafe"
+
+
+def test_multipolygon_hole_classification(spark):
+    """Outer + inner ring -> one polygon with a hole (outer CCW, inner CW,
+    hole grouped under its containing outer)."""
+    from osmium_tool_spark.sources.fixtures import _df, _node, _rel, _way
+    from osmium_tool_spark.schema import WAY
+
+    rows = [
+        _node(1, 0.0, 0.0), _node(2, 4.0, 0.0), _node(3, 4.0, 4.0), _node(4, 0.0, 4.0),
+        _node(5, 1.0, 1.0), _node(6, 3.0, 1.0), _node(7, 3.0, 3.0), _node(8, 1.0, 3.0),
+        _way(20, [1, 2, 3, 4, 1], {}),
+        _way(21, [5, 6, 7, 8, 5], {}),
+        _rel(30, [(WAY, 20, "outer"), (WAY, 21, "inner")], {"type": "multipolygon"}),
+    ]
+    f = features(_df(spark, rows)).filter(F.col("ftype") == "multipolygon")
+    geom = json.loads(f.collect()[0].geometry)
+    assert len(geom["coordinates"]) == 1          # one polygon
+    outer, hole = geom["coordinates"][0]
+    # outer CCW (shoelace > 0), hole CW
+    def area2(r):
+        return sum(r[i][0]*r[i+1][1] - r[i+1][0]*r[i][1] for i in range(len(r)-1))
+    assert area2(outer) > 0 and area2(hole) < 0
+    assert {tuple(p) for p in outer} == {(0, 0), (4, 0), (4, 4), (0, 4)}
+    assert {tuple(p) for p in hole} == {(1, 1), (3, 1), (3, 3), (1, 3)}
+
+
+def test_multipolygon_two_outers(spark):
+    from osmium_tool_spark.sources.fixtures import _df, _node, _rel, _way
+    from osmium_tool_spark.schema import WAY
+
+    rows = [
+        _node(1, 0.0, 0.0), _node(2, 1.0, 0.0), _node(3, 1.0, 1.0),
+        _node(4, 5.0, 5.0), _node(5, 6.0, 5.0), _node(6, 6.0, 6.0),
+        _way(20, [1, 2, 3, 1], {}),
+        _way(21, [4, 5, 6, 4], {}),
+        _rel(30, [(WAY, 20, "outer"), (WAY, 21, "outer")], {"type": "multipolygon"}),
+    ]
+    f = features(_df(spark, rows)).filter(F.col("ftype") == "multipolygon")
+    geom = json.loads(f.collect()[0].geometry)
+    assert len(geom["coordinates"]) == 2          # two disjoint polygons
+    assert all(len(poly) == 1 for poly in geom["coordinates"])
