@@ -191,6 +191,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("export"), n_inputs=1)
     sp.add_argument("-f", "--output-format", default="geojsonseq", choices=["geojsonseq", "pg"])
     sp.add_argument("-n", "--keep-untagged", action="store_true")
+    sp.add_argument("-a", "--attributes", default=None,
+                    help="comma list of object attributes folded into properties as @keys")
+    sp.add_argument("--include-tags", default=None, help="comma list of tag keys to keep (prefix* ok)")
+    sp.add_argument("--exclude-tags", default=None, help="comma list of tag keys to drop")
 
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
@@ -360,9 +364,23 @@ def run(args, spark: SparkSession) -> int:
         out.write.mode("overwrite").parquet(args.output)
         return 1 if out.filter("status <> 'same'").count() else 0
     elif cmd == "export":
-        from .operators.export import features, to_geojsonseq, to_pg
+        from .operators.export import (
+            features,
+            filter_tags,
+            to_geojsonseq,
+            to_pg,
+            with_attributes,
+        )
 
-        f = features(_read(spark, args.input), keep_untagged=args.keep_untagged)
+        ents = _read(spark, args.input)
+        f = features(ents, keep_untagged=args.keep_untagged)
+        f = filter_tags(
+            f,
+            include_tags=args.include_tags.split(",") if args.include_tags else None,
+            exclude_tags=args.exclude_tags.split(",") if args.exclude_tags else None,
+        )
+        if args.attributes:
+            f = with_attributes(f, ents, args.attributes.split(","))
         out = to_geojsonseq(f) if args.output_format == "geojsonseq" else to_pg(f)
         _write(out, args.output, fmt="text")
     elif cmd == "add-locations-to-ways":

@@ -258,7 +258,11 @@ def features(
         F.lit("point").alias("ftype"), "type", "id", "tags", point_geom.alias("geometry")
     )
 
-    wc = locations_join(ways, nodes).filter(F.size("coords") >= 2)
+    # drop ways with unresolvable refs — a NULL coordinate would silently
+    # shorten the ring (the reference counts these as errors and skips the
+    # feature, export_handler.cpp error handling)
+    complete = F.forall(F.col("coords"), lambda c: c["__lon"].isNotNull())
+    wc = locations_join(ways, nodes).filter((F.size("coords") >= 2) & complete)
     coords_json = F.concat_ws(
         ",",
         F.transform(
