@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..schema import COORD_SCALE, fp
+from ..schema import fp
 
 SEGMENTS_PER_BAND = 10
 MAX_BANDS = 10_000

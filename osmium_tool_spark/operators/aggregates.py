@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..schema import NODE, TYPE_NAMES
+
 
 
 def fileinfo(entities: DataFrame) -> DataFrame:

@@ -66,10 +66,6 @@ def apply_changes(
         c.withColumn("__src", F.lit(i + 1)) for i, c in enumerate(changes)
     ]
     all_rows = reduce(DataFrame.unionByName, tagged)
-    if locations_on_ways:
-        # refresh inlined way locations from the post-merge node set
-        # (command_apply_changes.cpp:185-196): applied after the dedup below
-        pass
     if with_history:
         w = Window.partitionBy("type", "id", "version").orderBy(F.desc("__src"))
         out = (

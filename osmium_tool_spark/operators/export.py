@@ -25,8 +25,6 @@ member rings). All serialization is Column string math (codegen).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame

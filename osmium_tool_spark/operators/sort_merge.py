@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.sortkeys import canonical_sort, id_sort_key
-from ..schema import CHANGESET, NODE, RELATION, WAY
+
 
 CLEANABLE_ATTRS = ("version", "changeset", "ts", "uid", "user")
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import HASH_MOD, poly_hash, word_tokens
+from .dedup import poly_hash, word_tokens
 
 # marker vocabularies for the n-gram-free language-ID heuristic: score each
 # language by occurrences of its marker tokens, predict the argmax
