@@ -114,7 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", "--object-type", default=None)
     sp.add_argument("--clean", action="append", default=[])
 
-    io(sub.add_parser("sort", help="canonical (type,id,version) sort"))
+    sp = io(sub.add_parser("sort", help="canonical (type,id,version) sort"))
+    sp.add_argument("-s", "--strategy", default="simple", choices=["simple", "multipass"],
+                    help="accepted for reference compatibility; Spark's external "
+                         "sort subsumes both (spills instead of re-reading)")
     io(sub.add_parser("merge", help="sorted union, identical objects once"))
     sp = io(sub.add_parser("merge-changes"))
     sp.add_argument("--simplify", action="store_true")
@@ -149,6 +152,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = io(sub.add_parser("renumber"), n_inputs=1)
     sp.add_argument("--start-id", default="1,1,1")
+    sp.add_argument("--index-dir", default=None,
+                    help="persist/reload the id mapping (later batches keep prior assignments)")
 
     sp = io(sub.add_parser("check-refs"), n_inputs=1)
     sp.add_argument("-r", "--check-relations", action="store_true")
@@ -303,7 +308,11 @@ def run(args, spark: SparkSession) -> int:
 
         s = [int(x) for x in args.start_id.split(",")]
         s += [s[-1]] * (3 - len(s))
-        out = renumber(_read(spark, args.input), {NODE: s[0], WAY: s[1], RELATION: s[2]})
+        out = renumber(
+            _read(spark, args.input),
+            {NODE: s[0], WAY: s[1], RELATION: s[2]},
+            index_dir=args.index_dir,
+        )
         _write(out, args.output)
     elif cmd == "check-refs":
         from .operators.idops import check_refs

@@ -95,3 +95,46 @@ def test_broadcast_salted_join(spark, skewed):
     out = broadcast_salted_join(skewed, dim, on="key", n_salts=4)
     counts = {r.key: r.cnt for r in out.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
     assert counts["hot"] == 10_000 and counts["k1"] == 10
+
+
+def test_knn_wraps_antimeridian_candidates(spark):
+    """Candidate generation wraps at +/-180: a query on the east edge still
+    sees the point on the west edge (only possible via cell-x wrap)."""
+    df = spark.createDataFrame(
+        [(1, 1_799_000_000, 0), (2, -1_799_000_000, 0), (3, 0, 0)],
+        "id long, lon long, lat long",
+    )
+    out = knn_cellring(df, df.filter(F.col("id") == 1), res=6, ring=1, k=5)
+    # ring-1 block of the easternmost cell includes the westernmost cell;
+    # point 3 (middle of the world) is NOT in the block
+    assert {r.neighbor_id for r in out.collect()} == {2}
+
+
+def test_minhash_lsh_recall_against_exact(spark):
+    """LSH recall check with bands tuned for the threshold (16 bands of
+    2 rows): P(candidate at jaccard j) = 1-(1-j^2)^16, ~0.99 at j=0.5."""
+    import random
+
+    from osmium_tool_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(30)]
+        rows.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        for _ in range(rng.randint(0, 4)):     # light mutation -> high jaccard
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r.a, r.b) for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    # 32 perms in 16 bands of 2: high recall at the 0.5 threshold
+    lsh = {(r.a, r.b) for r in
+           minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32, band_size=2,
+                             threshold=0.5).collect()}
+    assert lsh <= exact  # exact-Jaccard verification: no false positives
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
