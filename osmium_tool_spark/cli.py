@@ -154,6 +154,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--start-id", default="1,1,1")
     sp.add_argument("--index-dir", default=None,
                     help="persist/reload the id mapping (later batches keep prior assignments)")
+    sp.add_argument("-t", "--object-type", default=None,
+                    help="renumber only these types, e.g. n or n,w")
 
     sp = io(sub.add_parser("check-refs"), n_inputs=1)
     sp.add_argument("-r", "--check-relations", action="store_true")
@@ -312,6 +314,7 @@ def run(args, spark: SparkSession) -> int:
             _read(spark, args.input),
             {NODE: s[0], WAY: s[1], RELATION: s[2]},
             index_dir=args.index_dir,
+            object_types=_types(args.object_type),
         )
         _write(out, args.output)
     elif cmd == "check-refs":

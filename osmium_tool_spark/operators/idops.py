@@ -158,16 +158,20 @@ def renumber(
     entities: DataFrame,
     start_ids: dict[int, int] | None = None,
     index_dir: str | None = None,
+    object_types: list[int] | None = None,
 ) -> DataFrame:
     """Order-preserving dense re-numbering per type (command_renumber.cpp:
     61-91,257-292): new ids assigned in canonical id order starting at
     start_id (default 1; negative start counts down). Refs and members are
-    remapped through the same mapping.
+    remapped through the same mapping. IDs referenced by ways/relations
+    but absent from the input get FRESH ids in scan-encounter order —
+    reference parity: golden test/renumber/output-sorted.osm maps the
+    dangling member node 13 to the next free id.
 
-    `index_dir` persists/reloads the mapping (the reference's --index-dir,
-    command_renumber.cpp:367-441): a later batch (e.g. applying updates to
-    a renumbered planet) reuses existing assignments and appends new ids
-    after each type's current maximum.
+    `object_types` limits renumbering to the listed types (--object-type);
+    `index_dir` persists/reloads the mapping (--index-dir,
+    command_renumber.cpp:367-441): a later batch reuses existing
+    assignments and appends new ids after each type's current maximum.
 
     Scale note: the mapping is a window row_number per type — one shuffle —
     then ref-rewrite is an equi-join of exploded refs against the mapping
@@ -176,13 +180,14 @@ def renumber(
     import os
 
     start_ids = start_ids or {}
+    types = set(object_types) if object_types is not None else {NODE, WAY, RELATION}
     spark = entities.sparkSession
 
     prior = None
     if index_dir and os.path.exists(os.path.join(index_dir, "_SUCCESS")):
         prior = spark.read.parquet(index_dir)
 
-    fresh = entities.select("type", "id").distinct()
+    fresh = entities.select("type", "id").distinct().filter(F.col("type").isin(list(types)))
     if prior is not None:
         fresh = fresh.join(prior.select("type", "id"), on=["type", "id"], how="left_anti")
     mapping = fresh.withColumn(
@@ -211,6 +216,46 @@ def renumber(
             .unionByName(prior.select("type", "id", "new_id"))
         )
     mapping = mapping.persist()
+
+    # --- extend with referenced-but-absent ids (fresh ids in scan order:
+    # ways pass first, then relation members; command_renumber.cpp assigns
+    # on first id_map lookup) ---------------------------------------------
+    def extend(mapping_df, refs_ordered, t):
+        cur = mapping_df.filter(F.col("type") == t)
+        missing = refs_ordered.join(
+            cur.select(F.col("id").alias("ref")), on="ref", how="left_anti"
+        )
+        first = missing.groupBy("ref").agg(F.min(F.struct("o1", "o2")).alias("__o"))
+        if first.isEmpty():
+            return mapping_df
+        row = cur.agg(F.max("new_id").alias("mx"), F.min("new_id").alias("mn")).collect()[0]
+        s = start_ids.get(t, 1)
+        if s < 0:
+            base = row["mn"] if row["mn"] is not None else s + 1
+            new = F.lit(base) - F.row_number().over(Window.orderBy("__o"))
+        else:
+            base = row["mx"] if row["mx"] is not None else s - 1
+            new = F.lit(base) + F.row_number().over(Window.orderBy("__o"))
+        ext = first.select(
+            F.lit(t).alias("type"), F.col("ref").alias("id"), new.cast("long").alias("new_id")
+        )
+        return mapping_df.unionByName(ext)
+
+    ways_src = entities.filter(F.col("type") == WAY)
+    rels_src = entities.filter(F.col("type") == RELATION)
+    if NODE in types:
+        wrefs = ways_src.select(
+            id_sort_key(F.col("id")).alias("o1"), F.posexplode("refs").alias("o2", "ref")
+        )
+        mapping = extend(mapping, wrefs, NODE)
+    mrefs = rels_src.select(
+        id_sort_key(F.col("id")).alias("o1"), F.posexplode("members").alias("o2", "m")
+    ).select("o1", "o2", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"))
+    for t in (NODE, WAY, RELATION):
+        if t in types:
+            mapping = extend(mapping, mrefs.filter(F.col("mtype") == t).select("o1", "o2", "ref"), t)
+    mapping = mapping.persist()
+
     if index_dir:
         mapping.write.mode("overwrite").parquet(index_dir + ".tmp")
         tmp_df = spark.read.parquet(index_dir + ".tmp")
@@ -224,7 +269,11 @@ def renumber(
     way_map = mapping.filter(F.col("type") == WAY).select(F.col("id"), F.col("new_id"))
     rel_map = mapping.filter(F.col("type") == RELATION).select(F.col("id"), F.col("new_id"))
 
-    out = entities.join(mapping, on=["type", "id"]).withColumn("id", F.col("new_id")).drop("new_id")
+    out = (
+        entities.join(mapping, on=["type", "id"], how="left")
+        .withColumn("id", F.coalesce("new_id", "id"))
+        .drop("new_id")
+    )
 
     # remap way refs (posexplode keeps order, collect back sorted by pos)
     ways = out.filter(F.col("type") == WAY)

@@ -118,3 +118,42 @@ def test_diff_golden_ignore_uid(diff_left, diff_right):
     got = {(r.type, r.id, r.version): r.status for r in out.collect()}
     assert got[(NODE, 15, 1)] == "same"
     assert got[(NODE, 16, 1)] == "different"
+
+
+def test_renumber_golden_sorted(spark):
+    """test/renumber/input-sorted.osm -> output-sorted.osm: negative ids
+    first by |id| (-11 -> 1), dangling member node 13 gets fresh id 5."""
+    from osmium_tool_spark.operators.idops import renumber
+
+    ents = _df(spark, [
+        _node(-11, 1, 1),
+        _node(11, 1, 2),
+        _node(12, 1, 3),
+        _node(14, 1, 4),
+        _way(20, [-11, 11, 12], {"foo": "bar"}),
+        _way(21, [12, 14], {"xyz": "abc"}),
+        _rel(30, [(NODE, 12, "m1"), (NODE, 13, "s1"), (WAY, 20, "m2")]),
+    ])
+    out = {(r.type, r.id): r for r in renumber(ents).collect()}
+    assert {k for k in out if k[0] == NODE} == {(NODE, i) for i in (1, 2, 3, 4)}
+    assert out[(WAY, 1)].refs == [1, 2, 3]
+    assert out[(WAY, 2)].refs == [3, 4]
+    mem = [(m.mtype, m.ref, m.role) for m in out[(RELATION, 1)].members]
+    assert mem == [(NODE, 3, "m1"), (NODE, 5, "s1"), (WAY, 1, "m2")]
+
+
+def test_renumber_golden_nodes_only(spark):
+    """output-sorted-n.osm: --object-type n renumbers node ids and way
+    refs but leaves way/relation ids untouched."""
+    from osmium_tool_spark.operators.idops import renumber
+    from osmium_tool_spark.schema import NODE as N
+
+    ents = _df(spark, [
+        _node(-11, 1, 1), _node(11, 1, 2), _node(12, 1, 3), _node(14, 1, 4),
+        _way(20, [-11, 11, 12], {"foo": "bar"}),
+        _way(21, [12, 14], {"xyz": "abc"}),
+    ])
+    out = {(r.type, r.id): r for r in renumber(ents, object_types=[N]).collect()}
+    assert {k for k in out if k[0] == NODE} == {(NODE, i) for i in (1, 2, 3, 4)}
+    assert (WAY, 20) in out and (WAY, 21) in out
+    assert out[(WAY, 20)].refs == [1, 2, 3]
