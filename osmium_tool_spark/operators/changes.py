@@ -171,6 +171,8 @@ def derive_changes(
     if update_timestamp is not None:
         deleted = deleted.withColumn("ts", F.lit(update_timestamp).cast("long"))
     if not keep_details:
+        # golden output.osc: delete records keep only id/version/timestamp —
+        # location, tags, refs/members, and user meta are all dropped
         deleted = (
             deleted.withColumn("tags", F.map_from_arrays(F.array(), F.array()))
             .withColumn("refs", F.when(F.col("refs").isNotNull(), F.array().cast("array<long>")))
@@ -181,6 +183,8 @@ def derive_changes(
             .withColumn("changeset", F.lit(0).cast("long"))
             .withColumn("uid", F.lit(0))
             .withColumn("user", F.lit(""))
+            .withColumn("lon", F.lit(None).cast(dict(deleted.dtypes)["lon"]))
+            .withColumn("lat", F.lit(None).cast(dict(deleted.dtypes)["lat"]))
         )
     out = created.unionByName(modified).unionByName(deleted)
     return canonical_sort(out)

@@ -157,3 +157,60 @@ def test_renumber_golden_nodes_only(spark):
     assert {k for k in out if k[0] == NODE} == {(NODE, i) for i in (1, 2, 3, 4)}
     assert (WAY, 20) in out and (WAY, 21) in out
     assert out[(WAY, 20)].refs == [1, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def dc_old(spark):
+    """test/derive-changes/input1.osm"""
+    return _df(spark, [
+        _node(10, 1, 1), _node(11, 1, 2), _node(12, 1, 3),
+        _node(13, 1, 4, {"foo": "bar"}),
+        _way(20, [10, 11, 12], {"foo": "bar"}),
+        _way(21, [12, 13], {"xyz": "abc"}),
+        _rel(30, [(NODE, 12, "m1"), (WAY, 20, "m2")]),
+    ])
+
+
+@pytest.fixture(scope="module")
+def dc_new(spark):
+    """test/derive-changes/input2.osm"""
+    kw = dict(version=2, ts=T2, changeset=2)
+    return _df(spark, [
+        _node(10, 1, 1),
+        _node(11, 2, 2, **kw),
+        _node(12, 1, 3),
+        _node(14, 1, 5, version=1, ts=T2, changeset=2),
+        _way(20, [10, 11, 12], {"foo": "bar"}),
+        _way(21, [12, 14], {"xyz": "new"}, **kw),
+        _rel(30, [(NODE, 12, "m1"), (WAY, 20, "m2")]),
+    ])
+
+
+def test_derive_changes_golden(dc_old, dc_new):
+    """Expected: test/derive-changes/output.osc — delete records keep only
+    id/version/timestamp."""
+    out = changes.derive_changes(dc_old, dc_new)
+    rows = {(r.type, r.id): r for r in out.collect()}
+    assert {(k, rows[k].change_op) for k in rows} == {
+        ((NODE, 11), "modify"), ((NODE, 13), "delete"),
+        ((NODE, 14), "create"), ((WAY, 21), "modify"),
+    }
+    d = rows[(NODE, 13)]
+    assert (d.version, d.ts, d.visible) == (1, T1, False)
+    assert d.lon is None and d.lat is None and dict(d.tags) == {}
+    assert d.uid == 0 and d.user == "" and d.changeset == 0
+
+
+def test_derive_changes_golden_keep_details(dc_old, dc_new):
+    """output-keep-details.osc: the delete keeps tags/coords/meta."""
+    out = changes.derive_changes(dc_old, dc_new, keep_details=True)
+    d = [r for r in out.collect() if r.change_op == "delete"][0]
+    assert (d.id, d.version, d.lon, d.lat) == (13, 1, 10000000, 40000000)
+    assert dict(d.tags) == {"foo": "bar"} and d.uid == 1 and d.user == "test"
+
+
+def test_derive_changes_golden_incr_version(dc_old, dc_new):
+    """output-incr-version.osc: the delete's version bumps to 2."""
+    out = changes.derive_changes(dc_old, dc_new, increment_version=True)
+    d = [r for r in out.collect() if r.change_op == "delete"][0]
+    assert (d.id, d.version) == (13, 2)
