@@ -219,41 +219,50 @@ def renumber(
 
     # --- extend with referenced-but-absent ids (fresh ids in scan order:
     # ways pass first, then relation members; command_renumber.cpp assigns
-    # on first id_map lookup) ---------------------------------------------
-    def extend(mapping_df, refs_ordered, t):
-        cur = mapping_df.filter(F.col("type") == t)
-        missing = refs_ordered.join(
-            cur.select(F.col("id").alias("ref")), on="ref", how="left_anti"
-        )
-        first = missing.groupBy("ref").agg(F.min(F.struct("o1", "o2")).alias("__o"))
-        if first.isEmpty():
-            return mapping_df
-        row = cur.agg(F.max("new_id").alias("mx"), F.min("new_id").alias("mn")).collect()[0]
-        s = start_ids.get(t, 1)
-        if s < 0:
-            base = row["mn"] if row["mn"] is not None else s + 1
-            new = F.lit(base) - F.row_number().over(Window.orderBy("__o"))
-        else:
-            base = row["mx"] if row["mx"] is not None else s - 1
-            new = F.lit(base) + F.row_number().over(Window.orderBy("__o"))
-        ext = first.select(
-            F.lit(t).alias("type"), F.col("ref").alias("id"), new.cast("long").alias("new_id")
-        )
-        return mapping_df.unionByName(ext)
-
+    # on first id_map lookup). ONE combined pass: the common all-refs-known
+    # case costs a single isEmpty probe -----------------------------------
     ways_src = entities.filter(F.col("type") == WAY)
     rels_src = entities.filter(F.col("type") == RELATION)
-    if NODE in types:
-        wrefs = ways_src.select(
-            id_sort_key(F.col("id")).alias("o1"), F.posexplode("refs").alias("o2", "ref")
-        )
-        mapping = extend(mapping, wrefs, NODE)
+    wrefs = ways_src.select(
+        F.lit(NODE).alias("type"),
+        F.lit(0).alias("o0"),  # ways pass precedes the relation pass
+        id_sort_key(F.col("id")).alias("o1"),
+        F.posexplode("refs").alias("o2", "ref"),
+    )
     mrefs = rels_src.select(
-        id_sort_key(F.col("id")).alias("o1"), F.posexplode("members").alias("o2", "m")
-    ).select("o1", "o2", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"))
-    for t in (NODE, WAY, RELATION):
-        if t in types:
-            mapping = extend(mapping, mrefs.filter(F.col("mtype") == t).select("o1", "o2", "ref"), t)
+        F.lit(1).alias("o0"),
+        id_sort_key(F.col("id")).alias("o1"),
+        F.posexplode("members").alias("o2", "m"),
+    ).select(F.col("m.mtype").alias("type"), "o0", "o1", "o2", F.col("m.ref").alias("ref"))
+    refs_all = wrefs.unionByName(mrefs).filter(F.col("type").isin(list(types)))
+    missing = refs_all.join(
+        mapping.select("type", F.col("id").alias("ref")), on=["type", "ref"], how="left_anti"
+    )
+    first = missing.groupBy("type", "ref").agg(F.min(F.struct("o0", "o1", "o2")).alias("__o"))
+    if not first.isEmpty():
+        bounds = mapping.groupBy("type").agg(
+            F.max("new_id").alias("__mx"), F.min("new_id").alias("__mn")
+        )
+        rn = F.row_number().over(Window.partitionBy("type").orderBy("__o"))
+        neg = F.col("type").isin([t for t, s in start_ids.items() if s < 0])
+        start_map = F.create_map(
+            *[x for t in types for x in (F.lit(t), F.lit(start_ids.get(t, 1)))]
+        )
+        base_pos = F.coalesce(F.col("__mx"), start_map[F.col("type")] - 1)
+        base_neg = F.coalesce(F.col("__mn"), start_map[F.col("type")] + 1)
+        ext = (
+            first.join(bounds, on="type", how="left")
+            .withColumn("__rn", rn)
+            .select(
+                "type",
+                F.col("ref").alias("id"),
+                F.when(neg, base_neg - F.col("__rn"))
+                .otherwise(base_pos + F.col("__rn"))
+                .cast("long")
+                .alias("new_id"),
+            )
+        )
+        mapping = mapping.unionByName(ext)
     mapping = mapping.persist()
 
     if index_dir:
