@@ -11,10 +11,8 @@ shuffle; at 100 TB these are the cheapest operators in the engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
 
 
 def fileinfo(entities: DataFrame) -> DataFrame:
@@ -103,5 +101,8 @@ def tags_count(
     }
     if sort_order not in orders:
         raise ValueError(f"unknown sort order {sort_order!r}")
-    w = Window.orderBy(*orders[sort_order])
-    return out.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+    # rank via distributed zipWithIndex — an unpartitioned Window.orderBy
+    # would funnel the (possibly 10^8-distinct-key) result through one task
+    from ..functions.zipindex import dense_index
+
+    return dense_index(out, orders[sort_order], index_name="rank").orderBy("rank")

@@ -105,20 +105,32 @@ def _pair_candidates(
     )
 
 
+DEFAULT_MAX_DF = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.1,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard >= threshold.
 
     Inverted-index pattern: explode distinct shingles, equi-join on the
     shingle, count common per pair, then jaccard = common/(|A|+|B|-common).
     Pairs sharing no shingle have jaccard 0 and are (correctly) never
-    generated. Returns (a, b, jaccard)."""
+    generated. Returns (a, b, jaccard).
+
+    `max_df` caps shingle document frequency (default 1000): one stopword
+    shingle shared by m docs fans out m^2/2 candidate pairs, so an
+    *uncapped* default is quadratic at corpus scale. Docs sharing ONLY
+    capped shingles lose their pair — at the default cap that means both
+    docs had every common shingle in >1000 others, i.e. boilerplate. Pass
+    `max_df=0` to explicitly disable the cap (exact small-data mode)."""
+    if max_df == 0:
+        max_df = None
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).persist()

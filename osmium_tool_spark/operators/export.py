@@ -256,11 +256,15 @@ def features(
         F.lit("point").alias("ftype"), "type", "id", "tags", point_geom.alias("geometry")
     )
 
+    # ONE location join feeds both the line/area features and the
+    # multipolygon assembly — persisted so the two consumers share a single
+    # posexplode+shuffle pass over the (huge) way table instead of two
+    wc_all = locations_join(ways, nodes).persist()
     # drop ways with unresolvable refs — a NULL coordinate would silently
     # shorten the ring (the reference counts these as errors and skips the
     # feature, export_handler.cpp error handling)
     complete = F.forall(F.col("coords"), lambda c: c["__lon"].isNotNull())
-    wc = locations_join(ways, nodes).filter((F.size("coords") >= 2) & complete)
+    wc = wc_all.filter((F.size("coords") >= 2) & complete)
     coords_json = F.concat_ws(
         ",",
         F.transform(
@@ -284,7 +288,7 @@ def features(
         ).alias("geometry"),
     )
 
-    mp = assemble_multipolygons(rels, locations_join(ways, nodes))
+    mp = assemble_multipolygons(rels, wc_all)
 
     def ring_json(ring):
         return F.concat(

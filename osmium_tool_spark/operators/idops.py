@@ -13,7 +13,7 @@ set is small — the distributed analog of the in-RAM bitmap probe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.sortkeys import canonical_sort, id_sort_key
@@ -173,11 +173,15 @@ def renumber(
     command_renumber.cpp:367-441): a later batch reuses existing
     assignments and appends new ids after each type's current maximum.
 
-    Scale note: the mapping is a window row_number per type — one shuffle —
-    then ref-rewrite is an equi-join of exploded refs against the mapping
-    (same as the reference's in-RAM id_map, distributed).
+    Scale note: new ids come from functions/zipindex.dense_index — a range
+    partition + per-partition prefix-sum offsets (distributed zipWithIndex)
+    instead of a per-type global window that would serialize 10^12 rows
+    through <=3 tasks; ref-rewrite is an equi-join of exploded refs against
+    the mapping (same as the reference's in-RAM id_map, distributed).
     """
     import os
+
+    from ..functions.zipindex import dense_index
 
     start_ids = start_ids or {}
     types = set(object_types) if object_types is not None else {NODE, WAY, RELATION}
@@ -190,15 +194,14 @@ def renumber(
     fresh = entities.select("type", "id").distinct().filter(F.col("type").isin(list(types)))
     if prior is not None:
         fresh = fresh.join(prior.select("type", "id"), on=["type", "id"], how="left_anti")
-    mapping = fresh.withColumn(
-        "new_id",
-        F.row_number().over(Window.partitionBy("type").orderBy(id_sort_key(F.col("id")))),
-    )
+    mapping = dense_index(fresh, [id_sort_key(F.col("id"))], part_col="type")
     for t, s in start_ids.items():
         if s < 0:
+            # first assigned id equals the start id, counting DOWN
+            # (command_renumber.cpp:61-66; e.g. --start-id=-1 -> -1,-2,...)
             mapping = mapping.withColumn(
                 "new_id",
-                F.when(F.col("type") == t, F.lit(s + 1) - F.col("new_id") + 1).otherwise(F.col("new_id")),
+                F.when(F.col("type") == t, F.lit(s) - (F.col("new_id") - 1)).otherwise(F.col("new_id")),
             )
         else:
             mapping = mapping.withColumn(
@@ -243,7 +246,6 @@ def renumber(
         bounds = mapping.groupBy("type").agg(
             F.max("new_id").alias("__mx"), F.min("new_id").alias("__mn")
         )
-        rn = F.row_number().over(Window.partitionBy("type").orderBy("__o"))
         neg = F.col("type").isin([t for t, s in start_ids.items() if s < 0])
         start_map = F.create_map(
             *[x for t in types for x in (F.lit(t), F.lit(start_ids.get(t, 1)))]
@@ -251,8 +253,8 @@ def renumber(
         base_pos = F.coalesce(F.col("__mx"), start_map[F.col("type")] - 1)
         base_neg = F.coalesce(F.col("__mn"), start_map[F.col("type")] + 1)
         ext = (
-            first.join(bounds, on="type", how="left")
-            .withColumn("__rn", rn)
+            dense_index(first, [F.col("__o")], part_col="type", index_name="__rn")
+            .join(bounds, on="type", how="left")
             .select(
                 "type",
                 F.col("ref").alias("id"),

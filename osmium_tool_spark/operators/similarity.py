@@ -184,6 +184,7 @@ def knn_exact(
     k: int,
     id_col: str = "id",
     max_ring: int = 8,
+    n_points: int | None = None,
 ) -> DataFrame:
     """EXACT k nearest neighbors via iterative cell-ring expansion.
 
@@ -216,8 +217,11 @@ def knn_exact(
         return r, min(ring, max_ring if r > 1 else ring)
 
     # seed from the expected k-th neighbor distance under uniform density
-    # (d_k ~ sqrt(k*A/(pi*n))), 1.5x margin: most queries settle in round 1
-    n_points = max(points.count(), 1)
+    # (d_k ~ sqrt(k*A/(pi*n))), 1.5x margin: most queries settle in round 1.
+    # `n_points` is a seeding HINT only (ring growth self-corrects), so
+    # callers pass a table stat instead of paying a full count job per call
+    # — at 10^12 rows that count is a whole scan.
+    n_points = max(n_points if n_points is not None else points.count(), 1)
     d_k = math.sqrt(k * float(_LON_SPAN) * float(_LAT_SPAN) / (math.pi * n_points))
     ring_needed = max(1, int(math.ceil(1.5 * d_k / cw_at(res))) + 1)
 
@@ -262,11 +266,21 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs >= threshold.
 
     Blocked on `block_col` (IVF-coarse analog) so the pair join is an
-    equi-join; within-block pair scoring is JVM-side. Returns (a, b, cos)."""
+    equi-join; within-block pair scoring is JVM-side. Returns (a, b, cos).
+
+    `block_col=None` means an all-pairs cross join — O(n^2) rows, never
+    viable at corpus scale — so it must be opted into explicitly with
+    `allow_cross_join=True` (mirrors extract's hard >500-region reject)."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "embedding_near_dup without block_col is an all-pairs cross join; "
+            "pass a blocking column or allow_cross_join=True for small data"
+        )
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

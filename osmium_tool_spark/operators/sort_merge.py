@@ -32,19 +32,10 @@ def sort_entities(df: DataFrame) -> DataFrame:
     return canonical_sort(df)
 
 
-def validate_order(df: DataFrame) -> DataFrame:
-    """Order-violation assertion job (merge's CheckOrder analog,
-    command_merge.cpp:140-165): returns violations of the canonical
-    (type, id, version) order *within the physical order given by a
-    `seq` column* — callers supply seq (e.g. input line number).
-    Returns a DataFrame of (seq, type, id, version, reason)."""
-    w = Window.orderBy("seq")
-    key = F.struct(F.col("type").alias("t"), id_sort_key(F.col("id")).alias("k"))
-    lagged = df.withColumn("__k", key).withColumn("__pk", F.lag("__k").over(w)).withColumn(
-        "__pv", F.lag("version").over(w)
-    )
+def _order_violations(df: DataFrame) -> DataFrame:
+    """Rows where (__k, version) regressed vs (__pk, __pv), classified."""
     return (
-        lagged.filter(
+        df.filter(
             F.col("__pk").isNotNull()
             & (
                 (F.col("__k") < F.col("__pk"))
@@ -60,6 +51,54 @@ def validate_order(df: DataFrame) -> DataFrame:
         )
         .select("seq", "type", "id", "version", "reason")
     )
+
+
+def validate_order(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Order-violation assertion job (merge's CheckOrder analog,
+    command_merge.cpp:140-165): returns violations of the canonical
+    (type, id, version) order *within the physical order given by a
+    `seq` column* — callers supply seq (e.g. input line number).
+    Returns a DataFrame of (seq, type, id, version, reason).
+
+    Scale shape: range-partition by seq, lag WITHIN partitions, then stitch
+    the partition boundaries with a tiny (n_partitions-row) aggregate — a
+    global `Window.orderBy(seq)` would funnel every row through one task.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key = F.struct(F.col("type").alias("t"), id_sort_key(F.col("id")).alias("k"))
+    slim = df.select("seq", "type", "id", "version").withColumn("__k", key)
+    d = (
+        slim.repartitionByRange(n, F.col("seq"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning across the two jobs
+    )
+    w = Window.partitionBy("__pid").orderBy("seq")
+    inner = _order_violations(
+        d.withColumn("__pk", F.lag("__k").over(w)).withColumn("__pv", F.lag("version").over(w))
+    )
+    # boundary rows: first row of each partition vs last row of the
+    # previous NON-EMPTY partition (range partitions can be empty). The
+    # window below runs over n_partitions rows — driver-scale by design.
+    row = F.struct("seq", "type", "id", "version", "__k")
+    agg = d.groupBy("__pid").agg(
+        F.min_by(row, "seq").alias("__first"), F.max_by(row, "seq").alias("__last")
+    )
+    wb = Window.orderBy("__pid")
+    boundary = (
+        agg.withColumn("__prev", F.lag("__last").over(wb))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__first.seq").alias("seq"),
+            F.col("__first.type").alias("type"),
+            F.col("__first.id").alias("id"),
+            F.col("__first.version").alias("version"),
+            F.col("__first.__k").alias("__k"),
+            F.col("__prev.__k").alias("__pk"),
+            F.col("__prev.version").alias("__pv"),
+        )
+    )
+    return inner.unionByName(_order_violations(boundary))
 
 
 def merge(dfs: list[DataFrame]) -> DataFrame:

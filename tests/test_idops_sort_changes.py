@@ -73,6 +73,13 @@ class TestRenumber:
         node_ids = sorted(r["id"] for r in out if r["type"] == NODE)
         assert node_ids == list(range(100, 107))
 
+    def test_negative_start_counts_down_from_start(self, inp):
+        # reference command_renumber.cpp:61-66: first assigned id EQUALS the
+        # (negative) start id, then counts down
+        out = idops.renumber(inp, start_ids={NODE: -1}).collect()
+        node_ids = sorted((r["id"] for r in out if r["type"] == NODE), reverse=True)
+        assert node_ids == [-1, -2, -3, -4, -5, -6, -7]
+
 
 class TestCheckRefs:
     def test_missing_nodes(self, spark, inp):
