@@ -677,8 +677,8 @@ def q_merge_changes_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fileinfo_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # engine-hash based (xxhash64) -> no portable oracle; the driver
-    # records the weaker rows-only check for this one
+    # true CRC32 over the canonical row encoding, sum mod 2^61 — fully
+    # oracled (DuckDB reproduces the CRC via a table-driven list_reduce)
     from osmium_tool_spark.operators.aggregates import fileinfo_crc
     from osmium_tool_spark.sources import testdata as td
 
@@ -1303,6 +1303,37 @@ SELECT CAST(o_orderkey AS BIGINT) AS id,
        CAST(CASE WHEN o_orderkey % 4 = 0 OR o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
        (o_orderkey % 4 = 0) AS marked
 FROM orders
+"""
+
+    from osmium_tool_spark.operators.aggregates import crc32_sql_expr
+
+    _bytes = "list_transform(string_split(s,''), c -> CAST(unicode(c) AS BIGINT))"
+    o["fileinfo_crc"] = f"""
+WITH nstr AS (
+  SELECT '0|' || CAST(p_partkey AS VARCHAR) || '|1|1|' || CAST(p_partkey*1000 AS VARCHAR)
+      || '|' || CAST({P_LON} AS VARCHAR) || '|' || CAST({P_LAT} AS VARCHAR)
+      || '|brand=' || p_brand || ';name=' || p_name || ';type=' || p_type || '||' AS s
+  FROM part),
+fr AS (SELECT l_orderkey,
+         array_to_string(list(CAST(l_partkey AS VARCHAR) ORDER BY l_linenumber, l_partkey), ',') AS refs
+       FROM lineitem GROUP BY l_orderkey),
+wstr AS (
+  SELECT '1|' || CAST(o_orderkey AS VARCHAR) || '|1|1|' || CAST(epoch_us(o_orderdate) AS VARCHAR)
+      || '|||priority=' || o_orderpriority || ';status=' || o_orderstatus
+      || '|' || coalesce(fr.refs, '') || '|' AS s
+  FROM orders LEFT JOIN fr ON o_orderkey = fr.l_orderkey),
+cm AS (SELECT o_custkey,
+         array_to_string(list('1:' || CAST(o_orderkey AS VARCHAR) || ':order' ORDER BY o_orderkey), ';') AS mems
+       FROM orders GROUP BY o_custkey),
+rstr AS (
+  SELECT '2|' || CAST(c_custkey AS VARCHAR) || '|1|1|' || CAST(c_custkey*1000 AS VARCHAR)
+      || '|||segment=' || c_mktsegment || '||' || coalesce(cm.mems, '') AS s
+  FROM customer LEFT JOIN cm ON c_custkey = cm.o_custkey),
+allstr AS (SELECT s FROM nstr UNION ALL SELECT s FROM wstr UNION ALL SELECT s FROM rstr),
+crc AS (SELECT {crc32_sql_expr(_bytes)} AS c FROM allstr)
+SELECT CAST(CAST(sum(c) AS HUGEINT) % 2305843009213693952 AS BIGINT) AS content_hash,
+       CAST(count(*) AS BIGINT) AS "rows"
+FROM crc
 """
 
     o["cat_clean"] = """

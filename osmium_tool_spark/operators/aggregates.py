@@ -37,19 +37,103 @@ def fileinfo(entities: DataFrame) -> DataFrame:
     )
 
 
-def fileinfo_crc(entities: DataFrame) -> DataFrame:
-    """Content fingerprint: xxhash64 over the canonical row encoding,
-    combined order-independently with bit_xor (a sum would overflow int64
-    under ANSI mode) — the distributed analog of the reference's streaming
-    CRC32 (command_fileinfo.cpp:102-126).
+HASH_MODULUS = 1 << 61
+
+
+def canonical_row_string(tags_sorted: bool = True) -> F.Column:
+    """ASCII canonical encoding of an entity row, field-separated by '|':
+
+        type|id|version|visible(1/0)|ts|lon|lat|k=v;k=v|ref,ref|m:ref:role;...
+
+    NULL scalars encode as '', tags sorted by key, refs/members in array
+    order. Pure Column string math (codegen); the encoding is engine-
+    portable so the DuckDB oracle reproduces it byte-for-byte.
     """
-    row_hash = F.xxhash64(
-        F.col("type"), F.col("id"), F.col("version"), F.col("visible"), F.col("ts"),
-        F.array_sort(F.map_entries("tags")),  # maps are unhashable directly
-        F.col("lon"), F.col("lat"), F.col("refs"), F.col("members"),
+
+    def s(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), F.lit(""))
+
+    entries = F.map_entries(
+        F.coalesce(F.col("tags"), F.create_map().cast("map<string,string>"))
     )
+    if tags_sorted:
+        entries = F.array_sort(entries)
+    tags = F.concat_ws(
+        ";", F.transform(entries, lambda e: F.concat(e.key, F.lit("="), e.value))
+    )
+    refs = F.concat_ws(
+        ",",
+        F.transform(
+            F.coalesce(F.col("refs"), F.array().cast("array<long>")),
+            lambda r: r.cast("string"),
+        ),
+    )
+    members = F.concat_ws(
+        ";",
+        F.transform(
+            F.coalesce(
+                F.col("members"),
+                F.array().cast("array<struct<mtype:int,ref:long,role:string>>"),
+            ),
+            lambda m: F.concat(
+                m.mtype.cast("string"), F.lit(":"), m.ref.cast("string"),
+                F.lit(":"), F.coalesce(m.role, F.lit("")),
+            ),
+        ),
+    )
+    return F.concat_ws(
+        "|",
+        F.col("type").cast("string"),
+        F.col("id").cast("string"),
+        s(F.col("version")),
+        F.when(F.coalesce(F.col("visible"), F.lit(True)), "1").otherwise("0"),
+        s(F.col("ts")),
+        s(F.col("lon")),
+        s(F.col("lat")),
+        tags,
+        refs,
+        members,
+    )
+
+
+def fileinfo_crc(entities: DataFrame) -> DataFrame:
+    """Content fingerprint: true CRC32 (zlib polynomial, what the reference
+    streams over its objects — command_fileinfo.cpp:102-126,
+    command_diff.cpp:278-291) of each row's canonical encoding, combined
+    order-independently AND multiplicity-sensitively as
+    sum(crc) mod 2^61.
+
+    Deviations from the reference, documented: the reference CRC32 is one
+    streaming checksum over the ordered object stream; a distributed
+    engine needs a commutative combiner, and a modular SUM (unlike XOR)
+    still changes when a row's multiplicity changes. The modulus keeps the
+    accumulator in int64 at any scale (decimal sum internally).
+    """
+    crc = F.crc32(canonical_row_string().cast("binary"))
     return entities.agg(
-        F.bit_xor(row_hash).alias("content_hash"), F.count("*").alias("rows")
+        (F.sum(crc.cast("decimal(38,0)")) % F.lit(HASH_MODULUS))
+        .cast("long")
+        .alias("content_hash"),
+        F.count("*").alias("rows"),
+    )
+
+
+def crc32_sql_expr(byte_codes: str) -> str:
+    """DuckDB SQL expression computing zlib CRC32 over a BIGINT-list column
+    expression `byte_codes` (ASCII codepoints == bytes for ASCII input).
+    Table-driven (reflected poly 0xEDB88320); used by the driver oracle to
+    restate fileinfo_crc in ANSI SQL."""
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    tbl_sql = "[" + ",".join(str(x) for x in tbl) + "]"
+    return (
+        f"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), {byte_codes}), "
+        f"(crc, b) -> xor(crc >> 8, ({tbl_sql})[(xor(crc, b) & 255) + 1])), "
+        f"4294967295)"
     )
 
 

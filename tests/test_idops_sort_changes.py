@@ -149,6 +149,28 @@ class TestAggregates:
         assert rows[RELATION]["count"] == 6
         assert rows[NODE]["min_lon"] == 10000000 and rows[NODE]["max_lon"] == 20000000
 
+    def test_fileinfo_crc_is_zlib_crc32_sum(self, inp):
+        import zlib
+
+        from osmium_tool_spark.operators.aggregates import (
+            HASH_MODULUS,
+            canonical_row_string,
+            fileinfo_crc,
+        )
+
+        strings = [r["s"] for r in inp.select(canonical_row_string().alias("s")).collect()]
+        want = sum(zlib.crc32(s.encode()) for s in strings) % HASH_MODULUS
+        got = fileinfo_crc(inp).collect()[0]
+        assert got["content_hash"] == want
+        assert got["rows"] == len(strings)
+
+    def test_fileinfo_crc_multiplicity_sensitive(self, inp):
+        # a plain XOR combiner is blind to even multiplicities; the modular
+        # sum must change when rows are duplicated
+        h1 = aggregates.fileinfo_crc(inp).collect()[0]["content_hash"]
+        h2 = aggregates.fileinfo_crc(inp.unionByName(inp)).collect()[0]["content_hash"]
+        assert h1 != h2
+
     def test_tags_count(self, spark):
         df = fixtures.tags_filter_input(spark)
         rows = aggregates.tags_count(df).collect()
