@@ -443,16 +443,21 @@ def q_changeset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.sources import testdata as td
 
     cs = td.changesets_from_events(spark, sf_dir)
+    # `after` must keep OPEN changesets and closed ones with
+    # closed_at >= after (reference command_changeset_filter.cpp:205-207)
     out = changeset_filter(
         cs,
-        open_=True,
         with_changes=True,
+        with_discussion=True,
         uids=list(range(0, 60)),
         after=T_FROM,
         before=T_TO,
         bbox=(-900_000_000, -450_000_000, 900_000_000, 450_000_000),
     )
-    return out.select(_L("id").alias("id"), _L("created_at").alias("created_at"), _L("uid").alias("uid"))
+    return out.select(
+        _L("id").alias("id"), _L("created_at").alias("created_at"),
+        _L("uid").alias("uid"), F.col("open"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1091,14 +1096,17 @@ FROM customer
 WITH cs AS (
   SELECT event_id AS id, epoch_us(ts) AS created_at,
          event_type IN ('view','click') AS open,
+         CASE WHEN event_type IN ('view','click') THEN NULL
+              ELSE epoch_us(ts) + (event_id % 86400) * 1000000 END AS closed_at,
          user_id AS uid,
          CAST(floor(value*100) AS BIGINT) AS num_changes,
+         (event_id % 4) AS num_comments,
          (event_id * 2654435761) % 3600000000 - 1800000000 AS clon,
          (event_id * 2246822519) % 1800000000 - 900000000 AS clat
   FROM events)
-SELECT CAST(id AS BIGINT) AS id, created_at, CAST(uid AS BIGINT) AS uid FROM cs
-WHERE open AND num_changes > 0 AND uid IN ({uid_list})
-  AND created_at >= {T_FROM} AND created_at <= {T_TO}
+SELECT CAST(id AS BIGINT) AS id, created_at, CAST(uid AS BIGINT) AS uid, open FROM cs
+WHERE num_changes > 0 AND num_comments > 0 AND uid IN ({uid_list})
+  AND (open OR closed_at >= {T_FROM}) AND created_at <= {T_TO}
   AND (clon - 50000000) <= 900000000 AND (clon + 50000000) >= -900000000
   AND (clat - 50000000) <= 450000000 AND (clat + 50000000) >= -450000000
 """

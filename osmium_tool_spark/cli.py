@@ -140,11 +140,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", "--remove-tags", action="store_true")
 
     sp = io(sub.add_parser("getid"), n_inputs=1)
-    sp.add_argument("ids", nargs="+")
+    sp.add_argument("ids", nargs="*")
     sp.add_argument("-r", "--add-referenced", action="store_true")
+    sp.add_argument("-i", "--id-file", action="append", default=[],
+                    help="read ids from file (one per line, ' '/'#' start comments)")
+    sp.add_argument("-I", "--id-osm-file", action="append", default=[],
+                    help="take all (type,id) present in an OSM file (.opl or parquet)")
 
     sp = io(sub.add_parser("removeid"), n_inputs=1)
-    sp.add_argument("ids", nargs="+")
+    sp.add_argument("ids", nargs="*")
+    sp.add_argument("-i", "--id-file", action="append", default=[],
+                    help="read ids from file (one per line, ' '/'#' start comments)")
+    sp.add_argument("-I", "--id-osm-file", action="append", default=[],
+                    help="take all (type,id) present in an OSM file (.opl or parquet)")
 
     sp = io(sub.add_parser("getparents"), n_inputs=1)
     sp.add_argument("ids", nargs="+")
@@ -211,6 +219,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--open", dest="open_", action="store_true", default=None)
     sp.add_argument("--closed", dest="closed", action="store_true", default=None)
     sp.add_argument("--with-changes", action="store_true", default=None)
+    sp.add_argument("-d", "--with-discussion", dest="with_discussion", action="store_true", default=None)
+    sp.add_argument("-D", "--without-discussion", dest="without_discussion", action="store_true", default=None)
     sp.add_argument("--uid", type=int, default=None)
     sp.add_argument("--user", default=None)
     sp.add_argument("--after", type=int, default=None)
@@ -291,14 +301,40 @@ def run(args, spark: SparkSession) -> int:
         )
         _write(out, args.output)
     elif cmd in ("getid", "removeid", "getparents"):
-        from .operators.idops import getid, getparents, parse_id_list, removeid
+        from .operators.idops import (
+            getid,
+            getparents,
+            ids_from_osm_file,
+            merge_id_sets,
+            parse_id_list,
+            read_id_file,
+            removeid,
+        )
 
         ids = parse_id_list(args.ids)
+        if cmd in ("getid", "removeid"):
+            sets = [ids]
+            sets += [read_id_file(p) for p in args.id_file]
+            sets += [ids_from_osm_file(spark, p) for p in args.id_osm_file]
+            ids = merge_id_sets(*sets)
+            if not any(ids.values()):
+                print(
+                    "Please specify IDs on the command line or with --id-file/--id-osm-file",
+                    file=sys.stderr,
+                )
+                return 2
         ents = _read(spark, args.input)
         if cmd == "getid":
             out = getid(ents, ids, recursive=args.add_referenced)
-            if out.isEmpty():
-                return 1  # reference: exit 1 when ids not found
+            _write(out, args.output)
+            # reference exit-code parity (command_getid.cpp:396-398): exit 1
+            # when ANY requested id was not found, not just when all missing
+            req = [(t, i) for t, lst in ids.items() for i in lst]
+            req_df = spark.createDataFrame(req, "type int, id long")
+            missing = req_df.join(
+                out.select("type", "id").distinct(), on=["type", "id"], how="left_anti"
+            )
+            return 1 if not missing.isEmpty() else 0
         elif cmd == "removeid":
             out = removeid(ents, ids)
         else:
@@ -409,10 +445,12 @@ def run(args, spark: SparkSession) -> int:
 
         open_ = True if args.open_ else (False if args.closed else None)
         bbox = tuple(int(x) for x in args.bbox.split(",")) if args.bbox else None
+        discussion = True if args.with_discussion else (False if args.without_discussion else None)
         out = changeset_filter(
             _read(spark, args.input),
             open_=open_,
             with_changes=args.with_changes,
+            with_discussion=discussion,
             uid=args.uid,
             user=args.user,
             after=args.after,

@@ -28,6 +28,7 @@ def changeset_filter(
     changesets: DataFrame,
     open_: bool | None = None,
     with_changes: bool | None = None,
+    with_discussion: bool | None = None,
     uid: int | None = None,
     uids: list[int] | None = None,
     user: str | None = None,
@@ -35,7 +36,13 @@ def changeset_filter(
     before: int | None = None,
     bbox: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
-    """AND of all supplied predicates; times are epoch-millis on created_at."""
+    """AND of all supplied predicates; times are epoch-micros.
+
+    Time semantics match the reference exactly
+    (command_changeset_filter.cpp:205-211): `after` keeps changesets that
+    are still OPEN or closed at/after the time (closed_at >= after);
+    `before` keeps changesets created at/before the time
+    (created_at <= before). `with_discussion` tests num_comments."""
     conds: list[Column] = []
     if open_ is not None:
         conds.append(F.col("open") == open_)
@@ -43,6 +50,10 @@ def changeset_filter(
         conds.append(F.col("num_changes") > 0)
     elif with_changes is False:
         conds.append(F.col("num_changes") == 0)
+    if with_discussion is True:
+        conds.append(F.col("num_comments") > 0)
+    elif with_discussion is False:
+        conds.append(F.col("num_comments") == 0)
     if uid is not None:
         conds.append(F.col("uid") == uid)
     if uids is not None:
@@ -50,7 +61,7 @@ def changeset_filter(
     if user is not None:
         conds.append(F.col("user") == user)
     if after is not None:
-        conds.append(F.col("created_at") >= after)
+        conds.append(F.col("open") | (F.col("closed_at") >= after))
     if before is not None:
         conds.append(F.col("created_at") <= before)
     if bbox is not None:

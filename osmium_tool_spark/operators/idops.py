@@ -44,6 +44,42 @@ def parse_id_list(tokens: list[str], default_type: int = NODE) -> dict[int, list
     return out
 
 
+def read_id_file(path: str, default_type: int = NODE) -> dict[int, list[int]]:
+    """Parse an id file: one id per line, everything from the first space
+    or '#' on stripped (comment syntax, reference src/id_file.cpp:39-50);
+    'n'/'w'/'r' prefixes select the type, bare ids use default_type."""
+    toks: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            cuts = [i for i in (line.find(" "), line.find("#")) if i >= 0]
+            if cuts:
+                line = line[: min(cuts)]
+            if line:
+                toks.append(line)
+    return parse_id_list(toks, default_type)
+
+
+def ids_from_osm_file(spark, path: str) -> dict[int, list[int]]:
+    """All (type, id) pairs present in an OSM file (--id-osm-file,
+    reference src/id_file.cpp:14-29): .opl text or a parquet entity dir."""
+    from ..sources.opl import read_opl
+
+    df = read_opl(spark, path) if path.endswith(".opl") else spark.read.parquet(path)
+    out: dict[int, list[int]] = {NODE: [], WAY: [], RELATION: []}
+    for r in df.select("type", "id").distinct().collect():
+        out.setdefault(r["type"], []).append(r["id"])
+    return out
+
+
+def merge_id_sets(*id_sets: dict[int, list[int]]) -> dict[int, list[int]]:
+    out: dict[int, list[int]] = {NODE: [], WAY: [], RELATION: []}
+    for ids in id_sets:
+        for t, lst in ids.items():
+            out.setdefault(t, []).extend(lst)
+    return {t: sorted(set(lst)) for t, lst in out.items()}
+
+
 def getid(
     entities: DataFrame,
     ids: dict[int, list[int]],

@@ -5,6 +5,9 @@ test/extract/input1.osm fixture shape) as one heterogeneous DataFrame:
 
   type: 0=node, 1=way, 2=relation  (reference: osmium::item_type)
   id/version/visible/changeset/ts/uid/user: common metadata
+  ts: epoch MICROSECONDS (canonical unit everywhere — parquet derivations
+      use unix_micros and the OPL reader/writer converts from/to the
+      format's ISO-8601 seconds, sources/opl.py)
   tags: map<string,string>
   lon/lat: fixed-point int32 nanodegree*10 (degree × 1e7) — identical to
       osmium::Location's int32 fixed-point representation so point-in-polygon

@@ -52,9 +52,11 @@ def _make_parser():
         return "".join(out)
 
     def parse_ts(v: str):
+        # canonical ts unit is epoch MICROS (schema.py ENTITY_SCHEMA —
+        # parquet-derived entities use unix_micros); OPL carries seconds
         if not v:
             return None
-        return calendar.timegm(_time.strptime(v, "%Y-%m-%dT%H:%M:%SZ"))
+        return calendar.timegm(_time.strptime(v, "%Y-%m-%dT%H:%M:%SZ")) * 1_000_000
 
     def parse_line(line: str):
         line = line.strip()
@@ -154,9 +156,10 @@ def _make_serializer():
         return s if s else "0"
 
     def fmt_ts(ts) -> str:
+        # entity ts is epoch micros; OPL serializes whole seconds
         if ts is None:
             return ""
-        return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts))
+        return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts // 1_000_000))
 
     def serialize(row) -> str:
         parts = [f"{type_ch[row['type']]}{row['id']}"]

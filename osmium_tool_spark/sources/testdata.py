@@ -211,21 +211,28 @@ def history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def changesets_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changeset analog (command_changeset_filter.cpp predicate targets):
-    id, created_at(ms), open flag, uid, num_changes, and a small bbox
-    centred on a deterministic point."""
+    id, created_at/closed_at (epoch micros; closed_at NULL while open),
+    open flag, uid, num_changes, num_comments, and a small bbox centred on
+    a deterministic point."""
     ev = load(spark, sf_dir, "events")
     clon = lon_expr(F.col("event_id"))
     clat = lat_expr(F.col("event_id"))
     half = 50_000_000  # 5 degrees in fixed-point
+    created = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_open = F.col("event_type").isin("view", "click")
+    # deterministic lifetime: up to 1 day after creation
+    closed = created + (F.col("event_id") % 86_400) * F.lit(1_000_000)
     return ev.select(
         F.col("event_id").alias("id"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("created_at"),
-        F.col("event_type").isin("view", "click").alias("open"),
+        created.alias("created_at"),
+        F.when(~is_open, closed).alias("closed_at"),
+        is_open.alias("open"),
         F.col("user_id").cast("int").alias("uid"),
         F.lit("").alias("user"),
         # floor (not cast) — Spark's double->long cast truncates while the
         # SQL oracle's CAST rounds; floor agrees everywhere
         F.floor(F.col("value") * 100).cast("long").alias("num_changes"),
+        (F.col("event_id") % 4).cast("long").alias("num_comments"),
         (clon - half).alias("min_lon"),
         (clon + half).alias("max_lon"),
         (clat - half).alias("min_lat"),

@@ -49,6 +49,41 @@ def test_cli_getid_missing_exits_1(spark, input_dir, tmp_path):
     assert rc == 1
 
 
+def test_cli_getid_partial_find_exits_1(spark, input_dir, tmp_path):
+    # reference command_getid.cpp:396: ANY missing requested id -> exit 1,
+    # even when some ids WERE found and written
+    out = str(tmp_path / "gp")
+    rc = main(["getid", input_dir, "n10", "n999999", "-o", out], spark=spark)
+    assert rc == 1
+    got = {(r.type, r.id) for r in spark.read.parquet(out).collect()}
+    assert got == {(NODE, 10)}
+
+
+def test_cli_getid_id_file(spark, input_dir, tmp_path):
+    idf = tmp_path / "ids.txt"
+    idf.write_text("n10 trailing comment\nw20\n# full comment line\nn11#inline\n")
+    out = str(tmp_path / "gf")
+    rc = main(["getid", input_dir, "-i", str(idf), "-o", out], spark=spark)
+    assert rc == 0
+    got = {(r.type, r.id) for r in spark.read.parquet(out).collect()}
+    assert got == {(NODE, 10), (NODE, 11), (WAY, 20)}
+
+
+def test_cli_removeid_id_osm_file(spark, input_dir, tmp_path):
+    ref = tmp_path / "ids.opl"
+    ref.write_text("n10 v1 dV c1 t2020-01-01T00:00:00Z i0 u T x1 y1\n")
+    out = str(tmp_path / "rm")
+    rc = main(["removeid", input_dir, "-I", str(ref), "-o", out], spark=spark)
+    assert rc == 0
+    got = {(r.type, r.id) for r in spark.read.parquet(out).collect()}
+    assert (NODE, 10) not in got and (NODE, 11) in got
+
+
+def test_cli_getid_no_ids_exits_2(spark, input_dir, tmp_path):
+    rc = main(["getid", input_dir, "-o", str(tmp_path / "e")], spark=spark)
+    assert rc == 2
+
+
 def test_cli_extract_conflicting_args_exit(spark, input_dir, tmp_path):
     with pytest.raises(SystemExit):
         main(["extract", input_dir, "-o", str(tmp_path / "x")], spark=spark)

@@ -29,7 +29,8 @@ def test_read_opl_fields(spark, opl_path):
     n = rows[(NODE, 100)]
     assert n.version == 1 and n.visible and n.changeset == 7
     assert n.lon == 135000000 and n.lat == -472500000
-    assert n.ts == 1622548800
+    # canonical ts unit is epoch MICROS (matches parquet-derived entities)
+    assert n.ts == 1622548800 * 1_000_000
     assert rows[(NODE, 101)].visible is False
     esc = rows[(NODE, 102)]
     assert esc.user == "bob x"                      # %20% -> space
