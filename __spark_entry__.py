@@ -203,6 +203,78 @@ def q_extract_multi_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_L("extract_id").alias("extract_id"), _L("id").alias("id"))
 
 
+def q_extract_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """complete_ways_with_history over a two-version node history: ids are
+    marked when ANY version lies in the region; EVERY version of marked
+    ids is emitted (strategy_complete_ways_with_history.cpp:30-188)."""
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import extract
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    # v2 for every 3rd node, moved to a different deterministic location
+    v2 = (
+        nodes.filter(F.col("id") % 3 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("lon", td.lon_expr(F.col("id") + 7777).cast("long"))
+        .withColumn("lat", td.lat_expr(F.col("id") + 7777).cast("long"))
+    )
+    hist = nodes.unionByName(v2).unionByName(td.ways_from_orders(spark, sf_dir))
+    out = extract(
+        hist, [Extract.bbox(0, *BBOX)], strategy="complete_ways_with_history",
+        persist_input=False,
+    )
+    return out.select(
+        _L("type").alias("type"), _L("id").alias("id"), _L("version").alias("version")
+    )
+
+
+# OSM-file polygon region (functions/geometry.parse_osm_file): outer box
+# with a hole + a detached square, as multipolygon relations in OPL
+OSM_POLY_OPL = """\
+n1 x-90 y-45
+n2 x90 y-45
+n3 x90 y45
+n4 x-90 y45
+n5 x-30 y-15
+n6 x30 y-15
+n7 x30 y15
+n8 x-30 y15
+n9 x120 y50
+n10 x170 y50
+n11 x170 y80
+n12 x120 y80
+w20 Nn1,n2,n3,n4,n1
+w21 Nn5,n6,n7,n8,n5
+w22 Nn9,n10,n11,n12,n9
+r30 Ttype=multipolygon Mw20@outer,w21@inner
+r31 Ttype=boundary Mw22@outer
+"""
+
+OSM_POLY_RINGS_FP = [
+    [(-900000000, -450000000), (900000000, -450000000), (900000000, 450000000),
+     (-900000000, 450000000), (-900000000, -450000000)],
+    [(-300000000, -150000000), (300000000, -150000000), (300000000, 150000000),
+     (-300000000, 150000000), (-300000000, -150000000)],
+    [(1200000000, 500000000), (1700000000, 500000000), (1700000000, 800000000),
+     (1200000000, 800000000), (1200000000, 500000000)],
+]
+
+
+def q_extract_osm_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract region defined by an OSM file's multipolygon relations
+    (reference osm_file_parser.cpp:48-91): rings assembled driver-side,
+    then the usual pooled even-odd PIP assignment."""
+    from osmium_tool_spark.functions.geometry import Extract, parse_osm_file
+    from osmium_tool_spark.operators.extract import assign_extracts
+    from osmium_tool_spark.sources import testdata as td
+
+    rings = parse_osm_file(OSM_POLY_OPL, fmt="opl")
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = assign_extracts(nodes, [Extract.polygon(0, rings)])
+    return out.select(_L("id").alias("id"))
+
+
 def q_tags_filter_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.tags_filter import tags_filter
     from osmium_tool_spark.sources import testdata as td
@@ -753,6 +825,26 @@ def q_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(_L("id").alias("id"), F.col("geometry"))
 
 
+def q_export_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-GeoJSON Feature objects (the reference default export format;
+    FeatureCollection framing is write_geojson's driver-side stitch)."""
+    from osmium_tool_spark.operators.export import features, to_geojson_features
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    return to_geojson_features(features(nodes)).select(F.col("feature"))
+
+
+def q_export_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text` export format: WKT geometry + space + k=v tag list
+    (export_format_text.cpp:128-160)."""
+    from osmium_tool_spark.operators.export import features, to_text
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    return to_text(features(nodes, geometry_format="wkt")).select(F.col("row"))
+
+
 HEX_FP = [
     (1_200_000_000, -200_000_000), (1_500_000_000, 300_000_000),
     (1_200_000_000, 700_000_000), (700_000_000, 700_000_000),
@@ -764,7 +856,13 @@ HEX_FP = [
 def _pip_sql(ring: list[tuple[int, int]], x: str, y: str) -> str:
     """Even-odd ray cast as generated SQL over explicit segments (twin of
     operators/extract._pip_column)."""
-    segs = list(zip(ring[:-1], ring[1:]))
+    return _pip_sql_rings([ring], x, y)
+
+
+def _pip_sql_rings(rings: list[list[tuple[int, int]]], x: str, y: str) -> str:
+    """Pooled even-odd over ALL rings' segments (the engine's multipolygon
+    model — holes fall out of parity, extract_polygon.cpp:66-74)."""
+    segs = [s for ring in rings for s in zip(ring[:-1], ring[1:])]
     on_vertex = " OR ".join(
         f"(({x}) = {x1} AND ({y}) = {y1})" for (x1, y1), _ in segs
     )
@@ -830,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_smart": q_extract_smart,
         "extract_polygon": q_extract_polygon,
         "extract_multi_tile": q_extract_multi_tile,
+        "extract_history": q_extract_history,
+        "extract_osm_polygon": q_extract_osm_polygon,
         "tags_filter_plain": q_tags_filter_plain,
         "tags_filter_invert": q_tags_filter_invert,
         "tags_filter_closure": q_tags_filter_closure,
@@ -873,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_locations": q_add_locations,
         "export_points": q_export_points,
         "export_lines": q_export_lines,
+        "export_geojson": q_export_geojson,
+        "export_text": q_export_text,
         "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
         "multimodal_decode": q_multimodal_decode,
@@ -941,12 +1043,34 @@ WITH {NODES_CTE}
 SELECT CAST(id AS BIGINT) AS id FROM nodes WHERE abs(lon) + abs(lat) < {DIAMOND_R}
 """
 
+    o["extract_osm_polygon"] = f"""
+WITH {NODES_CTE}
+SELECT CAST(id AS BIGINT) AS id FROM nodes
+WHERE {_pip_sql_rings(OSM_POLY_RINGS_FP, 'lon', 'lat')}
+"""
+
     quads = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS extract_id, CAST(id AS BIGINT) AS id FROM nodes "
         f"WHERE lon BETWEEN {q[0]} AND {q[2]} AND lat BETWEEN {q[1]} AND {q[3]}"
         for i, q in enumerate(QUADS_FP)
     )
     o["extract_multi_tile"] = f"WITH {NODES_CTE} {quads}"
+
+    V2_LON = "((p_partkey + 7777) * 2654435761) % 3600000000 - 1800000000"
+    V2_LAT = "((p_partkey + 7777) * 2246822519) % 1800000000 - 900000000"
+    o["extract_history"] = f"""
+WITH {NODES_CTE},
+mark1 AS (SELECT id FROM nodes WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}),
+mark2 AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 3 = 0
+          AND ({V2_LON}) BETWEEN {bb[0]} AND {bb[2]} AND ({V2_LAT}) BETWEEN {bb[1]} AND {bb[3]}),
+mn AS (SELECT id FROM mark1 UNION SELECT id FROM mark2),
+mw AS (SELECT DISTINCT l_orderkey AS id FROM lineitem WHERE l_partkey IN (SELECT id FROM mn)),
+extra AS (SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_orderkey IN (SELECT id FROM mw)),
+nids AS (SELECT id FROM mn UNION SELECT id FROM extra)
+SELECT CAST(0 AS BIGINT) AS type, CAST(id AS BIGINT) AS id, CAST(1 AS BIGINT) AS version FROM nids
+UNION ALL SELECT 0, id, 2 FROM nids WHERE id % 3 = 0
+UNION ALL SELECT 1, id, 1 FROM mw
+"""
 
     o["tags_filter_plain"] = """
 SELECT CAST(0 AS BIGINT) AS type, CAST(p_partkey AS BIGINT) AS id FROM part
@@ -1387,6 +1511,26 @@ coords AS (SELECT l_orderkey, list(pt ORDER BY l_linenumber, l_partkey) AS cs FR
 SELECT CAST(l_orderkey AS BIGINT) AS id,
        '{{"type":"LineString","coordinates":[' || array_to_string(cs, ',') || ']}}' AS geometry
 FROM coords WHERE len(cs) >= 2
+"""
+
+    o["export_geojson"] = f"""
+WITH {NODES_CTE},
+j AS (SELECT n.id, {fmt_lon} AS fl, {fmt_lat} AS fa, p_brand, p_type, p_name
+      FROM nodes n JOIN part ON n.id = p_partkey)
+SELECT '{{"type":"Feature","id":' || CAST(id AS VARCHAR)
+    || ',"geometry":{{"type":"Point","coordinates":[' || fl || ',' || fa || ']}}'
+    || ',"properties":{{"brand":"' || p_brand || '","type":"' || p_type
+    || '","name":"' || p_name || '"}}}}' AS feature
+FROM j
+"""
+
+    o["export_text"] = f"""
+WITH {NODES_CTE},
+j AS (SELECT n.id, {fmt_lon} AS fl, {fmt_lat} AS fa, p_brand, p_type, p_name
+      FROM nodes n JOIN part ON n.id = p_partkey)
+SELECT 'POINT(' || fl || ' ' || fa || ') brand=' || p_brand || ',type=' || p_type
+    || ',name=' || p_name AS row
+FROM j
 """
 
     r_ = DIAMOND_R

@@ -67,7 +67,7 @@ def _types(arg: str | None) -> list[int] | None:
 def _parse_extracts(args) -> list:
     import numpy as np
 
-    from .functions.geometry import Extract, parse_geojson, parse_poly
+    from .functions.geometry import Extract, parse_geojson, parse_osm_file, parse_poly
     from .schema import fp
 
     extracts = []
@@ -76,11 +76,14 @@ def _parse_extracts(args) -> list:
         extracts.append(Extract.bbox(0, left, bottom, right, top))
     elif args.polygon:
         text = open(args.polygon).read()
-        rings = (
-            parse_geojson(text)
-            if args.polygon.endswith((".json", ".geojson"))
-            else parse_poly(text)
-        )
+        if args.polygon.endswith((".json", ".geojson")):
+            rings = parse_geojson(text)
+        elif args.polygon.endswith((".osm", ".xml")):
+            rings = parse_osm_file(text, fmt="xml")
+        elif args.polygon.endswith(".opl"):
+            rings = parse_osm_file(text, fmt="opl")
+        else:
+            rings = parse_poly(text)
         extracts.append(Extract.polygon(0, [np.asarray(r) for r in rings]))
     elif args.config:
         cfg = json.load(open(args.config))
@@ -204,7 +207,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="columns excluded from the content compare (e.g. changeset, uid, user, ts)")
 
     sp = io(sub.add_parser("export"), n_inputs=1)
-    sp.add_argument("-f", "--output-format", default="geojsonseq", choices=["geojsonseq", "pg"])
+    sp.add_argument("-f", "--output-format", default="geojson",
+                    choices=["geojson", "geojsonseq", "pg", "text"])
     sp.add_argument("-n", "--keep-untagged", action="store_true")
     sp.add_argument("-a", "--attributes", default=None,
                     help="comma list of object attributes folded into properties as @keys")
@@ -417,11 +421,14 @@ def run(args, spark: SparkSession) -> int:
             filter_tags,
             to_geojsonseq,
             to_pg,
+            to_text,
             with_attributes,
+            write_geojson,
         )
 
         ents = _read(spark, args.input)
-        f = features(ents, keep_untagged=args.keep_untagged)
+        gfmt = "wkt" if args.output_format == "text" else "geojson"
+        f = features(ents, keep_untagged=args.keep_untagged, geometry_format=gfmt)
         f = filter_tags(
             f,
             include_tags=args.include_tags.split(",") if args.include_tags else None,
@@ -429,8 +436,16 @@ def run(args, spark: SparkSession) -> int:
         )
         if args.attributes:
             f = with_attributes(f, ents, args.attributes.split(","))
-        out = to_geojsonseq(f) if args.output_format == "geojsonseq" else to_pg(f)
-        _write(out, args.output, fmt="text")
+        if args.output_format == "geojson":
+            write_geojson(f, args.output)
+        else:
+            if args.output_format == "geojsonseq":
+                out = to_geojsonseq(f)
+            elif args.output_format == "text":
+                out = to_text(f, keep_untagged=args.keep_untagged)
+            else:
+                out = to_pg(f)
+            _write(out, args.output, fmt="text")
     elif cmd == "add-locations-to-ways":
         from .operators.locations import add_locations_to_ways
 

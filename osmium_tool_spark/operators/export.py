@@ -239,19 +239,34 @@ def features(
     entities: DataFrame,
     keep_untagged: bool = False,
     area_tags: tuple = AREA_TAGS,
+    geometry_format: str = "geojson",
 ) -> DataFrame:
     """Feature DataFrame: (ftype: point|linestring|polygon|multipolygon,
-    type, id, tags, geometry: GeoJSON geometry string)."""
+    type, id, tags, geometry string).
+
+    `geometry_format`: "geojson" (JSON geometry objects) or "wkt"
+    (POINT/LINESTRING/POLYGON/MULTIPOLYGON — what the reference's `text`
+    export format emits via its WKT factory, export_format_text.cpp).
+    Both share the 7-decimal trimmed coordinate formatting."""
+    if geometry_format not in ("geojson", "wkt"):
+        raise ValueError(f"unknown geometry format {geometry_format!r}")
+    wkt = geometry_format == "wkt"
     nodes = entities.filter(F.col("type") == NODE)
     ways = entities.filter(F.col("type") == WAY)
     rels = entities.filter(F.col("type") == RELATION)
 
     pts = nodes if keep_untagged else nodes.filter(F.size(F.map_keys("tags")) > 0)
-    point_geom = F.concat(
-        F.lit('{"type":"Point","coordinates":['),
-        coord_str(F.col("lon")), F.lit(","), coord_str(F.col("lat")),
-        F.lit("]}"),
-    )
+    if wkt:
+        point_geom = F.concat(
+            F.lit("POINT("), coord_str(F.col("lon")), F.lit(" "),
+            coord_str(F.col("lat")), F.lit(")"),
+        )
+    else:
+        point_geom = F.concat(
+            F.lit('{"type":"Point","coordinates":['),
+            coord_str(F.col("lon")), F.lit(","), coord_str(F.col("lat")),
+            F.lit("]}"),
+        )
     points = pts.select(
         F.lit("point").alias("ftype"), "type", "id", "tags", point_geom.alias("geometry")
     )
@@ -265,63 +280,83 @@ def features(
     # feature, export_handler.cpp error handling)
     complete = F.forall(F.col("coords"), lambda c: c["__lon"].isNotNull())
     wc = wc_all.filter((F.size("coords") >= 2) & complete)
-    coords_json = F.concat_ws(
-        ",",
-        F.transform(
-            F.col("coords"),
-            lambda c: F.concat(
-                F.lit("["), coord_str(c["__lon"]), F.lit(","), coord_str(c["__lat"]), F.lit("]")
+    if wkt:
+        coords_seq = F.concat_ws(
+            ",",
+            F.transform(
+                F.col("coords"),
+                lambda c: F.concat(coord_str(c["__lon"]), F.lit(" "), coord_str(c["__lat"])),
             ),
-        ),
-    )
+        )
+        line_geom = F.concat(F.lit("LINESTRING("), coords_seq, F.lit(")"))
+        wpoly_geom = F.concat(F.lit("POLYGON(("), coords_seq, F.lit("))"))
+    else:
+        coords_seq = F.concat_ws(
+            ",",
+            F.transform(
+                F.col("coords"),
+                lambda c: F.concat(
+                    F.lit("["), coord_str(c["__lon"]), F.lit(","), coord_str(c["__lat"]), F.lit("]")
+                ),
+            ),
+        )
+        line_geom = F.concat(
+            F.lit('{"type":"LineString","coordinates":['), coords_seq, F.lit("]}")
+        )
+        wpoly_geom = F.concat(
+            F.lit('{"type":"Polygon","coordinates":[['), coords_seq, F.lit("]]}")
+        )
     area_way = is_area_way(F.col("tags"), F.col("refs"), area_tags)
     lines = wc.filter(~area_way).select(
         F.lit("linestring").alias("ftype"), "type", "id", "tags",
-        F.concat(
-            F.lit('{"type":"LineString","coordinates":['), coords_json, F.lit("]}")
-        ).alias("geometry"),
+        line_geom.alias("geometry"),
     )
     way_polys = wc.filter(area_way).select(
         F.lit("polygon").alias("ftype"), "type", "id", "tags",
-        F.concat(
-            F.lit('{"type":"Polygon","coordinates":[['), coords_json, F.lit("]]}")
-        ).alias("geometry"),
+        wpoly_geom.alias("geometry"),
     )
 
     mp = assemble_multipolygons(rels, wc_all)
 
-    def ring_json(ring):
-        return F.concat(
-            F.lit("["),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    ring,
-                    lambda c: F.concat(
+    open_r, close_r = ("(", ")") if wkt else ("[", "]")
+    pair_sep = " " if wkt else ","
+
+    def ring_txt(ring):
+        inner = F.concat_ws(
+            ",",
+            F.transform(
+                ring,
+                lambda c: (
+                    F.concat(coord_str(c.lon), F.lit(pair_sep), coord_str(c.lat))
+                    if wkt
+                    else F.concat(
                         F.lit("["), coord_str(c.lon), F.lit(","), coord_str(c.lat), F.lit("]")
-                    ),
+                    )
                 ),
             ),
-            F.lit("]"),
         )
+        return F.concat(F.lit(open_r), inner, F.lit(close_r))
 
-    polys_json = F.concat_ws(
+    polys_txt = F.concat_ws(
         ",",
         F.transform(
             F.col("polys"),
             lambda poly: F.concat(
-                F.lit("["), F.concat_ws(",", F.transform(poly, ring_json)), F.lit("]")
+                F.lit(open_r), F.concat_ws(",", F.transform(poly, ring_txt)), F.lit(close_r)
             ),
         ),
+    )
+    mp_geom = (
+        F.concat(F.lit("MULTIPOLYGON("), polys_txt, F.lit(")"))
+        if wkt
+        else F.concat(F.lit('{"type":"MultiPolygon","coordinates":['), polys_txt, F.lit("]}"))
     )
     mpolys = mp.select(
         F.lit("multipolygon").alias("ftype"),
         F.lit(RELATION).alias("type"),
         "id",
         "tags",
-        F.concat(
-            F.lit('{"type":"MultiPolygon","coordinates":['), polys_json, F.lit("]}")
-        ).alias("geometry"),
+        mp_geom.alias("geometry"),
     )
 
     return points.unionByName(lines).unionByName(way_polys).unionByName(mpolys)
@@ -404,6 +439,58 @@ def to_geojsonseq(feats: DataFrame, with_id: bool = True) -> DataFrame:
             F.lit(',"properties":'), props, F.lit("}"),
         ).alias("feature")
     )
+
+
+def to_text(feats: DataFrame, keep_untagged: bool = False) -> DataFrame:
+    """`text` export format (src/export/export_format_text.cpp:128-160):
+    one feature per line, WKT geometry + space + 'k=v,k=v' tag list; a
+    feature with no tags (and no requested attributes) is SKIPPED unless
+    keep_untagged. Build the input with features(geometry_format='wkt')."""
+    out = feats if keep_untagged else feats.filter(F.size(F.map_keys("tags")) > 0)
+    tags_txt = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_entries("tags"), lambda e: F.concat(e.key, F.lit("="), e.value)
+        ),
+    )
+    return out.select(F.concat(F.col("geometry"), F.lit(" "), tags_txt).alias("row"))
+
+
+def to_geojson_features(feats: DataFrame, with_id: bool = True) -> DataFrame:
+    """The per-feature rows of a plain-GeoJSON FeatureCollection (same
+    Feature objects as geojsonseq — the two formats differ only in
+    framing, export_format_json.cpp)."""
+    return to_geojsonseq(feats, with_id=with_id)
+
+
+def write_geojson(feats: DataFrame, path: str, with_id: bool = True) -> None:
+    """Plain GeoJSON — the reference's DEFAULT export format
+    (command_export.cpp:527-545): ONE FeatureCollection document.
+
+    A single JSON document is an inherently serial byte stream, so the
+    features are produced distributed (sorted part files) and stitched on
+    the driver with O(1) memory (line-streamed, comma-framed) — the same
+    shape as the reference's single-writer output stage."""
+    import glob
+    import shutil
+
+    tmp = path + ".parts"
+    to_geojsonseq(feats, with_id=with_id).write.mode("overwrite").text(tmp)
+    with open(path, "w") as out:
+        out.write('{"type":"FeatureCollection","features":[\n')
+        first = True
+        for part in sorted(glob.glob(f"{tmp}/part-*")):
+            with open(part) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    if not first:
+                        out.write(",\n")
+                    out.write(line)
+                    first = False
+        out.write("\n]}\n")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def to_pg(feats: DataFrame) -> DataFrame:

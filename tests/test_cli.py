@@ -91,11 +91,37 @@ def test_cli_extract_conflicting_args_exit(spark, input_dir, tmp_path):
 
 def test_cli_export_geojsonseq(spark, input_dir, tmp_path):
     out = str(tmp_path / "exp")
-    rc = main(["export", input_dir, "-o", out], spark=spark)
+    rc = main(["export", input_dir, "-f", "geojsonseq", "-o", out], spark=spark)
     assert rc == 0
     lines = spark.read.text(out).collect()
     feats = [json.loads(r.value) for r in lines]
     assert all(f["type"] == "Feature" for f in feats)
+
+
+def test_cli_export_geojson_default_is_one_featurecollection(spark, input_dir, tmp_path):
+    # plain geojson is the reference's DEFAULT output format
+    # (command_export.cpp:527-545): one valid FeatureCollection document
+    out = str(tmp_path / "fc.geojson")
+    rc = main(["export", input_dir, "-o", out], spark=spark)
+    assert rc == 0
+    doc = json.loads(open(out).read())
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) > 0
+    assert all(f["type"] == "Feature" for f in doc["features"])
+
+
+def test_cli_export_text_wkt(spark, input_dir, tmp_path):
+    out = str(tmp_path / "txt")
+    rc = main(["export", input_dir, "-f", "text", "-o", out], spark=spark)
+    assert rc == 0
+    text = "".join(p.read_text() for p in (tmp_path / "txt").glob("part-*"))
+    lines = [ln for ln in text.splitlines() if ln]
+    assert all(
+        ln.startswith(("POINT(", "LINESTRING(", "POLYGON((", "MULTIPOLYGON("))
+        for ln in lines
+    )
+    # tagged features only; geometry then space then k=v list
+    assert all(" " in ln and "=" in ln.split(" ", 1)[1] for ln in lines)
 
 
 def test_cli_bad_input_exit_2(spark, tmp_path):

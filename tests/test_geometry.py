@@ -161,3 +161,76 @@ class TestGeoJSON:
     def test_wrong_type(self):
         with pytest.raises(ValueError):
             parse_geojson('{"type":"Point","coordinates":[0,0]}')
+
+
+class TestOSMFilePolygonSource:
+    """OSM file as extract region (reference src/extract/osm_file_parser.cpp:
+    48-91): multipolygon/boundary relations' member ways stitched into
+    rings. Fixture parity with /root/reference/test/extract/*.osm.opl."""
+
+    REF = "/root/reference/test/extract"
+
+    def _contains(self, rings, lon_deg, lat_deg):
+        import numpy as np
+
+        from osmium_tool_spark.functions.geometry import Extract
+        from osmium_tool_spark.schema import fp
+
+        e = Extract.polygon(0, rings)
+        return bool(
+            e.contains(np.array([fp(lon_deg)]), np.array([fp(lat_deg)]))[0]
+        )
+
+    def test_multipolygon_fixture(self):
+        from osmium_tool_spark.functions.geometry import parse_osm_file
+
+        text = open(f"{self.REF}/multipolygon.osm.opl").read()
+        rings = parse_osm_file(text, fmt="opl")
+        # square 10-19 with hole 11-18, plus square 20-29
+        assert len(rings) == 3
+        assert self._contains(rings, 10.5, 10.5)      # between outer and hole
+        assert not self._contains(rings, 15.0, 15.0)  # inside the hole
+        assert self._contains(rings, 25.0, 25.0)      # second square
+        assert not self._contains(rings, 5.0, 5.0)    # outside everything
+
+    def test_no_polygon_fixture_raises(self):
+        from osmium_tool_spark.functions.geometry import parse_osm_file
+
+        text = open(f"{self.REF}/no-polygon.osm.opl").read()
+        with pytest.raises(ValueError, match="multipolygon"):
+            parse_osm_file(text, fmt="opl")
+
+    def test_empty_fixture_raises(self):
+        from osmium_tool_spark.functions.geometry import parse_osm_file
+
+        with pytest.raises(ValueError):
+            parse_osm_file(open(f"{self.REF}/empty.osm.opl").read(), fmt="opl")
+
+    def test_xml_variant(self):
+        from osmium_tool_spark.functions.geometry import parse_osm_file
+
+        xml = """<?xml version='1.0'?>
+<osm version="0.6">
+  <node id="1" lon="0.0" lat="0.0"/>
+  <node id="2" lon="10.0" lat="0.0"/>
+  <node id="3" lon="10.0" lat="10.0"/>
+  <node id="4" lon="0.0" lat="10.0"/>
+  <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+  <way id="11"><nd ref="3"/><nd ref="4"/><nd ref="1"/></way>
+  <relation id="20">
+    <member type="way" ref="10" role="outer"/>
+    <member type="way" ref="11" role="outer"/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
+</osm>"""
+        rings = parse_osm_file(xml, fmt="xml")
+        assert len(rings) == 1
+        assert self._contains(rings, 5.0, 5.0)
+        assert not self._contains(rings, 15.0, 5.0)
+
+    def test_missing_node_raises(self):
+        from osmium_tool_spark.functions.geometry import parse_osm_file
+
+        opl = "n1 x0 y0\nw10 Nn1,n2,n1\nr20 Ttype=multipolygon Mw10@outer\n"
+        with pytest.raises(ValueError, match="Missing node"):
+            parse_osm_file(opl, fmt="opl")
