@@ -45,7 +45,7 @@ def _read(spark: SparkSession, paths: list[str]) -> DataFrame:
     return reduce(DataFrame.unionByName, dfs)
 
 
-def _write(df: DataFrame, out: str, fmt: str = "parquet") -> None:
+def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None) -> None:
     if out.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
@@ -53,7 +53,7 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet") -> None:
     elif fmt == "parquet":
         from .sinks.writer import write_sorted
 
-        write_sorted(df, out)
+        write_sorted(df, out, header=header)
     else:  # text formats (export serializations)
         df.coalesce(1).write.mode("overwrite").text(out)
 
@@ -202,7 +202,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("diff")
     sp.add_argument("left")
     sp.add_argument("right")
-    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("-o", "--output", default=None)
+    sp.add_argument("-f", "--output-format", default="parquet", choices=["parquet", "compact"])
+    sp.add_argument("-s", "--summary", action="store_true",
+                    help="print left/right/same/different counts to stderr")
+    sp.add_argument("-c", "--suppress-common", action="store_true",
+                    help="omit objects that are the same in both inputs")
+    sp.add_argument("-q", "--quiet", action="store_true",
+                    help="no output, exit code only")
     sp.add_argument("--ignore", action="append", default=[],
                     help="columns excluded from the content compare (e.g. changeset, uid, user, ts)")
 
@@ -386,9 +393,19 @@ def run(args, spark: SparkSession) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
     elif cmd == "time-filter":
-        from .operators.changes import time_filter
+        from .operators.changes import replication_header, time_filter
+        from .sinks.writer import read_header
 
-        _write(time_filter(_read(spark, args.input), args.time_from, args.time_to), args.output)
+        try:
+            in_hdr = read_header(args.input[0])
+        except (OSError, ValueError):
+            in_hdr = {}
+        hdr = replication_header(in_hdr, args.time_from, args.time_to)
+        _write(
+            time_filter(_read(spark, args.input), args.time_from, args.time_to),
+            args.output,
+            header=hdr or None,
+        )
     elif cmd == "apply-changes":
         from .operators.changes import apply_changes
 
@@ -410,11 +427,32 @@ def run(args, spark: SparkSession) -> int:
         )
         _write(out.drop("change_op"), args.output)
     elif cmd == "diff":
-        from .operators.changes import diff
+        from .operators.changes import diff, diff_compact, diff_summary
 
+        if args.quiet and (args.output or args.suppress_common):
+            raise SystemExit("diff: do not use --quiet with output options")
         out = diff(_read_one(spark, args.left), _read_one(spark, args.right), ignore=set(args.ignore))
-        out.write.mode("overwrite").parquet(args.output)
-        return 1 if out.filter("status <> 'same'").count() else 0
+        counts = diff_summary(out).collect()[0]
+        if not args.quiet:
+            if args.output is None:
+                # stdout compact (the reference default when no -o given)
+                for r in diff_compact(out, suppress_common=args.suppress_common).collect():
+                    print(r["line"])
+            elif args.output_format == "compact":
+                diff_compact(out, suppress_common=args.suppress_common).coalesce(
+                    1
+                ).write.mode("overwrite").text(args.output)
+            else:
+                d = out.filter("status <> 'same'") if args.suppress_common else out
+                d.write.mode("overwrite").parquet(args.output)
+        if args.summary:
+            print(
+                f"Summary: left={counts['left']} right={counts['right']} "
+                f"same={counts['same']} different={counts['different']}",
+                file=sys.stderr,
+            )
+        ndiff = counts["left"] + counts["right"] + counts["different"]
+        return 1 if ndiff else 0
     elif cmd == "export":
         from .operators.export import (
             features,

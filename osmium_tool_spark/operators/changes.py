@@ -135,6 +135,72 @@ def diff(
     return j.select("type", "id", "version", status.alias("status")).orderBy("type", "id", "version")
 
 
+def replication_header(
+    input_header: dict | None, t_from: int, t_to: int | None = None
+) -> dict:
+    """osmosis_replication_timestamp propagation for time-filter
+    (command_time_filter.cpp:137-149): when the input header carries a
+    replication timestamp at/after the filter's upper bound, the output
+    header's timestamp becomes that bound (minus one second in range
+    mode) — the filtered file can only vouch for data up to the cut.
+    Filter times are epoch micros; the header value is ISO-8601 seconds.
+    Unset/invalid input timestamps are ignored (reference behavior)."""
+    import calendar
+    import time as _time
+
+    hdr: dict = {}
+    raw = (input_header or {}).get("osmosis_replication_timestamp")
+    if raw is None:
+        return hdr
+    try:
+        if isinstance(raw, (int, float)):
+            in_ts = int(raw)
+        else:
+            in_ts = calendar.timegm(_time.strptime(raw, "%Y-%m-%dT%H:%M:%SZ")) * 1_000_000
+    except (ValueError, TypeError):
+        return hdr
+    upper = t_from if t_to is None else t_to
+    if in_ts >= upper:
+        out_ts = upper if t_to is None else upper - 1_000_000
+        hdr["osmosis_replication_timestamp"] = _time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(out_ts // 1_000_000)
+        )
+    return hdr
+
+
+def diff_compact(diff_df: DataFrame, suppress_common: bool = False) -> DataFrame:
+    """Compact diff format (command_diff.cpp:216-247): one line per object,
+    status mark + type char + id + ' v' + version — '-'=left-only,
+    '+'=right-only, ' '=same, '*'=different (printed once, for the left
+    object). `suppress_common` (-c) drops the 'same' lines."""
+    d = diff_df.filter(F.col("status") != "same") if suppress_common else diff_df
+    mark = (
+        F.when(F.col("status") == "left", "-")
+        .when(F.col("status") == "right", "+")
+        .when(F.col("status") == "different", "*")
+        .otherwise(" ")
+    )
+    tchar = (
+        F.when(F.col("type") == 0, "n").when(F.col("type") == 1, "w").otherwise("r")
+    )
+    return d.select(
+        F.concat(
+            mark, tchar, F.col("id").cast("string"), F.lit(" v"), F.col("version").cast("string")
+        ).alias("line")
+    )
+
+
+def diff_summary(diff_df: DataFrame) -> DataFrame:
+    """Status counts for `-s` (command_diff.cpp:383-388): one row
+    (left, right, same, different)."""
+    return diff_df.agg(
+        *[
+            F.count(F.when(F.col("status") == s, 1)).alias(s)
+            for s in ("left", "right", "same", "different")
+        ]
+    )
+
+
 def derive_changes(
     old: DataFrame,
     new: DataFrame,

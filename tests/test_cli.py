@@ -84,6 +84,47 @@ def test_cli_getid_no_ids_exits_2(spark, input_dir, tmp_path):
     assert rc == 2
 
 
+def test_cli_diff_compact_and_summary(spark, input_dir, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    left_dir = str(tmp_path / "l")
+    right_dir = str(tmp_path / "r")
+    ents = spark.read.parquet(input_dir)
+    ents.filter(F.col("id") != 11).write.parquet(left_dir)   # n11 right-only
+    ents.filter(F.col("id") != 12).write.parquet(right_dir)  # n12 left-only
+    rc = main(["diff", left_dir, right_dir, "-s"], spark=spark)
+    assert rc == 1  # differences exist -> exit 1 (command_diff.cpp:394)
+    captured = capsys.readouterr()
+    lines = [ln for ln in captured.out.splitlines() if ln]
+    assert "+n11 v1" in lines and "-n12 v1" in lines
+    assert sum(1 for ln in lines if ln.startswith(" ")) > 0  # same lines kept
+    assert "Summary: left=1 right=1" in captured.err
+
+
+def test_cli_diff_quiet_equal_exits_0(spark, input_dir, tmp_path):
+    rc = main(["diff", input_dir, input_dir, "-q"], spark=spark)
+    assert rc == 0
+
+
+def test_cli_time_filter_replication_header(spark, input_dir, tmp_path):
+    import json as _json
+
+    src = str(tmp_path / "withhdr")
+    spark.read.parquet(input_dir).write.parquet(src)
+    with open(src + "/_header.json", "w") as f:
+        _json.dump({"osmosis_replication_timestamp": "2030-01-01T00:00:00Z"}, f)
+    out = str(tmp_path / "tf_out")
+    t = 1_600_000_000_000_000  # upper bound (2020) before the 2030 replication ts
+    rc = main(["time-filter", src, str(t), "-o", out], spark=spark)
+    assert rc == 0
+    hdr = _json.load(open(out + "/_header.json"))
+    # reference command_time_filter.cpp:137-149: output ts clamped to the cut
+    import time as _time
+
+    want = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(t // 1_000_000))
+    assert hdr["osmosis_replication_timestamp"] == want
+
+
 def test_cli_extract_conflicting_args_exit(spark, input_dir, tmp_path):
     with pytest.raises(SystemExit):
         main(["extract", input_dir, "-o", str(tmp_path / "x")], spark=spark)
