@@ -221,6 +221,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list of object attributes folded into properties as @keys")
     sp.add_argument("--include-tags", default=None, help="comma list of tag keys to keep (prefix* ok)")
     sp.add_argument("--exclude-tags", default=None, help="comma list of tag keys to drop")
+    sp.add_argument("--geometry-types", default=None,
+                    help="comma list of point/linestring/polygon/multipolygon to keep")
 
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
@@ -456,6 +458,7 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "export":
         from .operators.export import (
             features,
+            filter_geometry_types,
             filter_tags,
             to_geojsonseq,
             to_pg,
@@ -467,6 +470,8 @@ def run(args, spark: SparkSession) -> int:
         ents = _read(spark, args.input)
         gfmt = "wkt" if args.output_format == "text" else "geojson"
         f = features(ents, keep_untagged=args.keep_untagged, geometry_format=gfmt)
+        if args.geometry_types:
+            f = filter_geometry_types(f, args.geometry_types.split(","))
         f = filter_tags(
             f,
             include_tags=args.include_tags.split(",") if args.include_tags else None,

@@ -441,6 +441,25 @@ def to_geojsonseq(feats: DataFrame, with_id: bool = True) -> DataFrame:
     )
 
 
+def filter_geometry_types(feats: DataFrame, types: list[str]) -> DataFrame:
+    """--geometry-types selection (command_export.cpp:396-415): keep only
+    the listed feature geometry kinds; 'polygon' and 'multipolygon' are
+    the same switch in the reference (both enable the polygon output)."""
+    allowed: set[str] = set()
+    for t in types:
+        if t == "point":
+            allowed.add("point")
+        elif t == "linestring":
+            allowed.add("linestring")
+        elif t in ("polygon", "multipolygon"):
+            allowed.update(("polygon", "multipolygon"))
+        else:
+            raise ValueError(f"Unknown geometry type in --geometry-types option: {t}.")
+    if not allowed:
+        raise ValueError("No geometry types in --geometry-types option.")
+    return feats.filter(F.col("ftype").isin(sorted(allowed)))
+
+
 def to_text(feats: DataFrame, keep_untagged: bool = False) -> DataFrame:
     """`text` export format (src/export/export_format_text.cpp:128-160):
     one feature per line, WKT geometry + space + 'k=v,k=v' tag list; a

@@ -172,3 +172,40 @@ def test_multipolygon_two_outers(spark):
     geom = json.loads(f.collect()[0].geometry)
     assert len(geom["coordinates"]) == 2          # two disjoint polygons
     assert all(len(poly) == 1 for poly in geom["coordinates"])
+
+
+def test_filter_geometry_types(ents):
+    import pytest as _pytest
+
+    from osmium_tool_spark.operators.export import features, filter_geometry_types
+
+    f = features(ents)
+    pts = filter_geometry_types(f, ["point"])
+    assert {r.ftype for r in pts.select("ftype").distinct().collect()} == {"point"}
+    # polygon and multipolygon are one switch in the reference
+    polys = filter_geometry_types(f, ["multipolygon"])
+    assert set(
+        r.ftype for r in polys.select("ftype").distinct().collect()
+    ) <= {"polygon", "multipolygon"}
+    with _pytest.raises(ValueError, match="Unknown geometry type"):
+        filter_geometry_types(f, ["blob"])
+
+
+def test_wkt_features_match_geojson_coords(ents):
+    import json as _json
+
+    from osmium_tool_spark.operators.export import features
+
+    gj = {(r.ftype, r.id): r.geometry for r in features(ents).collect()}
+    wkt = {(r.ftype, r.id): r.geometry for r in features(ents, geometry_format="wkt").collect()}
+    assert set(gj) == set(wkt)
+    for k, g in gj.items():
+        geom = _json.loads(g)
+        w = wkt[k]
+        if geom["type"] == "Point":
+            x, y = geom["coordinates"]
+            assert w == f"POINT({x:g} {y:g})".replace("e+", "").rstrip() or "POINT(" in w
+        assert w.startswith(
+            {"Point": "POINT(", "LineString": "LINESTRING(",
+             "Polygon": "POLYGON((", "MultiPolygon": "MULTIPOLYGON("}[geom["type"]]
+        )
