@@ -663,6 +663,17 @@ def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import embedding_lsh_near_dup
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_lsh_near_dup(emb, threshold=0.35)
+    return out.select(
+        _L("a").alias("a"), _L("b").alias("b"), F.round("cos", 6).alias("cos")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import embedding_near_dup
     from osmium_tool_spark.sources.testdata import load
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -1367,6 +1379,38 @@ r AS (SELECT query_id, neighbor_id,
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5
+"""
+
+    from osmium_tool_spark.operators.similarity import srp_coeff
+
+    def _srp_proj_sql(vec: str, b: int, dim: int = 64) -> str:
+        # left-assoc sum starting at 0.0 — the identical IEEE sequence to
+        # similarity.srp_projection's F.aggregate fold
+        terms = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {float(srp_coeff(b, i))!r}"
+            for i in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    def _srp_band_sql(vec: str, band_idx: int, band_size: int = 4) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {_srp_proj_sql(vec, band_idx * band_size + j)} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(band_size)
+        )
+        return f"({bits})"
+
+    srp_bands = ", ".join(
+        f"{_srp_band_sql('embedding', bi)} AS band{bi}" for bi in range(8)
+    )
+    srp_band_conds = " OR ".join(f"a.band{bi} = b.band{bi}" for bi in range(8))
+    o["embedding_lsh_near_dup"] = f"""
+WITH sig AS (SELECT vec_id AS id, embedding AS v, {srp_bands} FROM embeddings),
+cand AS (SELECT a.id AS a, b.id AS b, a.v AS va, b.v AS vb
+         FROM sig a JOIN sig b ON a.id < b.id AND ({srp_band_conds}))
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(round({_cos_sql('va', 'vb')}, 6) AS DOUBLE) AS cos
+FROM cand WHERE {_cos_sql('va', 'vb')} >= 0.35
 """
 
     o["embedding_near_dup"] = f"""

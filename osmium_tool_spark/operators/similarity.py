@@ -260,6 +260,90 @@ def knn_exact(
     return out
 
 
+SRP_MOD = 1_000_000_007
+SRP_MIX = 2654435761
+
+
+def srp_coeff(b: int, i: int) -> int:
+    """Deterministic pseudo-random hyperplane coefficient for bit b,
+    dimension i — integer arithmetic reproducible in ANSI SQL (the DuckDB
+    oracle), centered on zero."""
+    return ((b * 131 + i + 1) * SRP_MIX) % SRP_MOD - SRP_MOD // 2
+
+
+def srp_projection(vec: Column, b: int, dim: int) -> Column:
+    """Signed-random-projection value: left-fold dot of the vector with
+    hyperplane b (same IEEE sequence as the SQL twin)."""
+    coeffs = F.array(*[F.lit(float(srp_coeff(b, i))) for i in range(dim)])
+    return F.aggregate(
+        F.zip_with(vec, coeffs, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_lsh_near_dup(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 32,
+    band_size: int = 4,
+) -> DataFrame:
+    """Label-free embedding near-dup via signed-random-projection LSH.
+
+    The scale path when no semantic blocking column exists (the case
+    `embedding_near_dup(block_col=None)` refuses): each vector gets an
+    `nbits`-bit sign signature from fixed pseudo-random hyperplanes
+    (P[same bit] = 1 - angle/pi, the SRP-LSH guarantee); signatures are
+    cut into bands of `band_size` bits, candidates share >=1 full band
+    (equi-join on (band_idx, band_value) — band keys spread uniformly, so
+    no skew by construction), and exact cosine verifies candidates only.
+    Returns (a, b, cos) with cos >= threshold. Recall rises with more
+    bands / smaller band_size, cost with fewer bits per band."""
+    assert nbits % band_size == 0
+    nbands = nbits // band_size
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *[
+            (srp_projection(F.col(vec_col), b, dim) > 0).cast("int").alias(f"__b{b}")
+            for b in range(nbits)
+        ],
+    )
+    bands = sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        sum(
+                            F.col(f"__b{bi * band_size + j}") * (1 << j)
+                            for j in range(band_size)
+                        ).alias("band"),
+                    )
+                    for bi in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band").alias("band"))
+    l = bands.select(F.col("id").alias("a"), F.col("v").alias("va"), "band_idx", "band")
+    r = bands.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band_idx", "band")
+    cand = (
+        l.join(r, on=["band_idx", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float,

@@ -115,3 +115,42 @@ def test_image_extract_tile_pipeline(spark):
         total[row.extract_id] += row.n_images
     assert total[0] == 1000  # world bbox catches everything
     assert 0 < total[1] < 1000
+
+
+def test_embedding_lsh_near_dup_recall(spark):
+    """SRP-LSH (label-free blocking) vs brute-force ground truth on the
+    real sf0.001 embeddings: candidates must be a subset of all pairs,
+    survivors exact-cosine-verified, and recall of true >=0.35 pairs high
+    (deterministic hyperplanes + deterministic data => stable number)."""
+    from osmium_tool_spark.operators.similarity import (
+        embedding_lsh_near_dup,
+        embedding_near_dup,
+    )
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    lsh = {(r.a, r.b) for r in embedding_lsh_near_dup(emb, threshold=0.35).collect()}
+    truth = {
+        (r.a, r.b)
+        for r in embedding_near_dup(
+            emb, threshold=0.35, block_col=None, allow_cross_join=True
+        ).collect()
+    }
+    assert lsh <= truth  # verification step guarantees no false positives
+    assert truth, "fixture should contain near-dup pairs"
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f} ({len(lsh)}/{len(truth)})"
+
+
+def test_srp_signature_is_angle_sensitive(spark):
+    # identical vectors share all bands; near-orthogonal ones don't
+    from osmium_tool_spark.operators.similarity import embedding_lsh_near_dup
+
+    rows = [
+        (1, [1.0] * 64),
+        (2, [1.0] * 63 + [0.9]),        # nearly identical to 1
+        (3, [(-1.0) ** i for i in range(64)]),  # near-orthogonal to 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.a, r.b) for r in embedding_lsh_near_dup(emb, threshold=0.9).collect()}
+    assert (1, 2) in got and (1, 3) not in got
