@@ -927,6 +927,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub_meta(imgs)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.multimodal import resize_images
+    from osmium_tool_spark.sources.images import synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir)
+    out = resize_images(imgs, max_side=128)
+    return out.select(
+        F.col("image_id"), _L("w").alias("w"), _L("h").alias("h"),
+        F.length("bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.multimodal import sample_frames
+    from osmium_tool_spark.sources.images import synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir)
+    out = sample_frames(imgs, every_n=7)
+    return out.select(
+        F.col("image_id"), _L("frame_idx").alias("frame_idx"),
+        _L("n_frames").alias("n_frames"), _L("byte_off").alias("byte_off"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.multimodal import extract_features
+    from osmium_tool_spark.sources.images import synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir)
+    out = extract_features(imgs, dim=64)
+    return out.select(
+        F.col("image_id"),
+        F.round(F.col("embedding")[0], 6).alias("e1"),
+        F.round(F.col("embedding")[31], 6).alias("e32"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -990,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1618,6 +1658,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
 FROM q
 WHERE len(toks) >= 40
   AND CAST(round(CAST(len(list_filter(toks, t2 -> t2 IN ({stop}))) AS DOUBLE) / len(toks), 6) AS DOUBLE) <= 0.08
+"""
+
+    PHASH = "((doc_id * 2654435761) % 16777216 + ((doc_id * 2246822519) % 16777216) * 16777216)"
+    o["multimodal_resize"] = """
+WITH img AS (
+  SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+         CAST(64 + (doc_id * 37) % 448 AS BIGINT) AS w0,
+         CAST(64 + (doc_id * 53) % 448 AS BIGINT) AS h0,
+         CAST(length(text) AS BIGINT) AS nb0
+  FROM documents),
+r AS (
+  SELECT image_id, w0, h0, nb0, greatest(w0, h0) AS ls,
+         CASE WHEN greatest(w0, h0) <= 128 THEN w0
+              ELSE greatest(CAST(floor(w0 * 128 / greatest(w0, h0)) AS BIGINT), 1) END AS w,
+         CASE WHEN greatest(w0, h0) <= 128 THEN h0
+              ELSE greatest(CAST(floor(h0 * 128 / greatest(w0, h0)) AS BIGINT), 1) END AS h
+  FROM img)
+SELECT image_id, w, h,
+       greatest((nb0 * w * h) // (w0 * h0), 1) AS n_bytes
+FROM r
+"""
+
+    o["multimodal_frames"] = f"""
+WITH img AS (
+  SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+         CAST(1 + {PHASH} % 240 AS BIGINT) AS n_frames,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT image_id, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx,
+       n_frames,
+       CAST(unnest(range(0, n_frames, 7)) * (n_bytes // n_frames) AS BIGINT) AS byte_off
+FROM img
+"""
+
+    o["multimodal_features"] = f"""
+SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(round((({PHASH} % 1009 + 1) * 1) % 997 / 997.0, 6) AS DOUBLE) AS e1,
+       CAST(round((({PHASH} % 1009 + 1) * 32) % 997 / 997.0, 6) AS DOUBLE) AS e32
+FROM documents
 """
 
     o["multimodal_decode"] = """

@@ -1,0 +1,90 @@
+"""Multimodal payload stages: resize / frame-sample / feature-extract.
+
+Plumbing is real (Arrow batches over the binary column, pure-Column
+frame index math); the codec kernels are deterministic fakes — these
+tests pin the deterministic contracts and the stage chaining into the
+ANN operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from osmium_tool_spark.sources.images import synth_images_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    df = synth_images_from_documents(spark, SF).cache()
+    df.count()
+    return df
+
+
+def test_resize_clamps_long_side_preserving_aspect(imgs):
+    out = resize_images(imgs, max_side=128)
+    rows = out.join(
+        imgs.select("image_id", F.col("w").alias("w0"), F.col("h").alias("h0")),
+        on="image_id",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert max(r.w, r.h) <= 128
+        if max(r.w0, r.h0) <= 128:
+            assert (r.w, r.h) == (r.w0, r.h0)  # no upscaling
+        else:
+            long0 = max(r.w0, r.h0)
+            assert r.w == max(1, r.w0 * 128 // long0) or r.w == int(r.w0 * 128 / long0)
+        assert r.bytes is not None and len(r.bytes) >= 1
+
+
+def test_resize_byte_budget_shrinks_with_pixels(imgs):
+    big = resize_images(imgs, max_side=512)
+    small = resize_images(imgs, max_side=64)
+    nb = {r.image_id: len(r.bytes) for r in big.collect()}
+    ns = {r.image_id: len(r.bytes) for r in small.collect()}
+    assert all(ns[k] <= nb[k] for k in ns)
+
+
+def test_sample_frames_pure_column_and_stride(imgs):
+    out = sample_frames(imgs, every_n=7)
+    # zero Python in the plan: no Arrow/Python eval nodes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    rows = out.collect()
+    by_img: dict = {}
+    for r in rows:
+        by_img.setdefault(r.image_id, []).append(r)
+    for rs in by_img.values():
+        idxs = sorted(r.frame_idx for r in rs)
+        n = rs[0].n_frames
+        assert idxs == list(range(0, n, 7))
+        for r in rs:
+            assert 0 <= r.byte_off
+
+
+def test_sample_frames_rejects_bad_stride(imgs):
+    with pytest.raises(ValueError):
+        sample_frames(imgs, every_n=0)
+
+
+def test_extract_features_chains_into_ann(imgs):
+    from osmium_tool_spark.operators.similarity import ann_topk
+
+    emb = extract_features(imgs, dim=16).withColumn(
+        "vec_id", F.expr("CAST(substring(image_id, 4) AS LONG)")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ann_topk(emb, queries, k=3)
+    got = out.collect()
+    assert got and all(r.rank <= 3 for r in got)
+    # deterministic embeddings: same phash -> identical vector
+    v = {r.image_id: r.embedding for r in emb.limit(5).collect()}
+    v2 = {r.image_id: r.embedding for r in extract_features(imgs, dim=16).limit(5).collect()}
+    for k in v:
+        if k in v2:
+            assert v[k] == v2[k]
