@@ -663,6 +663,21 @@ def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.similarity import ann_topk_lsh
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_lsh(emb, queries, k=5)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.round("cos", 6).alias("cos"),
+        _L("rank").alias("rank"),
+    )
+
+
 def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import embedding_lsh_near_dup
     from osmium_tool_spark.sources.testdata import load
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_langid": q_text_langid,
@@ -1444,6 +1460,24 @@ FROM r WHERE rank <= 5
         f"{_srp_band_sql('embedding', bi)} AS band{bi}" for bi in range(8)
     )
     srp_band_conds = " OR ".join(f"a.band{bi} = b.band{bi}" for bi in range(8))
+    srp_bands16 = ", ".join(
+        f"{_srp_band_sql('embedding', bi)} AS band{bi}" for bi in range(16)
+    )
+    srp_band_conds_qc = " OR ".join(f"q.band{bi} = c.band{bi}" for bi in range(16))
+    o["ann_topk_lsh"] = f"""
+WITH sig AS (SELECT vec_id AS id, embedding AS v, {srp_bands16} FROM embeddings),
+q AS (SELECT * FROM sig WHERE id % 50 = 0),
+cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, q.v AS qv, c.v AS cv
+         FROM q JOIN sig c ON q.id <> c.id AND ({srp_band_conds_qc})),
+scored AS (SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos FROM cand),
+r AS (SELECT query_id, neighbor_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(round(cos, 6) AS DOUBLE) AS cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
     o["embedding_lsh_near_dup"] = f"""
 WITH sig AS (SELECT vec_id AS id, embedding AS v, {srp_bands} FROM embeddings),
 cand AS (SELECT a.id AS a, b.id AS b, a.v AS va, b.v AS vb

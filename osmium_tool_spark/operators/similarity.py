@@ -105,6 +105,79 @@ def ann_topk_bucketed(
     )
 
 
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 64,
+    band_size: int = 4,
+) -> DataFrame:
+    """Label-free approximate top-k via signed-random-projection banding.
+
+    The third leg of the ANN family: `ann_topk` broadcasts queries over
+    the whole corpus (exact, small query sets), `ann_topk_bucketed`
+    equi-joins on a semantic bucket column, and this variant needs NO
+    bucket column — corpus and queries get SRP sign signatures
+    (srp_projection), candidates share >=1 signature band (equi-join on
+    (band_idx, band_value); uniform keys, no skew), exact cosine ranks
+    candidates. Semantics: exact top-k WITHIN the band-candidate set —
+    recall grows with more bands, cost with fewer bits per band.
+    Returns (query_id, neighbor_id, cos, rank)."""
+    assert nbits % band_size == 0
+    nbands = nbits // band_size
+
+    def with_bands(df: DataFrame, role: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_v"),
+            *[
+                (srp_projection(F.col(vec_col), b, dim) > 0).cast("int").alias(f"__b{b}")
+                for b in range(nbits)
+            ],
+        )
+        return sig.select(
+            f"{role}_id",
+            f"{role}_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band_idx"),
+                            sum(
+                                F.col(f"__b{bi * band_size + j}") * (1 << j)
+                                for j in range(band_size)
+                            ).alias("band"),
+                        )
+                        for bi in range(nbands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"{role}_id", f"{role}_v",
+            F.col("bk.band_idx").alias("band_idx"), F.col("bk.band").alias("band"),
+        )
+
+    q = with_bands(queries, "query")
+    c = with_bands(corpus, "neighbor")
+    cand = (
+        q.join(c, on=["band_idx", "band"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    scored = cand.withColumn("cos", cosine(F.col("query_v"), F.col("neighbor_v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def knn_cellring(
     points: DataFrame,
     queries: DataFrame,

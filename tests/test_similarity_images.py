@@ -154,3 +154,28 @@ def test_srp_signature_is_angle_sensitive(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.a, r.b) for r in embedding_lsh_near_dup(emb, threshold=0.9).collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_ann_topk_lsh_recall_vs_exact(spark):
+    """Label-free LSH ANN vs exact brute-force top-k on real embeddings:
+    returned neighbors are ranked by true cosine, and recall@5 against
+    the exact result is high (deterministic planes + data)."""
+    from osmium_tool_spark.operators.similarity import ann_topk, ann_topk_lsh
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in ann_topk(emb, queries, k=5).collect()}
+    lsh_rows = ann_topk_lsh(emb, queries, k=5).collect()
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_rows}
+    assert exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.6, f"recall@5 {recall:.2f}"
+    # per-query ranks are contiguous from 1 and ordered by cosine
+    by_q: dict = {}
+    for r in lsh_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
