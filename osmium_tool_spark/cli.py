@@ -145,6 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("getid"), n_inputs=1)
     sp.add_argument("ids", nargs="*")
     sp.add_argument("-r", "--add-referenced", action="store_true")
+    sp.add_argument("-H", "--with-history", action="store_true",
+                    help="history input: emit every version of matched ids; no missing-id exit code")
     sp.add_argument("-i", "--id-file", action="append", default=[],
                     help="read ids from file (one per line, ' '/'#' start comments)")
     sp.add_argument("-I", "--id-osm-file", action="append", default=[],
@@ -340,6 +342,10 @@ def run(args, spark: SparkSession) -> int:
         if cmd == "getid":
             out = getid(ents, ids, recursive=args.add_referenced)
             _write(out, args.output)
+            if args.with_history:
+                # reference: history mode never reports missing ids
+                # (command_getid.cpp:379,396 m_work_with_history)
+                return 0
             # reference exit-code parity (command_getid.cpp:396-398): exit 1
             # when ANY requested id was not found, not just when all missing
             req = [(t, i) for t, lst in ids.items() for i in lst]

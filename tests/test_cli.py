@@ -232,3 +232,16 @@ def test_cli_extract_config_multi(spark, input_dir, tmp_path):
     rc = main(["extract", "--config", str(cfg), "-s", "simple", input_dir, "-o", out], spark=spark)
     assert rc == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_getid_with_history_keeps_versions_and_exit_0(spark, tmp_path):
+    from osmium_tool_spark.sources import fixtures
+
+    src = str(tmp_path / "hist")
+    fixtures.history_input(spark).write.parquet(src)
+    out = str(tmp_path / "gh")
+    # n999999 missing, but history mode never signals missing ids
+    rc = main(["getid", src, "n1", "n999999", "-H", "-o", out], spark=spark)
+    assert rc == 0
+    got = [(r.type, r.id, r.version) for r in spark.read.parquet(out).collect()]
+    assert len(got) == len(set(got)) and len({v for _, _, v in got}) > 1
