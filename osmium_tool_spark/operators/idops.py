@@ -101,22 +101,28 @@ def getid(
             .select("parent_id", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"))
             .persist()
         )
-        # 1) close relation->relation downward
-        rel_ids = sel.filter(F.col("type") == RELATION).select("id").localCheckpoint(eager=True)
-        frontier = rel_ids
-        for _ in range(max_iters):
-            children = (
-                rel_edges.filter(F.col("mtype") == RELATION)
-                .join(frontier.withColumnRenamed("id", "parent_id"), on="parent_id")
-                .select(F.col("ref").alias("id"))
-                .distinct()
-                .join(rel_ids, on="id", how="left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if children.isEmpty():
-                break
-            rel_ids = rel_ids.unionByName(children).localCheckpoint(eager=True)
-            frontier = children
+        # 1) close relation->relation downward. Rel-in-rel edges are rare
+        # (nesting depth ~0-2 in practice): probe the edge set ONCE and
+        # skip the fixpoint loop entirely when empty — saves two eager
+        # localCheckpoint materializations per call in the common case
+        rel_member_edges = rel_edges.filter(F.col("mtype") == RELATION)
+        rel_ids = sel.filter(F.col("type") == RELATION).select("id")
+        if not rel_member_edges.isEmpty():
+            rel_ids = rel_ids.localCheckpoint(eager=True)
+            frontier = rel_ids
+            for _ in range(max_iters):
+                children = (
+                    rel_member_edges
+                    .join(frontier.withColumnRenamed("id", "parent_id"), on="parent_id")
+                    .select(F.col("ref").alias("id"))
+                    .distinct()
+                    .join(rel_ids, on="id", how="left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if children.isEmpty():
+                    break
+                rel_ids = rel_ids.unionByName(children).localCheckpoint(eager=True)
+                frontier = children
         # 2) way/node members of all selected relations
         mem = rel_edges.join(rel_ids.withColumnRenamed("id", "parent_id"), on="parent_id")
         way_ids = (
