@@ -1211,7 +1211,8 @@ WHERE ts <= {T_SNAP} AND (nts IS NULL OR nts > {T_SNAP}) AND visible
 WITH {HIST_CTE},
 w AS (SELECT *, lead(ts) OVER (PARTITION BY id ORDER BY version) AS nts FROM hist)
 SELECT CAST(id AS BIGINT) AS id, version, ts FROM w
-WHERE ts <= {T_TO} AND (nts IS NULL OR nts > {T_FROM})
+WHERE ts < {T_TO}
+  AND (nts IS NULL OR nts > {T_FROM} OR (nts = ts AND nts >= {T_FROM}))
 """
 
     o["apply_changes_latest"] = """

@@ -35,6 +35,10 @@ def _read_one(spark: SparkSession, path: str) -> DataFrame:
         from .sources.opl import read_opl
 
         return read_opl(spark, path)
+    if path.endswith((".osm", ".osh", ".osc", ".xml")):
+        from .sources.osmxml import read_osm_xml
+
+        return read_osm_xml(spark, path)
     return spark.read.parquet(path)
 
 

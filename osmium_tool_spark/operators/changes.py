@@ -26,23 +26,29 @@ from ..functions.sortkeys import canonical_sort
 
 def time_filter(history: DataFrame, t_from: int, t_to: int | None = None) -> DataFrame:
     """Point-in-time snapshot (t_to None): the version visible at t_from
-    (DiffObject::is_visible_at — start<=t, end>t, visible). Range mode:
-    every version alive in [t_from, t_to] INCLUSIVE of to, tombstones kept
-    (is_between; output is a history file).
+    (DiffObject::is_visible_at — start<=t, end>t, visible). Range mode
+    (DiffObject::is_between, golden-verified against
+    test/time-filter/output-range-*.osh): start < to AND end > from, with
+    the zero-length special case — a version superseded at its own
+    timestamp (same-instant edits) is kept when that instant >= from.
+    Tombstones kept in range mode (output is a history file).
     (command_time_filter.cpp:155-176 — an as-of join against constant T.)"""
     w = Window.partitionBy("type", "id").orderBy("version")
     with_next = history.withColumn("__next_ts", F.lead("ts").over(w))
+    nxt = F.col("__next_ts")
     if t_to is None:
         out = with_next.filter(
             (F.col("ts") <= t_from)
-            & (F.col("__next_ts").isNull() | (F.col("__next_ts") > t_from))
+            & (nxt.isNull() | (nxt > t_from))
             & F.col("visible")
         )
     else:
-        out = with_next.filter(
-            (F.col("ts") <= t_to)
-            & (F.col("__next_ts").isNull() | (F.col("__next_ts") > t_from))
+        end_ok = (
+            nxt.isNull()
+            | (nxt > t_from)
+            | ((nxt == F.col("ts")) & (nxt >= t_from))
         )
+        out = with_next.filter((F.col("ts") < t_to) & end_ok)
     return canonical_sort(out.drop("__next_ts"))
 
 

@@ -1,0 +1,101 @@
+"""OSM XML reader: .osm (data), .osh (history), .osc (change) files.
+
+Reference format: man/osmium-file-formats.md:42-66; the XML shapes are
+the reference's own test fixtures (test/sort/*.osm, test/time-filter/
+input.osh, test/sort/input-change.osc). Change files wrap objects in
+<create>/<modify>/<delete> sections — <delete> implies visible=false
+unless an explicit visible attribute overrides (osmChange semantics).
+
+Parsing runs on the DRIVER: XML is the reference's interchange format
+for config/fixture-scale data; at engine scale the source of record is
+the parquet/Iceberg entity table (SURVEY.md §1.4) and OPL covers
+line-oriented text. `read_osm_xml` returns the canonical ENTITY_SCHEMA
+frame (ts in epoch micros, coords fixed-point 1e-7 degrees) so every
+operator and the CLI consume XML inputs transparently.
+"""
+
+from __future__ import annotations
+
+import calendar
+import time as _time
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import COORD_SCALE, ENTITY_SCHEMA, NAME_TO_TYPE
+
+_CHANGE_SECTIONS = ("create", "modify", "delete")
+
+
+def _parse_ts(v: str | None) -> int | None:
+    if not v:
+        return None
+    return calendar.timegm(_time.strptime(v, "%Y-%m-%dT%H:%M:%SZ")) * 1_000_000
+
+
+def _parse_object(el: ET.Element, in_delete: bool = False) -> dict | None:
+    t = NAME_TO_TYPE.get(el.tag)
+    if t is None:
+        return None
+    vis_attr = el.get("visible")
+    visible = (vis_attr != "false") if vis_attr is not None else not in_delete
+    row = {
+        "type": t,
+        "id": int(el.get("id")),
+        "version": int(el.get("version")) if el.get("version") else None,
+        "visible": visible,
+        "changeset": int(el.get("changeset")) if el.get("changeset") else None,
+        "ts": _parse_ts(el.get("timestamp")),
+        "uid": int(el.get("uid")) if el.get("uid") else None,
+        "user": el.get("user"),
+        "tags": {c.get("k"): c.get("v") for c in el if c.tag == "tag"},
+        "lon": None,
+        "lat": None,
+        "refs": None,
+        "members": None,
+    }
+    if el.tag == "node":
+        if el.get("lon") is not None:
+            row["lon"] = int(round(float(el.get("lon")) * COORD_SCALE))
+            row["lat"] = int(round(float(el.get("lat")) * COORD_SCALE))
+    elif el.tag == "way":
+        row["refs"] = [int(c.get("ref")) for c in el if c.tag == "nd"]
+    else:
+        row["members"] = [
+            {
+                "mtype": NAME_TO_TYPE[c.get("type")],
+                "ref": int(c.get("ref")),
+                "role": c.get("role") or "",
+            }
+            for c in el
+            if c.tag == "member"
+        ]
+    return row
+
+
+def parse_osm_xml(text: str) -> list[dict]:
+    """XML text -> entity row dicts, preserving document order (the
+    reference's stream order — order-validation tests depend on it)."""
+    root = ET.fromstring(text)
+    rows: list[dict] = []
+    if root.tag == "osmChange":
+        for sec in root:
+            if sec.tag not in _CHANGE_SECTIONS:
+                continue
+            for el in sec:
+                row = _parse_object(el, in_delete=(sec.tag == "delete"))
+                if row is not None:
+                    rows.append(row)
+    else:
+        for el in root:
+            row = _parse_object(el)
+            if row is not None:
+                rows.append(row)
+    return rows
+
+
+def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Read an .osm/.osh/.osc XML file into the canonical entity frame."""
+    with open(path) as f:
+        rows = parse_osm_xml(f.read())
+    return spark.createDataFrame(rows, ENTITY_SCHEMA)

@@ -1,0 +1,211 @@
+"""Golden parity against the reference's own XML fixture suites
+(/root/reference/test/{sort,merge,getparents,time-filter,check-refs}),
+loaded through sources/osmxml.read_osm_xml — the suites round 1 had not
+yet transliterated. Expected outputs are the reference's committed
+golden files; comparison is on full canonical row tuples (ordered where
+the reference asserts order)."""
+
+import calendar
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators import idops, sort_merge
+from osmium_tool_spark.operators.changes import time_filter
+from osmium_tool_spark.schema import NODE, WAY
+from osmium_tool_spark.sources.osmxml import read_osm_xml
+
+REF = "/root/reference/test"
+
+
+def ts(s: str) -> int:
+    return calendar.timegm(_time.strptime(s, "%Y-%m-%dT%H:%M:%SZ")) * 1_000_000
+
+
+def canon_rows(df, keep_order=False):
+    rows = [
+        (
+            r.type, r.id, r.version, r.visible, r.ts, r.changeset, r.uid, r.user,
+            tuple(sorted((r.tags or {}).items())),
+            r.lon, r.lat,
+            tuple(r.refs or ()),
+            tuple((m.mtype, m.ref, m.role) for m in (r.members or ())),
+        )
+        for r in df.collect()
+    ]
+    return rows if keep_order else sorted(rows)
+
+
+class TestSortGoldens:
+    """test/sort/CMakeLists.txt: both sort strategies must produce the
+    committed output; our single external sort covers both."""
+
+    CASES = [
+        (["input-simple1.osm", "input-simple2.osm"], "output-simple.osm"),
+        (["input-bounds1.osm", "input-bounds2.osm"], "output-bounds.osm"),
+        (["input-history1.osm", "input-history2.osm"], "output-history.osm"),
+        (["input-neg.osm"], "output-neg.osm"),
+        (["input-change.osc"], "output-change.osc"),
+        (
+            ["input-simple1-only-version.osm", "input-simple2.osm"],
+            "output-simple-1-only-version.osm",
+        ),
+        (["input-simple-onefile.osm"], "output-simple-onefile.osm"),
+        (
+            ["input-history-partially-only-version.osm"],
+            "output-history-partially-only-version.osm",
+        ),
+        (["input-history-only-version.osm"], "output-history-only-version.osm"),
+    ]
+
+    @pytest.mark.parametrize("inputs,expected", CASES, ids=[e for _, e in CASES])
+    def test_sort_golden(self, spark, inputs, expected):
+        dfs = [read_osm_xml(spark, f"{REF}/sort/{p}") for p in inputs]
+        src = dfs[0]
+        for d in dfs[1:]:
+            src = src.unionByName(d)
+        got = canon_rows(sort_merge.sort_entities(src), keep_order=True)
+        want = canon_rows(read_osm_xml(spark, f"{REF}/sort/{expected}"), keep_order=True)
+        assert got == want
+
+
+class TestMergeGoldens:
+    CASES = [
+        (["input1.osm"], "output1.osm"),
+        (["input1.osm", "input2.osm"], "output2.osm"),
+        (["input2.osm", "input1.osm"], "output2.osm"),
+        (["input1.osm", "input2.osm", "input3.osm"], "output3.osm"),
+        (
+            ["input1-only-version.osm", "input2-only-version.osm"],
+            "output2-12-only-version.osm",
+        ),
+        (["same-ids.osm", "empty.osm"], "output-same-ids.osm"),
+    ]
+
+    @pytest.mark.parametrize(
+        "inputs,expected", CASES, ids=["+".join(i) for i, _ in CASES]
+    )
+    def test_merge_golden(self, spark, inputs, expected):
+        dfs = [read_osm_xml(spark, f"{REF}/merge/{p}") for p in inputs]
+        got = canon_rows(sort_merge.merge(dfs), keep_order=True)
+        want = canon_rows(read_osm_xml(spark, f"{REF}/merge/{expected}"), keep_order=True)
+        assert got == want
+
+    # test/merge/CMakeLists.txt do_test error matrix: each unsorted input
+    # must be flagged with the matching violation class
+    VIOLATIONS = [
+        ("unsorted-types-wn.osm", "out-of-order"),       # ways before nodes
+        ("unsorted-types-nrw.osm", "out-of-order"),      # relations before ways
+        ("unsorted-ids-n.osm", "out-of-order"),          # smaller ids first
+        ("unsorted-ids-w.osm", "out-of-order"),
+        ("unsorted-versions-21.osm", "out-of-order-version"),
+        ("unsorted-versions-132.osm", "out-of-order-version"),
+        ("unsorted-versions-133.osm", "duplicate-version"),
+    ]
+
+    @pytest.mark.parametrize("fname,reason", VIOLATIONS, ids=[f for f, _ in VIOLATIONS])
+    def test_merge_order_violations(self, spark, fname, reason):
+        from pyspark.sql import Window
+
+        df = read_osm_xml(spark, f"{REF}/merge/{fname}")
+        # seq = document order (monotonic id over the tiny driver-built frame)
+        seq = df.withColumn("seq", F.monotonically_increasing_id())
+        v = sort_merge.validate_order(seq).collect()
+        assert v, f"{fname}: expected an order violation"
+        assert reason in {r.reason for r in v}
+
+    def test_sorted_inputs_have_no_violations(self, spark):
+        df = read_osm_xml(spark, f"{REF}/merge/output3.osm")
+        seq = df.withColumn("seq", F.monotonically_increasing_id())
+        assert sort_merge.validate_order(seq).count() == 0
+
+
+class TestGetParentsGoldens:
+    CASES = [
+        ({NODE: [10]}, False, "out-n10.osm"),
+        ({NODE: [12]}, False, "out-n12.osm"),
+        ({WAY: [20]}, False, "out-w20.osm"),
+        ({NODE: [10]}, True, "out-n10-s.osm"),
+        ({NODE: [12]}, True, "out-n12-s.osm"),
+        ({WAY: [20]}, True, "out-w20-s.osm"),
+    ]
+
+    @pytest.mark.parametrize("ids,add_self,expected", CASES, ids=[e for *_, e in CASES])
+    def test_getparents_golden(self, spark, ids, add_self, expected):
+        inp = read_osm_xml(spark, f"{REF}/getparents/input.osm")
+        got = canon_rows(idops.getparents(inp, ids, add_self=add_self))
+        want = canon_rows(read_osm_xml(spark, f"{REF}/getparents/{expected}"))
+        assert got == want
+
+
+class TestTimeFilterGoldens:
+    """test/time-filter/CMakeLists.txt matrix over input.osh: snapshot at
+    T (including between-version times) and [from,to) ranges."""
+
+    SNAPSHOTS = [
+        (None, "output-last.osm"),
+        ("2015-01-01T01:00:00Z", "output-ts1.osm"),
+        ("2015-01-01T01:01:00Z", "output-ts1.osm"),
+        ("2015-01-01T02:00:00Z", "output-ts2.osm"),
+        ("2015-01-01T02:01:00Z", "output-ts2.osm"),
+        ("2015-01-01T03:00:00Z", "output-ts3.osm"),
+        ("2015-01-01T03:01:00Z", "output-ts3.osm"),
+    ]
+
+    @pytest.mark.parametrize(
+        "at,expected", SNAPSHOTS, ids=[f"{e}@{a}" for a, e in SNAPSHOTS]
+    )
+    def test_snapshot_golden(self, spark, at, expected):
+        hist = read_osm_xml(spark, f"{REF}/time-filter/input.osh")
+        t = ts(at) if at else ts("2100-01-01T00:00:00Z")
+        got = canon_rows(time_filter(hist, t))
+        want = canon_rows(read_osm_xml(spark, f"{REF}/time-filter/{expected}"))
+        assert got == want
+
+    RANGES = [
+        ("2015-01-01T00:00:00Z", "2015-01-01T05:00:00Z", "output-range-0-5.osh"),
+        ("2015-01-01T01:00:00Z", "2015-01-01T02:00:00Z", "output-range-1-2.osh"),
+        ("2015-01-01T01:01:00Z", "2015-01-01T02:01:00Z", "output-range-1a-2a.osh"),
+        ("2015-01-01T02:00:00Z", "2015-01-01T03:00:00Z", "output-range-2-3.osh"),
+        ("2015-01-01T02:00:00Z", "2015-01-01T03:01:00Z", "output-range-2-3a.osh"),
+        ("2015-01-01T02:00:00Z", "2015-01-01T04:00:00Z", "output-range-2-4.osh"),
+    ]
+
+    @pytest.mark.parametrize("t1,t2,expected", RANGES, ids=[e for *_, e in RANGES])
+    def test_range_golden(self, spark, t1, t2, expected):
+        hist = read_osm_xml(spark, f"{REF}/time-filter/input.osh")
+        got = canon_rows(time_filter(hist, ts(t1), ts(t2)))
+        want = canon_rows(read_osm_xml(spark, f"{REF}/time-filter/{expected}"))
+        assert got == want
+
+
+class TestCheckRefsGoldens:
+    """test/check-refs/CMakeLists.txt: exit-failure fixtures must yield
+    missing refs, okay fixtures none (both with and without -r)."""
+
+    def _missing(self, spark, fname, rels):
+        df = read_osm_xml(spark, f"{REF}/check-refs/{fname}")
+        return idops.check_refs(df, check_relations=rels).count()
+
+    def test_okay(self, spark):
+        assert self._missing(spark, "okay.osm", False) == 0
+        assert self._missing(spark, "okay.osm", True) == 0
+        assert self._missing(spark, "okay-r-in-r.osm", True) == 0
+
+    def test_way_okay_without_r_fails_with_r(self, spark):
+        assert self._missing(spark, "way-okay.osm", False) == 0
+        assert self._missing(spark, "way-okay.osm", True) > 0
+
+    @pytest.mark.parametrize(
+        "fname,rels",
+        [
+            ("fail-n-in-w.osm", False),
+            ("fail-n-in-r.osm", True),
+            ("fail-w-in-r.osm", True),
+            ("fail-r-in-r-1.osm", True),
+            ("fail-r-in-r-2.osm", True),
+        ],
+    )
+    def test_fail_fixtures(self, spark, fname, rels):
+        assert self._missing(spark, fname, rels) > 0
