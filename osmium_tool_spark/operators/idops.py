@@ -29,18 +29,21 @@ def _ids_df(entities: DataFrame, ids: dict[int, list[int]]) -> DataFrame:
 
 
 def parse_id_list(tokens: list[str], default_type: int = NODE) -> dict[int, list[int]]:
-    """'n123' / 'w12' / 'r7' / bare ids; separators handled by caller
-    (reference src/id_file.cpp:31-50)."""
+    """'n123' / 'w12' / 'r7' / bare ids; each token may itself pack
+    several ids with the reference's separators tab/space/;,/| —
+    e.g. 'n11,n12' (src/id_file.cpp:31-50, command_getid.cpp:150-158)."""
+    import re
+
     out: dict[int, list[int]] = {NODE: [], WAY: [], RELATION: []}
     tmap = {"n": NODE, "w": WAY, "r": RELATION}
-    for tok in tokens:
-        tok = tok.strip()
-        if not tok:
-            continue
-        if tok[0].lower() in tmap:
-            out[tmap[tok[0].lower()]].append(int(tok[1:]))
-        else:
-            out[default_type].append(int(tok))
+    for raw in tokens:
+        for tok in re.split(r"[\t ;,/|]+", raw.strip()):
+            if not tok:
+                continue
+            if tok[0].lower() in tmap:
+                out[tmap[tok[0].lower()]].append(int(tok[1:]))
+            else:
+                out[default_type].append(int(tok))
     return out
 
 
@@ -62,10 +65,18 @@ def read_id_file(path: str, default_type: int = NODE) -> dict[int, list[int]]:
 
 def ids_from_osm_file(spark, path: str) -> dict[int, list[int]]:
     """All (type, id) pairs present in an OSM file (--id-osm-file,
-    reference src/id_file.cpp:14-29): .opl text or a parquet entity dir."""
-    from ..sources.opl import read_opl
+    reference src/id_file.cpp:14-29): .opl text, .osm/.osh/.osc XML, or a
+    parquet entity dir."""
+    if path.endswith(".opl"):
+        from ..sources.opl import read_opl
 
-    df = read_opl(spark, path) if path.endswith(".opl") else spark.read.parquet(path)
+        df = read_opl(spark, path)
+    elif path.endswith((".osm", ".osh", ".osc", ".xml")):
+        from ..sources.osmxml import read_osm_xml
+
+        df = read_osm_xml(spark, path)
+    else:
+        df = spark.read.parquet(path)
     out: dict[int, list[int]] = {NODE: [], WAY: [], RELATION: []}
     for r in df.select("type", "id").distinct().collect():
         out.setdefault(r["type"], []).append(r["id"])
