@@ -99,3 +99,51 @@ def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
     with open(path) as f:
         rows = parse_osm_xml(f.read())
     return spark.createDataFrame(rows, ENTITY_SCHEMA)
+
+
+CHANGESET_SCHEMA = (
+    "id long, created_at long, closed_at long, open boolean, uid int, "
+    "user string, num_changes long, num_comments long, "
+    "min_lon long, min_lat long, max_lon long, max_lat long"
+)
+
+
+def read_changesets_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Read <changeset> elements (the Osmosis dump shape the reference's
+    changeset-filter fixtures use) into the changeset frame consumed by
+    operators/changesets.changeset_filter. num_comments counts
+    <discussion> comments; absent bbox attributes stay NULL (an invalid
+    bounds never matches a --bbox filter, reference
+    command_changeset_filter.cpp:249)."""
+    root = ET.fromstring(open(path).read())
+    rows = []
+    for el in root:
+        if el.tag != "changeset":
+            continue
+
+        def coord(name: str):
+            v = el.get(name)
+            return int(round(float(v) * COORD_SCALE)) if v is not None else None
+
+        discussion = el.find("discussion")
+        rows.append(
+            {
+                "id": int(el.get("id")),
+                "created_at": _parse_ts(el.get("created_at")),
+                "closed_at": _parse_ts(el.get("closed_at")),
+                "open": el.get("open") == "true",
+                "uid": int(el.get("uid")) if el.get("uid") else None,
+                "user": el.get("user"),
+                "num_changes": int(el.get("num_changes") or 0),
+                "num_comments": (
+                    int(el.get("comments_count"))
+                    if el.get("comments_count")
+                    else len(discussion) if discussion is not None else 0
+                ),
+                "min_lon": coord("min_lon"),
+                "min_lat": coord("min_lat"),
+                "max_lon": coord("max_lon"),
+                "max_lat": coord("max_lat"),
+            }
+        )
+    return spark.createDataFrame(rows, CHANGESET_SCHEMA)
