@@ -1612,8 +1612,12 @@ FROM orders LEFT JOIN fr ON o_orderkey = fr.l_orderkey
 LEFT JOIN nodes n2 ON fr.r0 = n2.id
 """
 
-    fmt_lon = "regexp_replace(printf('%.7f', CAST(lon AS DOUBLE)/10000000), '\\.?0+$', '')"
-    fmt_lat = "regexp_replace(printf('%.7f', CAST(lat AS DOUBLE)/10000000), '\\.?0+$', '')"
+    # GeoJSON formatter keeps >=1 fractional digit ('2.0'); WKT strips the
+    # dot ('2') — twin of export.coord_str / coord_str_compact
+    fmt_lon = r"regexp_replace(printf('%.7f', CAST(lon AS DOUBLE)/10000000), '(\.\d+?)0+$', '\1')"
+    fmt_lat = r"regexp_replace(printf('%.7f', CAST(lat AS DOUBLE)/10000000), '(\.\d+?)0+$', '\1')"
+    fmt_lon_wkt = "regexp_replace(printf('%.7f', CAST(lon AS DOUBLE)/10000000), '\.?0+$', '')"
+    fmt_lat_wkt = "regexp_replace(printf('%.7f', CAST(lat AS DOUBLE)/10000000), '\.?0+$', '')"
     o["export_points"] = f"""
 WITH {NODES_CTE}
 SELECT CAST(id AS BIGINT) AS id,
@@ -1645,7 +1649,7 @@ FROM j
 
     o["export_text"] = f"""
 WITH {NODES_CTE},
-j AS (SELECT n.id, {fmt_lon} AS fl, {fmt_lat} AS fa, p_brand, p_type, p_name
+j AS (SELECT n.id, {fmt_lon_wkt} AS fl, {fmt_lat_wkt} AS fa, p_brand, p_type, p_name
       FROM nodes n JOIN part ON n.id = p_partkey)
 SELECT 'POINT(' || fl || ' ' || fa || ') brand=' || p_brand || ',type=' || p_type
     || ',name=' || p_name AS row

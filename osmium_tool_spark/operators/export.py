@@ -41,9 +41,18 @@ AREA_TAGS = (
 
 
 def coord_str(fixed: Column) -> Column:
-    """Fixed-point int -> decimal-degree string, 7 decimals with trailing
-    zeros (and a bare trailing dot) trimmed — parity with
-    export_format_json.cpp:201-211."""
+    """Fixed-point int -> decimal-degree string for GeoJSON: 7 decimals,
+    trailing zeros trimmed but AT LEAST ONE fractional digit kept —
+    byte parity with export_format_json.cpp:201-211 ('2.0', not '2';
+    the trim loop stops when the char before the zero is the dot)."""
+    s = F.format_string("%.7f", fixed.cast("double") / COORD_SCALE)
+    return F.regexp_replace(s, r"(\.\d+?)0+$", "$1")
+
+
+def coord_str_compact(fixed: Column) -> Column:
+    """Fixed-point int -> degree string for WKT: trailing zeros AND a bare
+    trailing dot trimmed ('1', not '1.0') — parity with the reference's
+    WKT factory output (test/export/way-all.txt 'LINESTRING(1 1,...)')."""
     s = F.format_string("%.7f", fixed.cast("double") / COORD_SCALE)
     return F.regexp_replace(s, r"\.?0+$", "")
 
@@ -144,9 +153,13 @@ def assemble_multipolygons(relations: DataFrame, ways_with_coords: DataFrame) ->
     ).select(
         F.col("id").alias("rel_id"),
         F.col("tags"),
-        F.explode("members").alias("m"),
+        # member ORDER matters: the assembler stitches starting from the
+        # first member way, and the output ring keeps that way's first
+        # node as ring start (golden output-mp.geojson) — the join below
+        # would otherwise scramble it
+        F.posexplode("members").alias("mpos", "m"),
     ).filter(F.col("m.mtype") == WAY).select(
-        "rel_id", "tags", F.col("m.ref").alias("way_id")
+        "rel_id", "tags", "mpos", F.col("m.ref").alias("way_id")
     )
     wc = ways_with_coords.select(F.col("id").alias("way_id"), F.col("coords"))
     joined = mp.join(wc, on="way_id", how="left")
@@ -174,7 +187,7 @@ def assemble_multipolygons(relations: DataFrame, ways_with_coords: DataFrame) ->
             return cnt % 2 == 1
 
         segs = []
-        for coords in pdf["coords"]:
+        for coords in pdf.sort_values("mpos")["coords"]:
             if coords is None:
                 continue
             seg = [
@@ -258,8 +271,8 @@ def features(
     pts = nodes if keep_untagged else nodes.filter(F.size(F.map_keys("tags")) > 0)
     if wkt:
         point_geom = F.concat(
-            F.lit("POINT("), coord_str(F.col("lon")), F.lit(" "),
-            coord_str(F.col("lat")), F.lit(")"),
+            F.lit("POINT("), coord_str_compact(F.col("lon")), F.lit(" "),
+            coord_str_compact(F.col("lat")), F.lit(")"),
         )
     else:
         point_geom = F.concat(
@@ -280,32 +293,63 @@ def features(
     # feature, export_handler.cpp error handling)
     complete = F.forall(F.col("coords"), lambda c: c["__lon"].isNotNull())
     wc = wc_all.filter((F.size("coords") >= 2) & complete)
-    if wkt:
-        coords_seq = F.concat_ws(
+
+    def seq_of(coords_col):
+        if wkt:
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    coords_col,
+                    lambda c: F.concat(
+                        coord_str_compact(c["__lon"]), F.lit(" "), coord_str_compact(c["__lat"])
+                    ),
+                ),
+            )
+        return F.concat_ws(
             ",",
             F.transform(
-                F.col("coords"),
-                lambda c: F.concat(coord_str(c["__lon"]), F.lit(" "), coord_str(c["__lat"])),
-            ),
-        )
-        line_geom = F.concat(F.lit("LINESTRING("), coords_seq, F.lit(")"))
-        wpoly_geom = F.concat(F.lit("POLYGON(("), coords_seq, F.lit("))"))
-    else:
-        coords_seq = F.concat_ws(
-            ",",
-            F.transform(
-                F.col("coords"),
+                coords_col,
                 lambda c: F.concat(
                     F.lit("["), coord_str(c["__lon"]), F.lit(","), coord_str(c["__lat"]), F.lit("]")
                 ),
             ),
         )
-        line_geom = F.concat(
-            F.lit('{"type":"LineString","coordinates":['), coords_seq, F.lit("]}")
+
+    line_geom = (
+        F.concat(F.lit("LINESTRING("), seq_of(F.col("coords")), F.lit(")"))
+        if wkt
+        else F.concat(
+            F.lit('{"type":"LineString","coordinates":['), seq_of(F.col("coords")), F.lit("]}")
         )
-        wpoly_geom = F.concat(
-            F.lit('{"type":"Polygon","coordinates":[['), coords_seq, F.lit("]]}")
+    )
+    # a closed way rendered as an area becomes a single-ring MULTIPOLYGON
+    # with the ring normalized CCW keeping its start vertex — exactly what
+    # the reference's area assembler emits for way-areas (way-all.txt,
+    # output-mp.geojson). Shoelace sign decides the flip; F.reverse of a
+    # closed ring preserves first==last.
+    shoelace = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("coords"), 1, F.size("coords") - 1),
+            F.slice(F.col("coords"), 2, F.size("coords") - 1),
+            lambda a, b: a["__lon"].cast("double") * b["__lat"].cast("double")
+            - b["__lon"].cast("double") * a["__lat"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    oriented = F.when(shoelace < 0, F.reverse(F.col("coords"))).otherwise(F.col("coords"))
+    wpoly_geom = (
+        F.concat(F.lit("MULTIPOLYGON((("), seq_of(oriented), F.lit(")))"))
+        if wkt
+        else F.concat(
+            F.lit('{"type":"MultiPolygon","coordinates":[[['), seq_of(oriented), F.lit("]]]}")
         )
+    )
+    # untagged features are skipped unless keep_untagged — the rule applies
+    # to ALL feature classes, not just nodes (export_handler add_tags:
+    # a feature with no tags produces no output)
+    if not keep_untagged:
+        wc = wc.filter(F.size(F.map_keys("tags")) > 0)
     area_way = is_area_way(F.col("tags"), F.col("refs"), area_tags)
     lines = wc.filter(~area_way).select(
         F.lit("linestring").alias("ftype"), "type", "id", "tags",
@@ -327,7 +371,7 @@ def features(
             F.transform(
                 ring,
                 lambda c: (
-                    F.concat(coord_str(c.lon), F.lit(pair_sep), coord_str(c.lat))
+                    F.concat(coord_str_compact(c.lon), F.lit(pair_sep), coord_str_compact(c.lat))
                     if wkt
                     else F.concat(
                         F.lit("["), coord_str(c.lon), F.lit(","), coord_str(c.lat), F.lit("]")
@@ -351,13 +395,18 @@ def features(
         if wkt
         else F.concat(F.lit('{"type":"MultiPolygon","coordinates":['), polys_txt, F.lit("]}"))
     )
+    # the assembler strips the type=multipolygon/boundary selector tag from
+    # area properties (golden output.geojson: {"landuse":"forest"} only)
+    mp_tags = F.map_filter(F.col("tags"), lambda k, _v: k != "type")
     mpolys = mp.select(
         F.lit("multipolygon").alias("ftype"),
         F.lit(RELATION).alias("type"),
         "id",
-        "tags",
+        mp_tags.alias("tags"),
         mp_geom.alias("geometry"),
     )
+    if not keep_untagged:
+        mpolys = mpolys.filter(F.size(F.map_keys("tags")) > 0)
 
     return points.unionByName(lines).unionByName(way_polys).unionByName(mpolys)
 
@@ -423,15 +472,46 @@ def with_attributes(
     )
 
 
-def to_geojsonseq(feats: DataFrame, with_id: bool = True) -> DataFrame:
+def to_geojsonseq(
+    feats: DataFrame, with_id: bool = True, unique_id: str | None = None
+) -> DataFrame:
     """One GeoJSON Feature per row (geojsonseq format,
-    export_format_json.cpp with RS-free framing)."""
+    export_format_json.cpp with RS-free framing).
+
+    `unique_id` mirrors the reference's -u option: None (default — no id
+    in the reference; here controlled by `with_id` emitting the numeric
+    object id), "type_id" ('"id":"n14"'), or "counter" (1-based over the
+    canonical (type, id) output order, assigned via the distributed
+    zipWithIndex — no single-task window)."""
     props = F.to_json(F.col("tags"))
-    idpart = (
-        F.concat(F.lit('"id":'), F.col("id").cast("string"), F.lit(","))
-        if with_id
-        else F.lit("")
-    )
+    if unique_id == "type_id":
+        # areas use the osmium area-id convention: 2*way_id for way-areas,
+        # 2*rel_id+1 for relation-areas, type char 'a' (output-mp.geojson
+        # ids a185/a183/a181 = relations 92/91/90)
+        tchar = (
+            F.when(F.col("type") == NODE, "n").when(F.col("type") == WAY, "w").otherwise("r")
+        )
+        is_area = F.col("ftype").isin("polygon", "multipolygon")
+        area_id = F.when(
+            F.col("ftype") == "polygon", F.col("id") * 2
+        ).otherwise(F.col("id") * 2 + 1)
+        idtxt = F.when(
+            is_area, F.concat(F.lit("a"), area_id.cast("string"))
+        ).otherwise(F.concat(tchar, F.col("id").cast("string")))
+        idpart = F.concat(F.lit('"id":"'), idtxt, F.lit('",'))
+    elif unique_id == "counter":
+        from ..functions.zipindex import dense_index
+
+        feats = dense_index(
+            feats, [F.asc("type"), F.asc("id")], index_name="__cnt"
+        )
+        idpart = F.concat(F.lit('"id":'), F.col("__cnt").cast("string"), F.lit(","))
+    elif unique_id is not None:
+        raise ValueError(f"unknown unique_id mode {unique_id!r}")
+    elif with_id:
+        idpart = F.concat(F.lit('"id":'), F.col("id").cast("string"), F.lit(","))
+    else:
+        idpart = F.lit("")
     return feats.select(
         F.concat(
             F.lit('{"type":"Feature",'), idpart,

@@ -50,8 +50,14 @@ def test_coord_formatting(spark):
         [(fp(1.0),), (fp(1.23),), (fp(-0.1234567),), (fp(100.0),)], "v int"
     )
     got = [r[0] for r in df.select(coord_str(F.col("v"))).collect()]
-    # 7 decimals, trailing zeros trimmed, bare dot dropped (reference rule)
-    assert got == ["1", "1.23", "-0.1234567", "100"]
+    # GeoJSON rule (export_format_json.cpp:201-211): trailing zeros trimmed
+    # but at least one fractional digit kept ('1.0', never '1')
+    assert got == ["1.0", "1.23", "-0.1234567", "100.0"]
+    from osmium_tool_spark.operators.export import coord_str_compact
+
+    compact = [r[0] for r in df.select(coord_str_compact(F.col("v"))).collect()]
+    # WKT rule: bare dot dropped too
+    assert compact == ["1", "1.23", "-0.1234567", "100"]
 
 
 def test_feature_classification(ents):
@@ -143,7 +149,7 @@ def test_multipolygon_hole_classification(spark):
         _node(5, 1.0, 1.0), _node(6, 3.0, 1.0), _node(7, 3.0, 3.0), _node(8, 1.0, 3.0),
         _way(20, [1, 2, 3, 4, 1], {}),
         _way(21, [5, 6, 7, 8, 5], {}),
-        _rel(30, [(WAY, 20, "outer"), (WAY, 21, "inner")], {"type": "multipolygon"}),
+        _rel(30, [(WAY, 20, "outer"), (WAY, 21, "inner")], {"type": "multipolygon", "landuse": "forest"}),
     ]
     f = features(_df(spark, rows)).filter(F.col("ftype") == "multipolygon")
     geom = json.loads(f.collect()[0].geometry)
@@ -166,7 +172,7 @@ def test_multipolygon_two_outers(spark):
         _node(4, 5.0, 5.0), _node(5, 6.0, 5.0), _node(6, 6.0, 6.0),
         _way(20, [1, 2, 3, 1], {}),
         _way(21, [4, 5, 6, 4], {}),
-        _rel(30, [(WAY, 20, "outer"), (WAY, 21, "outer")], {"type": "multipolygon"}),
+        _rel(30, [(WAY, 20, "outer"), (WAY, 21, "outer")], {"type": "multipolygon", "landuse": "grass"}),
     ]
     f = features(_df(spark, rows)).filter(F.col("ftype") == "multipolygon")
     geom = json.loads(f.collect()[0].geometry)

@@ -1,0 +1,72 @@
+"""Golden parity for export against the reference's committed GeoJSON
+outputs (/root/reference/test/export) — byte-for-byte Feature lines,
+including the coordinate formatting rule (trailing zeros trimmed but one
+fractional digit kept: '2.0', never '2')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.export import features, to_geojsonseq
+from osmium_tool_spark.sources.osmxml import read_osm_xml
+
+REF = "/root/reference/test/export"
+
+
+def feature_lines(spark, input_name, unique_id=None):
+    ents = read_osm_xml(spark, f"{REF}/{input_name}")
+    f = features(ents).orderBy("type", "id")
+    out = to_geojsonseq(f, with_id=False, unique_id=unique_id)
+    return [r.feature for r in out.collect()]
+
+
+def golden_lines(path):
+    lines = []
+    for ln in open(path):
+        ln = ln.strip().rstrip(",")
+        if ln.startswith('{"type":"Feature"'):
+            lines.append(ln)
+    return lines
+
+
+def test_geojsonseq_byte_parity(spark):
+    got = feature_lines(spark, "input.osm")
+    want = golden_lines(f"{REF}/output.geojsonseq")
+    assert got == want
+
+
+def test_geojson_featurecollection_features_byte_parity(spark):
+    got = feature_lines(spark, "input.osm")
+    want = golden_lines(f"{REF}/output.geojson")
+    assert got == want
+
+
+def test_unique_id_type_id(spark):
+    got = feature_lines(spark, "input.osm", unique_id="type_id")
+    want = golden_lines(f"{REF}/output-uid.geojsonseq")
+    assert got == want
+
+
+def test_unique_id_counter(spark):
+    got = feature_lines(spark, "input.osm", unique_id="counter")
+    want = golden_lines(f"{REF}/output-cnt.geojsonseq")
+    assert got == want
+
+
+def test_missing_node_drops_way(spark):
+    # a way referencing a missing node is skipped, everything else kept
+    got = feature_lines(spark, "input-missing-node.osm")
+    want = golden_lines(f"{REF}/output-missing-node.geojson")
+    assert got == want
+
+
+def test_single_node_way_empty(spark):
+    got = feature_lines(spark, "input-single-node-way.osm")
+    assert got == golden_lines(f"{REF}/output-empty.geojson") == []
+
+
+def test_incomplete_relation(spark):
+    # relation with missing member ways: the assembled area is skipped,
+    # remaining features still exported (non -E mode)
+    got = feature_lines(spark, "input-incomplete-relation.osm")
+    want = golden_lines(f"{REF}/output-incomplete-relation.geojson")
+    assert got == want
