@@ -229,6 +229,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--exclude-tags", default=None, help="comma list of tag keys to drop")
     sp.add_argument("--geometry-types", default=None,
                     help="comma list of point/linestring/polygon/multipolygon to keep")
+    sp.add_argument("-E", "--stop-on-error", action="store_true",
+                    help="exit 1 on geometry errors (missing nodes, short ways, incomplete relations)")
 
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
@@ -478,6 +480,14 @@ def run(args, spark: SparkSession) -> int:
         )
 
         ents = _read(spark, args.input)
+        if args.stop_on_error:
+            from .operators.export import export_errors
+
+            errs = export_errors(ents).collect()
+            if errs:
+                for e in errs[:20]:
+                    print(f"export error: {e.reason} ({'nwr'[e.type]}{e.id})", file=sys.stderr)
+                return 1
         gfmt = "wkt" if args.output_format == "text" else "geojson"
         f = features(ents, keep_untagged=args.keep_untagged, geometry_format=gfmt)
         if args.geometry_types:

@@ -521,6 +521,46 @@ def to_geojsonseq(
     )
 
 
+def export_errors(entities: DataFrame) -> DataFrame:
+    """Error records the reference counts (and -E stops on): ways
+    referencing missing nodes, ways with fewer than two resolvable
+    points, and multipolygon/boundary relations with missing member ways
+    (which the assembler cannot complete). Returns (type, id, reason) —
+    three anti-/semi-join jobs over the same scan, no Python."""
+    nodes = entities.filter(F.col("type") == NODE).select("id").distinct()
+    ways = entities.filter(F.col("type") == WAY)
+    rels = entities.filter(F.col("type") == RELATION)
+
+    refs = ways.select(F.col("id"), F.explode("refs").alias("ref"))
+    missing_ref = (
+        refs.join(nodes.withColumnRenamed("id", "ref"), on="ref", how="left_anti")
+        .select("id")
+        .distinct()
+        .select(F.lit(WAY).alias("type"), "id", F.lit("missing_node").alias("reason"))
+    )
+    short_ways = ways.filter(F.size(F.coalesce("refs", F.array())) < 2).select(
+        F.lit(WAY).alias("type"), "id", F.lit("way_too_short").alias("reason")
+    )
+    mp_members = (
+        rels.filter(F.col("tags").getItem("type").isin("multipolygon", "boundary"))
+        .select(F.col("id"), F.explode("members").alias("m"))
+        .filter(F.col("m.mtype") == WAY)
+        .select("id", F.col("m.ref").alias("way_id"))
+    )
+    incomplete_rels = (
+        mp_members.join(
+            ways.select(F.col("id").alias("way_id")).distinct(), on="way_id", how="left_anti"
+        )
+        .select("id")
+        .distinct()
+        .select(
+            F.lit(RELATION).alias("type"), "id",
+            F.lit("incomplete_relation").alias("reason"),
+        )
+    )
+    return missing_ref.unionByName(short_ways).unionByName(incomplete_rels)
+
+
 def filter_geometry_types(feats: DataFrame, types: list[str]) -> DataFrame:
     """--geometry-types selection (command_export.cpp:396-415): keep only
     the listed feature geometry kinds; 'polygon' and 'multipolygon' are

@@ -70,3 +70,31 @@ def test_incomplete_relation(spark):
     got = feature_lines(spark, "input-incomplete-relation.osm")
     want = golden_lines(f"{REF}/output-incomplete-relation.geojson")
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "fname",
+    ["input-missing-node.osm", "input-single-node-way.osm",
+     "input-incomplete-rel-missing-way.osm"],
+)
+def test_stop_on_error_exit_1(spark, fname, tmp_path):
+    # reference WILL_FAIL tests: osmium export -E exits non-zero on these
+    from osmium_tool_spark.cli import main
+
+    rc = main(
+        ["export", f"{REF}/{fname}", "-E", "-o", str(tmp_path / "o.geojson")],
+        spark=spark,
+    )
+    assert rc == 1
+
+
+def test_no_stop_on_error_exports_rest(spark, tmp_path):
+    import json as _json
+
+    from osmium_tool_spark.cli import main
+
+    out = str(tmp_path / "ok.geojson")
+    rc = main(["export", f"{REF}/input-missing-node.osm", "-o", out], spark=spark)
+    assert rc == 0
+    doc = _json.loads(open(out).read())
+    assert len(doc["features"]) == 3  # way 20 dropped, rest exported
