@@ -632,20 +632,81 @@ def write_geojson(feats: DataFrame, path: str, with_id: bool = True) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def to_pg(feats: DataFrame) -> DataFrame:
-    """PG COPY text: id \\t tags-as-json \\t geometry (escaping per
-    export_format_pg.cpp:48-75: backslash, tab, newline, CR)."""
+def _ewkb_impl():
+    """GeoJSON-geometry-string -> EWKB hex (SRID 4326, little-endian),
+    self-contained closure for the Arrow stage. Byte layout per the
+    reference's pg output (test/export/output.pg): every polygon element
+    carries its own byte-order/type/SRID header."""
+    import json as _json
+    import struct
+
+    SRID = struct.pack("<I", 4326)
+
+    def pts(coords):
+        return struct.pack("<I", len(coords)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in coords
+        )
+
+    def encode(geom_str: str) -> str:
+        g = _json.loads(geom_str)
+        t, c = g["type"], g["coordinates"]
+        if t == "Point":
+            raw = b"\x01" + struct.pack("<I", 0x20000001) + SRID + struct.pack("<dd", *c)
+        elif t == "LineString":
+            raw = b"\x01" + struct.pack("<I", 0x20000002) + SRID + pts(c)
+        elif t == "MultiPolygon":
+            polys = b"".join(
+                b"\x01" + struct.pack("<I", 0x20000003) + SRID
+                + struct.pack("<I", len(rings)) + b"".join(pts(r) for r in rings)
+                for rings in c
+            )
+            raw = (
+                b"\x01" + struct.pack("<I", 0x20000006) + SRID
+                + struct.pack("<I", len(c)) + polys
+            )
+        else:
+            raise ValueError(f"unsupported geometry type {t}")
+        return raw.hex().upper()
+
+    return encode
+
+
+def to_pg(feats: DataFrame, geometry: str = "ewkb") -> DataFrame:
+    """PG COPY text rows (export_format_pg.cpp): EWKB hex geometry
+    (SRID 4326) + tab + tags as JSON — byte parity with the reference's
+    pg format (test/export/output.pg). `geometry="geojson"` keeps the
+    GeoJSON geometry string instead (columns: id, tags, geometry).
+
+    Escaping per export_format_pg.cpp:48-75 (backslash, tab, newline, CR).
+    The EWKB encode is an Arrow-batched stage — an export SINK edge, not a
+    query hot path (mirrors the reference doing serialization in the
+    single writer thread)."""
+
     def esc(c: Column) -> Column:
         c = F.regexp_replace(c, r"\\", r"\\\\")
         c = F.regexp_replace(c, "\t", r"\\t")
         c = F.regexp_replace(c, "\n", r"\\n")
         return F.regexp_replace(c, "\r", r"\\r")
 
-    return feats.select(
-        F.concat_ws(
-            "\t",
-            F.col("id").cast("string"),
-            esc(F.to_json(F.col("tags"))),
-            F.col("geometry"),
-        ).alias("row")
+    if geometry == "geojson":
+        return feats.select(
+            F.concat_ws(
+                "\t",
+                F.col("id").cast("string"),
+                esc(F.to_json(F.col("tags"))),
+                F.col("geometry"),
+            ).alias("row")
+        )
+
+    staged = feats.select(
+        F.col("geometry"), esc(F.to_json(F.col("tags"))).alias("props")
     )
+    encode = _ewkb_impl()
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {"row": [encode(g) + "\t" + p for g, p in zip(pdf["geometry"], pdf["props"])]}
+            )
+
+    return staged.mapInPandas(batches, schema="row string")

@@ -98,3 +98,23 @@ def test_no_stop_on_error_exports_rest(spark, tmp_path):
     assert rc == 0
     doc = _json.loads(open(out).read())
     assert len(doc["features"]) == 3  # way 20 dropped, rest exported
+
+
+def test_pg_ewkb_byte_parity(spark):
+    from osmium_tool_spark.operators.export import features, to_pg
+
+    ents = read_osm_xml(spark, f"{REF}/input.osm")
+    f = features(ents).orderBy("type", "id")
+    got = [r.row for r in to_pg(f).collect()]
+    want = [ln.rstrip("\n") for ln in open(f"{REF}/output.pg") if ln.strip()]
+    assert got == want
+
+
+def test_pg_untagged_byte_parity(spark):
+    from osmium_tool_spark.operators.export import features, to_pg
+
+    ents = read_osm_xml(spark, f"{REF}/input.osm")
+    f = features(ents, keep_untagged=True).orderBy("type", "id")
+    got = [r.row for r in to_pg(f).collect()]
+    want = [ln.rstrip("\n") for ln in open(f"{REF}/output-untagged.pg") if ln.strip()]
+    assert got == want
