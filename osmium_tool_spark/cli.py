@@ -497,13 +497,21 @@ def run(args, spark: SparkSession) -> int:
             include_tags=args.include_tags.split(",") if args.include_tags else None,
             exclude_tags=args.exclude_tags.split(",") if args.exclude_tags else None,
         )
+        props_col = None
         if args.attributes:
-            f = with_attributes(f, ents, args.attributes.split(","))
+            if args.output_format in ("geojson", "geojsonseq"):
+                # byte parity: attributes as JSON NUMBERS in properties
+                from .operators.export import attributes_props_json
+
+                f = attributes_props_json(f, ents, args.attributes.split(","))
+                props_col = "props"
+            else:
+                f = with_attributes(f, ents, args.attributes.split(","))
         if args.output_format == "geojson":
-            write_geojson(f, args.output)
+            write_geojson(f, args.output, props_col=props_col)
         else:
             if args.output_format == "geojsonseq":
-                out = to_geojsonseq(f)
+                out = to_geojsonseq(f, props_col=props_col)
             elif args.output_format == "text":
                 out = to_text(f, keep_untagged=args.keep_untagged)
             else:

@@ -472,18 +472,90 @@ def with_attributes(
     )
 
 
+ATTR_ORDER = ("type", "id", "version", "changeset", "uid", "user", "timestamp", "way_nodes")
+
+
+def attributes_props_json(
+    feats: DataFrame, entities: DataFrame, attrs: list[str]
+) -> DataFrame:
+    """Build a `props` JSON-string column with object attributes as '@'
+    keys holding JSON NUMBERS (and @way_nodes as a number array) followed
+    by the tags — byte parity with the reference's -a output
+    (test/export/output-attr.geojson: {"@id":10,...}, not {"@id":"10"}).
+    A map<string,string> + to_json cannot express unquoted numerics, so
+    the JSON assembles via Column string math in the reference's FIXED
+    attribute order (independent of the CLI order). `concat_ws` skips
+    NULL fragments, which drops inapplicable parts (way_nodes on nodes,
+    empty tag sets) for free."""
+    wanted = set(attrs)
+    unknown = wanted - set(ATTR_ORDER)
+    if unknown:
+        raise ValueError(f"unknown attributes: {sorted(unknown)}")
+    meta = entities.select(
+        "type", "id",
+        F.col("version").alias("__v"), F.col("changeset").alias("__c"),
+        F.col("ts").alias("__t"), F.col("uid").alias("__u"),
+        F.col("user").alias("__n"), F.col("refs").alias("__r"),
+    ).dropDuplicates(["type", "id"])
+    j = feats.join(meta, on=["type", "id"], how="left")
+
+    def jstr(key: str, val: Column) -> Column:
+        # JSON string escaping via to_json of a one-entry map, braces cut
+        one = F.to_json(F.create_map(F.lit(key), val))
+        return F.substring(one, 2, F.length(one) - 2)
+
+    tname = (
+        F.when(F.col("type") == NODE, "node")
+        .when(F.col("type") == WAY, "way")
+        .otherwise("relation")
+    )
+    frags = {
+        "type": F.concat(F.lit('"@type":"'), tname, F.lit('"')),
+        "id": F.concat(F.lit('"@id":'), F.col("id").cast("string")),
+        "version": F.concat(F.lit('"@version":'), F.col("__v").cast("string")),
+        "changeset": F.concat(F.lit('"@changeset":'), F.col("__c").cast("string")),
+        "uid": F.concat(F.lit('"@uid":'), F.col("__u").cast("string")),
+        "user": jstr("@user", F.col("__n")),
+        # epoch SECONDS (export_format_json.cpp:144-148); ts is micros
+        "timestamp": F.concat(
+            F.lit('"@timestamp":'), (F.col("__t") / 1_000_000).cast("long").cast("string")
+        ),
+        "way_nodes": F.when(
+            (F.col("type") == WAY) & F.col("__r").isNotNull(),
+            F.concat(
+                F.lit('"@way_nodes":['),
+                F.concat_ws(",", F.transform(F.col("__r"), lambda r: r.cast("string"))),
+                F.lit("]"),
+            ),
+        ),
+    }
+    tags_json = F.to_json(F.col("tags"))
+    tags_inner = F.when(
+        F.size(F.map_keys("tags")) > 0,
+        F.substring(tags_json, 2, F.length(tags_json) - 2),
+    )
+    parts = [frags[a] for a in ATTR_ORDER if a in wanted] + [tags_inner]
+    props = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+    return j.withColumn("props", props).drop("__v", "__c", "__t", "__u", "__n", "__r")
+
+
 def to_geojsonseq(
-    feats: DataFrame, with_id: bool = True, unique_id: str | None = None
+    feats: DataFrame,
+    with_id: bool = True,
+    unique_id: str | None = None,
+    props_col: str | None = None,
 ) -> DataFrame:
     """One GeoJSON Feature per row (geojsonseq format,
-    export_format_json.cpp with RS-free framing).
+    export_format_json.cpp with RS-free framing). `props_col` overrides
+    the default tags-map properties with a prebuilt JSON-string column
+    (attributes_props_json).
 
     `unique_id` mirrors the reference's -u option: None (default — no id
     in the reference; here controlled by `with_id` emitting the numeric
     object id), "type_id" ('"id":"n14"'), or "counter" (1-based over the
     canonical (type, id) output order, assigned via the distributed
     zipWithIndex — no single-task window)."""
-    props = F.to_json(F.col("tags"))
+    props = F.col(props_col) if props_col else F.to_json(F.col("tags"))
     if unique_id == "type_id":
         # areas use the osmium area-id convention: 2*way_id for way-areas,
         # 2*rel_id+1 for relation-areas, type char 'a' (output-mp.geojson
@@ -602,7 +674,9 @@ def to_geojson_features(feats: DataFrame, with_id: bool = True) -> DataFrame:
     return to_geojsonseq(feats, with_id=with_id)
 
 
-def write_geojson(feats: DataFrame, path: str, with_id: bool = True) -> None:
+def write_geojson(
+    feats: DataFrame, path: str, with_id: bool = True, props_col: str | None = None
+) -> None:
     """Plain GeoJSON — the reference's DEFAULT export format
     (command_export.cpp:527-545): ONE FeatureCollection document.
 
@@ -614,7 +688,9 @@ def write_geojson(feats: DataFrame, path: str, with_id: bool = True) -> None:
     import shutil
 
     tmp = path + ".parts"
-    to_geojsonseq(feats, with_id=with_id).write.mode("overwrite").text(tmp)
+    to_geojsonseq(feats, with_id=with_id, props_col=props_col).write.mode(
+        "overwrite"
+    ).text(tmp)
     with open(path, "w") as out:
         out.write('{"type":"FeatureCollection","features":[\n')
         first = True

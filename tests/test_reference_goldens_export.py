@@ -118,3 +118,44 @@ def test_pg_untagged_byte_parity(spark):
     got = [r.row for r in to_pg(f).collect()]
     want = [ln.rstrip("\n") for ln in open(f"{REF}/output-untagged.pg") if ln.strip()]
     assert got == want
+
+
+def test_attributes_numeric_json_byte_parity(spark):
+    # osmium export -n -a type,id,version,changeset,timestamp,uid,user,way_nodes
+    from osmium_tool_spark.operators.export import (
+        attributes_props_json,
+        features,
+        to_geojsonseq,
+    )
+
+    ents = read_osm_xml(spark, f"{REF}/input.osm")
+    f = features(ents, keep_untagged=True)
+    f = attributes_props_json(
+        f, ents,
+        ["type", "id", "version", "changeset", "timestamp", "uid", "user", "way_nodes"],
+    ).orderBy("type", "id")
+    got = [r.feature for r in to_geojsonseq(f, with_id=False, props_col="props").collect()]
+    want = golden_lines(f"{REF}/output-attr.geojson")
+    assert got == want
+
+
+def test_attributes_chars_escaping_parity(spark):
+    # JSON escaping of quotes/backslashes/control chars in user names and
+    # tag values (input-chars.osm -> output-chars.geojson)
+    from osmium_tool_spark.operators.export import (
+        attributes_props_json,
+        features,
+        to_geojsonseq,
+    )
+
+    ents = read_osm_xml(spark, f"{REF}/input-chars.osm")
+    f = features(ents, keep_untagged=True).orderBy("type", "id")
+    f = attributes_props_json(
+        f, ents,
+        ["type", "id", "version", "changeset", "timestamp", "uid", "user", "way_nodes"],
+    )
+    got = sorted(
+        r.feature for r in to_geojsonseq(f, with_id=False, props_col="props").collect()
+    )
+    want = sorted(golden_lines(f"{REF}/output-chars.geojson"))
+    assert got == want
