@@ -231,6 +231,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list of point/linestring/polygon/multipolygon to keep")
     sp.add_argument("-E", "--stop-on-error", action="store_true",
                     help="exit 1 on geometry errors (missing nodes, short ways, incomplete relations)")
+    sp.add_argument("-c", "--config", dest="export_config", default=None,
+                    help="export config JSON: linear_tags/area_tags rulesets, "
+                         "attributes, include_tags/exclude_tags")
 
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
@@ -488,15 +491,33 @@ def run(args, spark: SparkSession) -> int:
                 for e in errs[:20]:
                     print(f"export error: {e.reason} ({'nwr'[e.type]}{e.id})", file=sys.stderr)
                 return 1
+        cfg = {}
+        if args.export_config:
+            cfg = json.load(open(args.export_config))
         gfmt = "wkt" if args.output_format == "text" else "geojson"
-        f = features(ents, keep_untagged=args.keep_untagged, geometry_format=gfmt)
+        f = features(
+            ents,
+            keep_untagged=args.keep_untagged,
+            linear_tags=cfg.get("linear_tags", None),
+            area_tags=cfg.get("area_tags", None),
+            geometry_format=gfmt,
+        )
         if args.geometry_types:
             f = filter_geometry_types(f, args.geometry_types.split(","))
         f = filter_tags(
             f,
-            include_tags=args.include_tags.split(",") if args.include_tags else None,
-            exclude_tags=args.exclude_tags.split(",") if args.exclude_tags else None,
+            include_tags=(
+                args.include_tags.split(",") if args.include_tags
+                else (cfg.get("include_tags") or None)
+            ),
+            exclude_tags=(
+                args.exclude_tags.split(",") if args.exclude_tags
+                else (cfg.get("exclude_tags") or None)
+            ),
         )
+        cfg_attrs = [k for k, v in (cfg.get("attributes") or {}).items() if v]
+        if cfg_attrs and not args.attributes:
+            args.attributes = ",".join(cfg_attrs)
         props_col = None
         if args.attributes:
             if args.output_format in ("geojson", "geojsonseq"):

@@ -32,12 +32,64 @@ from pyspark.sql import functions as F
 
 from ..schema import COORD_SCALE, NODE, RELATION, WAY
 
-AREA_TAGS = (
-    # default area_tags ruleset (osmium-export config `area_tagging`;
-    # the tags whose presence makes a closed way an area)
-    "area", "building", "landuse", "leisure", "natural", "amenity",
-    "boundary", "place", "shop", "tourism",
-)
+def _matches_any_tag(tags: Column, matchers: list[str]) -> Column:
+    from functools import reduce
+
+    from ..functions.tagexpr import TagMatcher
+
+    conds = [TagMatcher.parse(m).col(tags) for m in matchers]
+    return reduce(lambda a, b: a | b, conds) if conds else F.lit(False)
+
+
+def _ruleset_col(tags: Column, rule, other_rule) -> Column:
+    """One side of the linear_tags/area_tags ruleset pair
+    (command_export.cpp parse_tags_ruleset + export_handler.cpp
+    check_conditions:42-58), golden-verified against the full
+    test/export/config-*.json matrix:
+
+      True or []   -> 'any': any TAGGED object matches
+      False        -> 'none': nothing matches
+      list[expr]   -> match any of the tag expressions
+      None (unset) -> 'other': match everything NOT matched by the other
+                      side's list (both-unset = both-any after the
+                      reference's promotion — vacuously true here too)
+    """
+    has_tags = F.size(F.map_keys(tags)) > 0
+    if rule is None:
+        if isinstance(other_rule, (list, tuple)) and len(other_rule) > 0:
+            return ~_matches_any_tag(tags, list(other_rule))
+        return F.lit(True)
+    if rule is True or (isinstance(rule, (list, tuple)) and len(rule) == 0):
+        return has_tags
+    if rule is False:
+        return F.lit(False)
+    return _matches_any_tag(tags, list(rule))
+
+
+def way_rules(
+    tags: Column, refs: Column, linear_tags=None, area_tags=None,
+    keep_untagged: bool = False,
+) -> tuple[Column, Column]:
+    """(emit_linestring, emit_area) for a way (export_handler.cpp:112-157):
+    open ways are always linear; an explicit area=no/yes tag overrides
+    both rulesets; untagged ways are linear (only) when keep_untagged."""
+    closed = is_closed(refs)
+    area_yes = tags.getItem("area").eqNullSafe("yes")
+    area_no = tags.getItem("area").eqNullSafe("no")
+    untagged = F.size(F.map_keys(tags)) == 0
+    lin = (
+        F.when(area_no, F.lit(True))
+        .when(area_yes, F.lit(False))
+        .otherwise(_ruleset_col(tags, linear_tags, area_tags))
+    )
+    ar = (
+        F.when(area_no, F.lit(False))
+        .when(area_yes, F.lit(True))
+        .otherwise(_ruleset_col(tags, area_tags, linear_tags))
+    )
+    emit_line = (~closed) | lin | (untagged & F.lit(keep_untagged))
+    emit_area = closed & ar & ~untagged
+    return emit_line, emit_area
 
 
 def coord_str(fixed: Column) -> Column:
@@ -59,21 +111,6 @@ def coord_str_compact(fixed: Column) -> Column:
 
 def is_closed(refs: Column) -> Column:
     return (F.size(refs) >= 4) & (refs.getItem(0) == F.element_at(refs, -1))
-
-
-def is_area_way(tags: Column, refs: Column, area_tags: tuple = AREA_TAGS) -> Column:
-    """Closed way that should render as an area (export_handler.cpp:42-68):
-    area=yes forces area, area=no forces linear, else any area tag."""
-    has_area_tag = F.arrays_overlap(
-        F.map_keys(tags), F.array(*[F.lit(t) for t in area_tags if t != "area"])
-    )
-    # null-safe comparisons: a plain `== "yes"` is NULL for untagged ways
-    # and NULL poisons the whole predicate (three-valued logic)
-    area_yes = tags.getItem("area").eqNullSafe("yes")
-    area_no = tags.getItem("area").eqNullSafe("no")
-    return is_closed(refs) & ~area_no & (
-        area_yes | (tags.getItem("area").isNull() & has_area_tag)
-    )
 
 
 def locations_join(ways: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -251,11 +288,17 @@ def assemble_multipolygons(relations: DataFrame, ways_with_coords: DataFrame) ->
 def features(
     entities: DataFrame,
     keep_untagged: bool = False,
-    area_tags: tuple = AREA_TAGS,
+    linear_tags=None,
+    area_tags=None,
     geometry_format: str = "geojson",
 ) -> DataFrame:
     """Feature DataFrame: (ftype: point|linestring|polygon|multipolygon,
     type, id, tags, geometry string).
+
+    `linear_tags`/`area_tags` are the reference's rulesets (see
+    _ruleset_col / way_rules): a CLOSED tagged way can legitimately emit
+    BOTH a linestring and an area — the reference default does exactly
+    that (config-*.json golden matrix, way-all.txt).
 
     `geometry_format`: "geojson" (JSON geometry objects) or "wkt"
     (POINT/LINESTRING/POLYGON/MULTIPOLYGON — what the reference's `text`
@@ -350,12 +393,14 @@ def features(
     # a feature with no tags produces no output)
     if not keep_untagged:
         wc = wc.filter(F.size(F.map_keys("tags")) > 0)
-    area_way = is_area_way(F.col("tags"), F.col("refs"), area_tags)
-    lines = wc.filter(~area_way).select(
+    emit_line, emit_area = way_rules(
+        F.col("tags"), F.col("refs"), linear_tags, area_tags, keep_untagged
+    )
+    lines = wc.filter(emit_line).select(
         F.lit("linestring").alias("ftype"), "type", "id", "tags",
         line_geom.alias("geometry"),
     )
-    way_polys = wc.filter(area_way).select(
+    way_polys = wc.filter(emit_area).select(
         F.lit("polygon").alias("ftype"), "type", "id", "tags",
         wpoly_geom.alias("geometry"),
     )

@@ -95,10 +95,42 @@ def parse_osm_xml(text: str) -> list[dict]:
 
 
 def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
-    """Read an .osm/.osh/.osc XML file into the canonical entity frame."""
+    """Read an .osm/.osh/.osc XML file into the canonical entity frame.
+
+    Tags travel as an entries ARRAY and become a map via map_from_entries:
+    converting a Python dict to a Spark map does NOT reliably preserve
+    insertion order, but the reference's tag output order IS document
+    order (export text/JSON formats print tags as listed in the file)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     with open(path) as f:
         rows = parse_osm_xml(f.read())
-    return spark.createDataFrame(rows, ENTITY_SCHEMA)
+    for r in rows:
+        r["tags"] = list(r["tags"].items())
+    fields = []
+    for fld in ENTITY_SCHEMA.fields:
+        if fld.name == "tags":
+            fields.append(
+                T.StructField(
+                    "tags",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("key", T.StringType(), False),
+                                T.StructField("value", T.StringType(), True),
+                            ]
+                        )
+                    ),
+                    True,
+                )
+            )
+        else:
+            fields.append(fld)
+    df = spark.createDataFrame(rows, T.StructType(fields))
+    return df.withColumn("tags", F.map_from_entries("tags")).select(
+        *[f.name for f in ENTITY_SCHEMA.fields]
+    )
 
 
 CHANGESET_SCHEMA = (

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 from osmium_tool_spark.operators.export import (
     coord_str,
     features,
-    is_area_way,
     locations_join,
     to_geojsonseq,
     to_pg,
@@ -61,15 +60,26 @@ def test_coord_formatting(spark):
 
 
 def test_feature_classification(ents):
+    # reference default rulesets: closed tagged ways (without an explicit
+    # area tag) emit BOTH a linestring and an area (way-all.txt parity)
     f = features(ents)
-    by_id = {(r.type, r.id): r for r in f.collect()}
-    assert by_id[(NODE, 1)].ftype == "point"
-    assert (NODE, 2) not in by_id  # untagged node dropped
-    assert by_id[(WAY, 20)].ftype == "linestring"
-    assert by_id[(WAY, 21)].ftype == "polygon"
-    assert by_id[(WAY, 22)].ftype == "linestring"  # area=no forces linear
-    assert by_id[(WAY, 23)].ftype == "linestring"  # no area tag -> linear
-    assert by_id[(2, 30)].ftype == "multipolygon"
+    by_key = {}
+    for r in f.collect():
+        by_key.setdefault((r.type, r.id), set()).add(r.ftype)
+    assert by_key[(NODE, 1)] == {"point"}
+    assert (NODE, 2) not in by_key  # untagged node dropped
+    assert by_key[(WAY, 20)] == {"linestring"}          # open way
+    assert by_key[(WAY, 21)] == {"linestring", "polygon"}
+    assert by_key[(WAY, 22)] == {"linestring"}          # area=no forces linear
+    assert by_key[(WAY, 23)] == {"linestring", "polygon"}
+    assert by_key[(2, 30)] == {"multipolygon"}
+    # explicit rulesets restore exclusive behavior
+    excl = features(ents, linear_tags=["highway", "barrier"], area_tags=["building"])
+    by_key2 = {}
+    for r in excl.collect():
+        by_key2.setdefault((r.type, r.id), set()).add(r.ftype)
+    assert by_key2[(WAY, 21)] == {"polygon"}
+    assert by_key2[(WAY, 23)] == {"linestring"}
 
 
 def test_point_geometry_json(ents):

@@ -159,3 +159,70 @@ def test_attributes_chars_escaping_parity(spark):
     )
     want = sorted(golden_lines(f"{REF}/output-chars.geojson"))
     assert got == want
+
+
+class TestLinearAreaRulesetMatrix:
+    """The reference's full linear_tags/area_tags config matrix
+    (test/export/CMakeLists.txt c-* cases): text-format output over
+    way.osm must match the committed way-*.txt files line for line."""
+
+    CASES = [
+        ([], [], "way-all.txt"),
+        (True, True, "way-all.txt"),
+        (None, None, "way-all.txt"),
+        (False, False, "way-none.txt"),
+        (["barrier"], [], "way-tag-empty.txt"),
+        ([], ["landuse"], "way-empty-tag.txt"),
+        (["barrier"], ["landuse"], "way-tag-tag.txt"),
+        (["does-not-exist"], [], "way-tagx-empty.txt"),
+        ([], ["does-not-exist"], "way-empty-tagx.txt"),
+        (["does-not-exist"], ["does-not-exist"], "way-tagx-tagx.txt"),
+        (None, ["landuse"], "way-null-tag.txt"),
+        (["barrier"], None, "way-tag-null.txt"),
+    ]
+
+    def _lines(self, spark, linear, area, keep_untagged=False):
+        from osmium_tool_spark.operators.export import (
+            features,
+            to_text,
+            with_attributes,
+        )
+
+        ents = read_osm_xml(spark, f"{REF}/way.osm")
+        f = features(
+            ents, keep_untagged=keep_untagged, linear_tags=linear,
+            area_tags=area, geometry_format="wkt",
+        )
+        if not keep_untagged:
+            # the text-format skip rule counts real TAGS, not attributes
+            f = f.filter(F.size(F.map_keys("tags")) > 0)
+        f = with_attributes(f, ents, ["id"])
+        rows = to_text(f, keep_untagged=True).collect()
+        # reference order: all linestrings (way order), then all areas
+        feats = [
+            (r.row.startswith("MULTIPOLYGON"), int(r.row.split("@id=")[1].split(",")[0]), r.row)
+            for r in rows
+        ]
+        return [r for *_, r in sorted(feats)]
+
+    @pytest.mark.parametrize(
+        "linear,area,expected", CASES,
+        ids=[f"{e}:{l}/{a}" for l, a, e in CASES],
+    )
+    def test_matrix(self, spark, linear, area, expected):
+        got = self._lines(spark, linear, area)
+        want = [ln.rstrip("\n") for ln in open(f"{REF}/{expected}") if ln.strip()]
+        want = [r for *_, r in sorted(
+            (w.startswith("MULTIPOLYGON"), int(w.split("@id=")[1].split(",")[0]), w)
+            for w in want
+        )]
+        assert got == want
+
+    def test_keep_untagged(self, spark):
+        got = self._lines(spark, [], [], keep_untagged=True)
+        want = [ln.rstrip("\n") for ln in open(f"{REF}/way-all-n.txt") if ln.strip()]
+        want = [r for *_, r in sorted(
+            (w.startswith("MULTIPOLYGON"), int(w.split("@id=")[1].split(",")[0]), w)
+            for w in want
+        )]
+        assert got == want
