@@ -209,3 +209,37 @@ class TestCheckRefsGoldens:
     )
     def test_fail_fixtures(self, spark, fname, rels):
         assert self._missing(spark, fname, rels) > 0
+
+
+class TestCatGoldens:
+    """test/cat: concatenation order and the OPL serializer's byte shape
+    (check_convert: cat input1.osm -f opl == output1.osm.opl)."""
+
+    def test_cat_order(self, spark):
+        in1 = read_osm_xml(spark, f"{REF}/cat/input1.osm")
+        in2 = read_osm_xml(spark, f"{REF}/cat/input2.osm")
+        got12 = canon_rows(sort_merge.cat([in1, in2]), keep_order=True)
+        want12 = canon_rows(read_osm_xml(spark, f"{REF}/cat/output-cat12.osm"), keep_order=True)
+        assert got12 == want12
+        got21 = canon_rows(sort_merge.cat([in2, in1]), keep_order=True)
+        want21 = canon_rows(read_osm_xml(spark, f"{REF}/cat/output-cat21.osm"), keep_order=True)
+        assert got21 == want21
+
+    def test_opl_serializer_byte_parity(self, spark):
+        from osmium_tool_spark.sources.opl import _make_serializer
+
+        ser = _make_serializer()
+        ents = read_osm_xml(spark, f"{REF}/cat/input1.osm")
+        got = [ser(r.asDict(recursive=True)) for r in ents.collect()]
+        want = [ln.rstrip("\n") for ln in open(f"{REF}/cat/output1.osm.opl") if ln.strip()]
+        assert got == want
+
+    def test_opl_reader_roundtrips_reference_opl(self, spark, tmp_path):
+        from osmium_tool_spark.sources.opl import read_opl
+
+        src = tmp_path / "ref.opl"
+        src.write_text(open(f"{REF}/cat/output1.osm.opl").read())
+        back = read_osm_xml(spark, f"{REF}/cat/input1.osm")
+        got = canon_rows(read_opl(spark, str(src)))
+        want = canon_rows(back)
+        assert got == want
