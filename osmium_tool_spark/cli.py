@@ -389,13 +389,20 @@ def run(args, spark: SparkSession) -> int:
         out.write.mode("overwrite").parquet(args.output)
         return 1 if n else 0  # reference exit code semantics
     elif cmd == "fileinfo":
-        from .operators.aggregates import fileinfo
+        from .operators.aggregates import fileinfo, fileinfo_report
 
-        rows = fileinfo(_read(spark, args.input)).collect()
+        ents = _read(spark, args.input)
         if args.json:
-            print(json.dumps([r.asDict() for r in rows], default=str))
+            # reference-shaped report (command_fileinfo.cpp:335-445)
+            from pyspark.sql import functions as SF
+
+            data = fileinfo_report(
+                ents.withColumn("__seq", SF.monotonically_increasing_id()),
+                seq_col="__seq",
+            )
+            print(json.dumps({"data": data}, indent=4))
         else:
-            for r in rows:
+            for r in fileinfo(ents).collect():
                 print(r)
     elif cmd == "tags-count":
         from .operators.aggregates import tags_count

@@ -37,6 +37,93 @@ def fileinfo(entities: DataFrame) -> DataFrame:
     )
 
 
+def fileinfo_report(entities: DataFrame, seq_col: str | None = None) -> dict:
+    """Reference-shaped fileinfo 'data' report (command_fileinfo.cpp:
+    335-445 JSON layout; golden test/fileinfo/fi1-result.json): bbox in
+    degrees, first/last ISO timestamps, per-type counts and min/max ids,
+    multiple_versions, metadata availability, and objects_ordered when
+    `seq_col` supplies the physical stream order. ONE aggregate job over
+    the scan (+ the order-validation probe). The reference's stream crc32
+    is intentionally absent — the engine fingerprint is fileinfo_crc
+    (order-independent sum of per-row CRC32s, a documented deviation)."""
+    import time as _time
+
+    from ..schema import COORD_SCALE, NODE, RELATION, WAY
+
+    def per_type(t, col, fn, alias):
+        return fn(F.when(F.col("type") == t, F.col(col))).alias(alias)
+
+    aggs = [F.count("*").alias("n_total"), F.count_distinct("type", "id").alias("n_objects")]
+    for name, t in (("nodes", NODE), ("ways", WAY), ("relations", RELATION)):
+        aggs += [
+            F.count(F.when(F.col("type") == t, 1)).alias(f"cnt_{name}"),
+            per_type(t, "id", F.min, f"min_{name}"),
+            per_type(t, "id", F.max, f"max_{name}"),
+        ]
+    aggs += [
+        F.min("lon").alias("min_lon"), F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"), F.max("lat").alias("max_lat"),
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"),
+    ]
+    for attr in ("version", "ts", "changeset", "uid"):
+        aggs += [
+            F.min(F.col(attr).isNotNull().cast("int")).alias(f"all_{attr}"),
+            F.max(F.col(attr).isNotNull().cast("int")).alias(f"some_{attr}"),
+        ]
+    user_ok = (F.col("user").isNotNull() & (F.col("user") != "")).cast("int")
+    aggs += [F.min(user_ok).alias("all_user"), F.max(user_ok).alias("some_user")]
+    r = entities.agg(*aggs).collect()[0]
+
+    def iso(ts):
+        if ts is None:
+            return None
+        return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts // 1_000_000))
+
+    def meta(kind):
+        return {
+            "version": bool(r[f"{kind}_version"]),
+            "timestamp": bool(r[f"{kind}_ts"]),
+            "changeset": bool(r[f"{kind}_changeset"]),
+            "user": bool(r[f"{kind}_user"]),
+            "uid": bool(r[f"{kind}_uid"]),
+        }
+
+    data = {
+        "bbox": (
+            [
+                r["min_lon"] / COORD_SCALE, r["min_lat"] / COORD_SCALE,
+                r["max_lon"] / COORD_SCALE, r["max_lat"] / COORD_SCALE,
+            ]
+            if r["min_lon"] is not None
+            else []
+        ),
+        "timestamp": {"first": iso(r["min_ts"]), "last": iso(r["max_ts"])},
+        "multiple_versions": r["n_total"] != r["n_objects"],
+        "count": {
+            "changesets": 0,
+            "nodes": r["cnt_nodes"], "ways": r["cnt_ways"], "relations": r["cnt_relations"],
+        },
+        "minid": {
+            "changesets": 0,
+            "nodes": r["min_nodes"] or 0, "ways": r["min_ways"] or 0,
+            "relations": r["min_relations"] or 0,
+        },
+        "maxid": {
+            "changesets": 0,
+            "nodes": r["max_nodes"] or 0, "ways": r["max_ways"] or 0,
+            "relations": r["max_relations"] or 0,
+        },
+        "metadata": {"all_objects": meta("all"), "some_objects": meta("some")},
+    }
+    if seq_col is not None:
+        from .sort_merge import validate_order
+
+        data["objects_ordered"] = (
+            validate_order(entities.withColumnRenamed(seq_col, "seq")).isEmpty()
+        )
+    return data
+
+
 HASH_MODULUS = 1 << 61
 
 

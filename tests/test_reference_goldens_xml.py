@@ -243,3 +243,37 @@ class TestCatGoldens:
         got = canon_rows(read_opl(spark, str(src)))
         want = canon_rows(back)
         assert got == want
+
+
+class TestFileinfoGoldens:
+    """fileinfo -j data-section parity vs test/fileinfo/fi1-result.json
+    (crc32 and the buffers memory internals are implementation details of
+    the reference's stream reader and intentionally absent)."""
+
+    def test_fi1_report(self, spark):
+        import json as _json
+
+        from osmium_tool_spark.operators.aggregates import fileinfo_report
+
+        ents = read_osm_xml(spark, f"{REF}/fileinfo/fi1.osm").withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
+        got = fileinfo_report(ents, seq_col="__seq")
+        want = _json.load(open(f"{REF}/fileinfo/fi1-result.json"))["data"]
+        for key in ("bbox", "timestamp", "objects_ordered", "multiple_versions",
+                    "count", "minid", "maxid", "metadata"):
+            assert got[key] == want[key], key
+
+    def test_multiple_versions_and_unordered(self, spark):
+        from osmium_tool_spark.operators.aggregates import fileinfo_report
+
+        hist = read_osm_xml(spark, f"{REF}/time-filter/input.osh").withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
+        got = fileinfo_report(hist, seq_col="__seq")
+        assert got["multiple_versions"] is True
+        assert got["objects_ordered"] is True  # .osh is sorted
+        unsorted = read_osm_xml(spark, f"{REF}/merge/unsorted-ids-n.osm").withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
+        assert fileinfo_report(unsorted, seq_col="__seq")["objects_ordered"] is False
