@@ -234,6 +234,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-c", "--config", dest="export_config", default=None,
                     help="export config JSON: linear_tags/area_tags rulesets, "
                          "attributes, include_tags/exclude_tags")
+    sp.add_argument("-u", "--unique-id", default=None, choices=["type_id", "counter"],
+                    help="feature id mode: type char + id (areas use the 2*id(+1) convention) or a running counter")
 
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
@@ -536,10 +538,10 @@ def run(args, spark: SparkSession) -> int:
             else:
                 f = with_attributes(f, ents, args.attributes.split(","))
         if args.output_format == "geojson":
-            write_geojson(f, args.output, props_col=props_col)
+            write_geojson(f, args.output, props_col=props_col, unique_id=args.unique_id)
         else:
             if args.output_format == "geojsonseq":
-                out = to_geojsonseq(f, props_col=props_col)
+                out = to_geojsonseq(f, props_col=props_col, unique_id=args.unique_id)
             elif args.output_format == "text":
                 out = to_text(f, keep_untagged=args.keep_untagged)
             else:

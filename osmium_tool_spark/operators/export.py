@@ -720,7 +720,11 @@ def to_geojson_features(feats: DataFrame, with_id: bool = True) -> DataFrame:
 
 
 def write_geojson(
-    feats: DataFrame, path: str, with_id: bool = True, props_col: str | None = None
+    feats: DataFrame,
+    path: str,
+    with_id: bool = True,
+    props_col: str | None = None,
+    unique_id: str | None = None,
 ) -> None:
     """Plain GeoJSON — the reference's DEFAULT export format
     (command_export.cpp:527-545): ONE FeatureCollection document.
@@ -733,9 +737,9 @@ def write_geojson(
     import shutil
 
     tmp = path + ".parts"
-    to_geojsonseq(feats, with_id=with_id, props_col=props_col).write.mode(
-        "overwrite"
-    ).text(tmp)
+    to_geojsonseq(
+        feats, with_id=with_id, props_col=props_col, unique_id=unique_id
+    ).write.mode("overwrite").text(tmp)
     with open(path, "w") as out:
         out.write('{"type":"FeatureCollection","features":[\n')
         first = True

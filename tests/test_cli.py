@@ -245,3 +245,32 @@ def test_cli_getid_with_history_keeps_versions_and_exit_0(spark, tmp_path):
     assert rc == 0
     got = [(r.type, r.id, r.version) for r in spark.read.parquet(out).collect()]
     assert len(got) == len(set(got)) and len({v for _, _, v in got}) > 1
+
+
+def test_cli_help_smoke_all_commands(capsys):
+    # reference help/synopsis smoke tests (test/CMakeLists.txt:92-100)
+    import pytest as _pytest
+
+    from osmium_tool_spark.cli import build_parser
+
+    parser = build_parser()
+    sub = next(
+        a for a in parser._actions
+        if isinstance(a, __import__("argparse")._SubParsersAction)
+    )
+    assert len(sub.choices) >= 23
+    for name, sp in sub.choices.items():
+        with _pytest.raises(SystemExit) as e:
+            sp.parse_args(["-h"])
+        assert e.value.code == 0
+        out = capsys.readouterr().out
+        assert "usage:" in out and name in out
+
+
+def test_cli_export_unique_id_type_id(spark, input_dir, tmp_path):
+    out = str(tmp_path / "uid.geojson")
+    rc = main(["export", input_dir, "-u", "type_id", "-o", out], spark=spark)
+    assert rc == 0
+    doc = json.loads(open(out).read())
+    ids = {f["id"] for f in doc["features"]}
+    assert ids and all(i[0] in "nwra" for i in ids)
