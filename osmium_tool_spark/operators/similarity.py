@@ -346,7 +346,15 @@ def srp_coeff(b: int, i: int) -> int:
 
 def srp_projection(vec: Column, b: int, dim: int) -> Column:
     """Signed-random-projection value: left-fold dot of the vector with
-    hyperplane b (same IEEE sequence as the SQL twin)."""
+    hyperplane b (same IEEE sequence as the SQL twin).
+
+    Plan note: higher-order-function folds run JVM-interpreted (Spark does
+    not codegen HOFs) — still no Python anywhere. At 10^12 rows the
+    signature stage could instead be ONE Arrow-batched numpy matmul
+    (batch x dim @ dim x nbits) per partition — faster, but BLAS pairwise
+    summation changes float rounding, so near-zero projections could flip
+    sign vs this fold; we keep the fold for bit-reproducible semantics
+    (the DuckDB oracle evaluates the identical sequence)."""
     coeffs = F.array(*[F.lit(float(srp_coeff(b, i))) for i in range(dim)])
     return F.aggregate(
         F.zip_with(vec, coeffs, lambda x, y: x.cast("double") * y),
