@@ -137,9 +137,15 @@ def main() -> None:
     ]
     qs = entry.queries()
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-N per query too: co-tenant noise inflates single runs
+        # uniformly (observed ~25-130% on this shared box); the minimum is
+        # the engine's actual cost
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
