@@ -49,11 +49,22 @@ def _read(spark: SparkSession, paths: list[str]) -> DataFrame:
     return reduce(DataFrame.unionByName, dfs)
 
 
+_GENERATOR = ["osmium_tool_spark/0.1.0"]  # mutable: set by --generator
+
+
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None) -> None:
     if out.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
         write_opl(df, out)
+    elif out.endswith((".osm", ".osh")):
+        from .functions.sortkeys import canonical_sort
+        from .sinks.osmxml import write_osm_xml
+
+        write_osm_xml(
+            canonical_sort(df), out, with_visible=out.endswith(".osh"),
+            generator=_GENERATOR[0],
+        )
     elif fmt == "parquet":
         from .sinks.writer import write_sorted
 
@@ -110,6 +121,8 @@ def _parse_extracts(args) -> list:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="osmium_tool_spark")
+    p.add_argument("--generator", default="osmium_tool_spark/0.1.0",
+                   help="generator string written into output headers")
     sub = p.add_subparsers(dest="command", required=True)
 
     def io(sp, n_inputs="+"):
@@ -269,6 +282,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args, spark: SparkSession) -> int:
+    _GENERATOR[0] = getattr(args, "generator", _GENERATOR[0])
     from . import operators  # noqa: F401
 
     cmd = args.command

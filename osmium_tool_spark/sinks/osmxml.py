@@ -1,0 +1,93 @@
+"""OSM XML writer — byte parity with the reference's XML output format
+(the shape of every committed golden file, e.g. test/sort/output-*.osm):
+
+    <?xml version='1.0' encoding='UTF-8'?>
+    <osm version="0.6" generator="...">
+      <node id=".." version=".." timestamp=".." uid=".." user=".."
+            changeset=".." [visible=".."] lat=".." lon=".."/>
+      <way ...><nd ref=".."/><tag k=".." v=".."/></way>
+      <relation ...><member type=".." ref=".." role=".."/></relation>
+    </osm>
+
+Attribute order, 2/4-space indentation, compact coordinate trimming
+('1', not '1.0000000'), and the trailing newline all match. `visible`
+is emitted only when requested (history files carry it, data files
+don't — man/osmium-file-formats.md). Serialization streams on the
+driver via toLocalIterator: XML is the reference's interchange format
+for fixture/config-scale data; the engine-scale sink is the sorted
+parquet writer (sinks/writer.py)."""
+
+from __future__ import annotations
+
+import time as _time
+from xml.sax.saxutils import quoteattr
+
+from pyspark.sql import DataFrame
+
+from ..schema import COORD_SCALE, NODE, RELATION, TYPE_NAMES, WAY
+
+
+def _coord(v: int) -> str:
+    s = f"{v / COORD_SCALE:.7f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
+def _ts(ts) -> str:
+    return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts // 1_000_000))
+
+
+def _attr(v) -> str:
+    return quoteattr(str(v))
+
+
+def serialize_osm_xml_row(r: dict, with_visible: bool = False) -> str:
+    tag = TYPE_NAMES[r["type"]]
+    parts = [f'<{tag} id="{r["id"]}"']
+    if r.get("version") is not None:
+        parts.append(f' version="{r["version"]}"')
+    if r.get("ts") is not None:
+        parts.append(f' timestamp="{_ts(r["ts"])}"')
+    if r.get("uid") is not None:
+        parts.append(f' uid="{r["uid"]}"')
+    if r.get("user") is not None:
+        parts.append(f" user={_attr(r['user'])}")
+    if r.get("changeset") is not None:
+        parts.append(f' changeset="{r["changeset"]}"')
+    if with_visible:
+        parts.append(f' visible="{"true" if r.get("visible", True) else "false"}"')
+    if r["type"] == NODE and r.get("lat") is not None:
+        parts.append(f' lat="{_coord(r["lat"])}" lon="{_coord(r["lon"])}"')
+    children = []
+    if r["type"] == WAY:
+        children += [f'    <nd ref="{ref}"/>' for ref in (r.get("refs") or [])]
+    elif r["type"] == RELATION:
+        children += [
+            f'    <member type="{TYPE_NAMES[m["mtype"]]}" ref="{m["ref"]}" '
+            f"role={_attr(m['role'] or '')}/>"
+            for m in (r.get("members") or [])
+        ]
+    children += [
+        f"    <tag k={_attr(k)} v={_attr(v)}/>" for k, v in (r.get("tags") or {}).items()
+    ]
+    if not children:
+        return "  " + "".join(parts) + "/>"
+    return "  " + "".join(parts) + ">\n" + "\n".join(children) + f"\n  </{tag}>"
+
+
+def write_osm_xml(
+    entities: DataFrame,
+    path: str,
+    generator: str = "test",
+    with_visible: bool = False,
+    upload_false: bool = False,
+) -> None:
+    """Stream the frame to one .osm/.osh XML file in its CURRENT order
+    (callers sort first — the reference writes in stream order too)."""
+    hdr_opts = ' upload="false"' if upload_false else ""
+    with open(path, "w") as f:
+        f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
+        f.write(f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n')
+        for row in entities.toLocalIterator():
+            f.write(serialize_osm_xml_row(row.asDict(recursive=True), with_visible))
+            f.write("\n")
+        f.write("</osm>\n")

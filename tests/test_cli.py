@@ -274,3 +274,17 @@ def test_cli_export_unique_id_type_id(spark, input_dir, tmp_path):
     doc = json.loads(open(out).read())
     ids = {f["id"] for f in doc["features"]}
     assert ids and all(i[0] in "nwra" for i in ids)
+
+
+def test_cli_xml_in_xml_out_sort_golden(spark, tmp_path):
+    # end-to-end reference shape: sort the reference's own XML inputs and
+    # byte-compare the XML output against the committed golden
+    out = str(tmp_path / "sorted.osm")
+    rc = main(
+        ["--generator", "test", "sort",
+         "/root/reference/test/sort/input-simple1.osm",
+         "/root/reference/test/sort/input-simple2.osm", "-o", out],
+        spark=spark,
+    )
+    assert rc == 0
+    assert open(out).read() == open("/root/reference/test/sort/output-simple.osm").read()

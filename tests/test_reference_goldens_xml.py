@@ -277,3 +277,33 @@ class TestFileinfoGoldens:
             "__seq", F.monotonically_increasing_id()
         )
         assert fileinfo_report(unsorted, seq_col="__seq")["objects_ordered"] is False
+
+
+class TestXmlWriterByteParity:
+    """sinks/osmxml.write_osm_xml round-trips the reference's own golden
+    files byte-for-byte (read golden -> write -> identical bytes)."""
+
+    FILES = [
+        ("sort/output-simple.osm", False),
+        ("sort/output-neg.osm", False),
+        ("sort/output-history.osm", False),
+        ("merge/output3.osm", False),
+        ("getparents/out-n10.osm", False),
+        ("time-filter/output-range-2-4.osh", True),
+    ]
+
+    @pytest.mark.parametrize("fname,vis", FILES, ids=[f for f, _ in FILES])
+    def test_roundtrip_bytes(self, spark, fname, vis, tmp_path):
+        import re
+
+        from osmium_tool_spark.sinks.osmxml import write_osm_xml
+
+        src = open(f"{REF}/{fname}").read()
+        df = read_osm_xml(spark, f"{REF}/{fname}")
+        out = str(tmp_path / "out.osm")
+        m = re.search(r'<osm version="0.6"( upload="false")? generator="([^"]*)"', src)
+        write_osm_xml(
+            df, out, generator=m.group(2), with_visible=vis,
+            upload_false=m.group(1) is not None,
+        )
+        assert open(out).read() == src
