@@ -57,6 +57,11 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
         from .sources.opl import write_opl
 
         write_opl(df, out)
+    elif out.endswith(".osc"):
+        from .functions.sortkeys import canonical_sort
+        from .sinks.osmxml import write_osm_change
+
+        write_osm_change(canonical_sort(df), out, generator=_GENERATOR[0])
     elif out.endswith((".osm", ".osh")):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml

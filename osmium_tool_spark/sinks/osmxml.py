@@ -40,7 +40,9 @@ def _attr(v) -> str:
     return quoteattr(str(v))
 
 
-def serialize_osm_xml_row(r: dict, with_visible: bool = False) -> str:
+def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) -> str:
+    pad = " " * indent
+    cpad = " " * (indent + 2)
     tag = TYPE_NAMES[r["type"]]
     parts = [f'<{tag} id="{r["id"]}"']
     if r.get("version") is not None:
@@ -59,19 +61,19 @@ def serialize_osm_xml_row(r: dict, with_visible: bool = False) -> str:
         parts.append(f' lat="{_coord(r["lat"])}" lon="{_coord(r["lon"])}"')
     children = []
     if r["type"] == WAY:
-        children += [f'    <nd ref="{ref}"/>' for ref in (r.get("refs") or [])]
+        children += [f'{cpad}<nd ref="{ref}"/>' for ref in (r.get("refs") or [])]
     elif r["type"] == RELATION:
         children += [
-            f'    <member type="{TYPE_NAMES[m["mtype"]]}" ref="{m["ref"]}" '
+            f'{cpad}<member type="{TYPE_NAMES[m["mtype"]]}" ref="{m["ref"]}" '
             f"role={_attr(m['role'] or '')}/>"
             for m in (r.get("members") or [])
         ]
     children += [
-        f"    <tag k={_attr(k)} v={_attr(v)}/>" for k, v in (r.get("tags") or {}).items()
+        f"{cpad}<tag k={_attr(k)} v={_attr(v)}/>" for k, v in (r.get("tags") or {}).items()
     ]
     if not children:
-        return "  " + "".join(parts) + "/>"
-    return "  " + "".join(parts) + ">\n" + "\n".join(children) + f"\n  </{tag}>"
+        return pad + "".join(parts) + "/>"
+    return pad + "".join(parts) + ">\n" + "\n".join(children) + f"\n{pad}</{tag}>"
 
 
 def write_osm_xml(
@@ -91,3 +93,33 @@ def write_osm_xml(
             f.write(serialize_osm_xml_row(row.asDict(recursive=True), with_visible))
             f.write("\n")
         f.write("</osm>\n")
+
+
+def write_osm_change(
+    entities: DataFrame, path: str, generator: str = "test"
+) -> None:
+    """Stream the frame to one .osc osmChange file: per-object action is
+    visible=false -> delete, version 1 -> create, else modify (the golden
+    test/sort/output-change.osc derivation); consecutive objects with the
+    same action share a section."""
+    with open(path, "w") as f:
+        f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
+        f.write(f'<osmChange version="0.6" generator={_attr(generator)}>\n')
+        current = None
+        for row in entities.toLocalIterator():
+            r = row.asDict(recursive=True)
+            action = (
+                "delete" if r.get("visible") is False
+                else "create" if r.get("version") == 1
+                else "modify"
+            )
+            if action != current:
+                if current is not None:
+                    f.write(f"  </{current}>\n")
+                f.write(f"  <{action}>\n")
+                current = action
+            f.write(serialize_osm_xml_row(r, indent=4))
+            f.write("\n")
+        if current is not None:
+            f.write(f"  </{current}>\n")
+        f.write("</osmChange>\n")

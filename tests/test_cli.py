@@ -288,3 +288,14 @@ def test_cli_xml_in_xml_out_sort_golden(spark, tmp_path):
     )
     assert rc == 0
     assert open(out).read() == open("/root/reference/test/sort/output-simple.osm").read()
+
+
+def test_cli_osc_in_osc_out_sort_golden(spark, tmp_path):
+    out = str(tmp_path / "sorted.osc")
+    rc = main(
+        ["--generator", "test", "sort",
+         "/root/reference/test/sort/input-change.osc", "-o", out],
+        spark=spark,
+    )
+    assert rc == 0
+    assert open(out).read() == open("/root/reference/test/sort/output-change.osc").read()
