@@ -153,3 +153,54 @@ def test_stream_tile_counts_executes_as_stream(spark, tmp_path):
     for r in rows:
         by_cell[r.cell] = by_cell.get(r.cell, 0) + r.n
     assert sorted(by_cell.values()) == [1, 2]
+
+
+def test_stream_matches_batch_apply_changes_on_testdata(spark, tmp_path):
+    """Equivalence proof: replaying the same change batches through the
+    Structured Streaming CDC path yields exactly the batch
+    apply_changes result (latest-wins, deletes dropped) on real
+    testdata-derived objects."""
+    from osmium_tool_spark.operators.changes import apply_changes
+    from osmium_tool_spark.sources.testdata import load
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    base = orders.select(
+        F.lit(0).alias("type"),
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("visible"),
+        F.create_map(F.lit("status"), F.col("o_orderstatus")).alias("tags"),
+    )
+    c1 = (
+        base.filter(F.col("id") % 3 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("tags", F.map_concat("tags", F.create_map(F.lit("mark"), F.lit("1"))))
+    )
+    c2 = (
+        base.filter(F.col("id") % 10 == 0)
+        .withColumn("version", F.lit(3))
+        .withColumn("visible", F.lit(False))
+    )
+    want = {
+        (r.id, r.version, (r.tags or {}).get("mark"))
+        for r in apply_changes(base, [c1, c2]).collect()
+    }
+
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for i, df in enumerate((base, c1, c2)):
+        sub = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(sub)
+        for fn in sorted(os.listdir(sub)):
+            if fn.endswith(".parquet"):
+                os.rename(f"{sub}/{fn}", f"{stream_dir}/{i:03d}.parquet")
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    changes = read_change_stream(spark, stream_dir, CH_SCHEMA)
+    q = apply_changes_stream(changes, store, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+    got = {
+        (r.id, r.version, (r.tags or {}).get("mark"))
+        for r in store.read(spark).collect()
+    }
+    assert got == want and want
