@@ -35,6 +35,10 @@ def _read_one(spark: SparkSession, path: str) -> DataFrame:
         from .sources.opl import read_opl
 
         return read_opl(spark, path)
+    if path.endswith(".pbf"):
+        from .sources.pbf import read_osm_pbf
+
+        return read_osm_pbf(spark, path)
     if path.endswith((".osm", ".osh", ".osc", ".xml")):
         from .sources.osmxml import read_osm_xml
 

@@ -49,9 +49,12 @@ def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) 
         parts.append(f' version="{r["version"]}"')
     if r.get("ts") is not None:
         parts.append(f' timestamp="{_ts(r["ts"])}"')
-    if r.get("uid") is not None:
+    # anonymous objects (uid 0 / empty user — PBF's encoding for unset)
+    # omit both attributes, like the reference XML writer (no golden file
+    # ever prints uid="0" or user="")
+    if r.get("uid"):
         parts.append(f' uid="{r["uid"]}"')
-    if r.get("user") is not None:
+    if r.get("user"):
         parts.append(f" user={_attr(r['user'])}")
     if r.get("changeset") is not None:
         parts.append(f' changeset="{r["changeset"]}"')
@@ -89,10 +92,24 @@ def write_osm_xml(
     with open(path, "w") as f:
         f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
         f.write(f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n')
-        for row in entities.toLocalIterator():
-            f.write(serialize_osm_xml_row(row.asDict(recursive=True), with_visible))
+        for row in _entries_iter(entities):
+            f.write(serialize_osm_xml_row(row, with_visible))
             f.write("\n")
         f.write("</osm>\n")
+
+
+def _entries_iter(entities: DataFrame):
+    """Row dicts with tag ORDER taken from a JVM-side map_entries
+    projection (collecting a Spark map to a Python dict can scramble
+    entry order; the entries array cannot)."""
+    from pyspark.sql import functions as F
+
+    staged = entities.withColumn("__tag_entries", F.map_entries("tags"))
+    for row in staged.toLocalIterator():
+        r = row.asDict(recursive=True)
+        ents = r.pop("__tag_entries", None) or []
+        r["tags"] = {e["key"]: e["value"] for e in ents}
+        yield r
 
 
 def write_osm_change(
@@ -106,8 +123,7 @@ def write_osm_change(
         f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
         f.write(f'<osmChange version="0.6" generator={_attr(generator)}>\n')
         current = None
-        for row in entities.toLocalIterator():
-            r = row.asDict(recursive=True)
+        for r in _entries_iter(entities):
             action = (
                 "delete" if r.get("visible") is False
                 else "create" if r.get("version") == 1

@@ -191,9 +191,13 @@ def _make_serializer():
     return serialize
 
 
-def write_opl(entities: DataFrame, path: str) -> None:
-    """Write entities as .opl text (canonical order restored first)."""
-    from ..functions.sortkeys import canonical_sort
+def to_opl_lines(entities: DataFrame) -> DataFrame:
+    """Serialize entities to OPL line strings (one `value` column), rows
+    in the input's order. Tag ORDER comes from a JVM-side map_entries
+    projection: collecting a Spark map into a Python dict does NOT
+    reliably preserve entry order, but the entries array does — and OPL
+    tag order is the reference's document order (golden f1.osm.opl)."""
+    from pyspark.sql import functions as F
 
     serialize = _make_serializer()
 
@@ -201,9 +205,21 @@ def write_opl(entities: DataFrame, path: str) -> None:
         import pandas as pd
 
         for pdf in batches:
-            lines = [serialize(r) for r in pdf.to_dict("records")]
+            recs = pdf.to_dict("records")
+            for r in recs:
+                ents = r.pop("__tag_entries", None)
+                # pandas hands numpy arrays — no truthiness
+                ents = [] if ents is None else list(ents)
+                r["tags"] = {e["key"]: e["value"] for e in ents}
+            lines = [serialize(r) for r in recs]
             yield pd.DataFrame({"value": lines})
 
-    canonical_sort(entities).mapInPandas(ser_batches, schema="value string").write.mode(
-        "overwrite"
-    ).text(path)
+    staged = entities.withColumn("__tag_entries", F.map_entries("tags")).drop("tags")
+    return staged.mapInPandas(ser_batches, schema="value string")
+
+
+def write_opl(entities: DataFrame, path: str) -> None:
+    """Write entities as .opl text (canonical order restored first)."""
+    from ..functions.sortkeys import canonical_sort
+
+    to_opl_lines(canonical_sort(entities)).write.mode("overwrite").text(path)
