@@ -19,7 +19,6 @@ parallel via mapInPandas. The decoder ships as a self-contained closure
 from __future__ import annotations
 
 import struct
-from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -90,7 +89,6 @@ def _make_blob_decoder(path: str):
     value; executors only need stdlib + pandas)."""
 
     def decode(batches):
-        import struct as _struct
         import zlib
 
         import pandas as pd
