@@ -39,7 +39,9 @@ def _read_one(spark: SparkSession, path: str) -> DataFrame:
         from .sources.pbf import read_osm_pbf
 
         return read_osm_pbf(spark, path)
-    if path.endswith((".osm", ".osh", ".osc", ".xml")):
+    if path.endswith((".osm", ".osh", ".osc", ".xml",
+                      ".osm.gz", ".osh.gz", ".osc.gz",
+                      ".osm.bz2", ".osh.bz2", ".osc.bz2")):
         from .sources.osmxml import read_osm_xml
 
         return read_osm_xml(spark, path)

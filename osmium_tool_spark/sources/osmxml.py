@@ -27,6 +27,21 @@ from ..schema import COORD_SCALE, ENTITY_SCHEMA, NAME_TO_TYPE
 _CHANGE_SECTIONS = ("create", "modify", "delete")
 
 
+def _read_text(path: str) -> str:
+    """Read XML text with gzip/bz2 autodetect by suffix (the reference
+    supports .osm.gz/.osm.bz2 transparently, io.cpp:39-61)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8").read()
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rt", encoding="utf-8").read()
+    with open(path) as f:
+        return f.read()
+
+
 def _parse_ts(v: str | None) -> int | None:
     if not v:
         return None
@@ -104,8 +119,7 @@ def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    with open(path) as f:
-        rows = parse_osm_xml(f.read())
+    rows = parse_osm_xml(_read_text(path))
     for r in rows:
         r["tags"] = list(r["tags"].items())
     fields = []

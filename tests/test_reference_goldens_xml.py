@@ -307,3 +307,11 @@ class TestXmlWriterByteParity:
             upload_false=m.group(1) is not None,
         )
         assert open(out).read() == src
+
+
+@pytest.mark.parametrize("fname", ["cat/input1.osm.gz", "cat/input1.osm.bz2"])
+def test_compressed_xml_inputs(spark, fname):
+    # reference io.cpp:39-61: gzip/bz2 XML transparently readable
+    got = canon_rows(read_osm_xml(spark, f"{REF}/{fname}"))
+    want = canon_rows(read_osm_xml(spark, f"{REF}/cat/input1.osm"))
+    assert got == want and got
