@@ -79,7 +79,8 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
     elif fmt == "parquet":
         from .sinks.writer import write_sorted
 
-        write_sorted(df, out, header=header)
+        # --generator must reach every sink, not just the XML ones
+        write_sorted(df, out, header={"generator": _GENERATOR[0], **(header or {})})
     else:  # text formats (export serializations)
         df.coalesce(1).write.mode("overwrite").text(out)
 
@@ -221,6 +222,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--output", required=True)
     sp.add_argument("--with-history", action="store_true")
     sp.add_argument("--locations-on-ways", action="store_true")
+    sp.add_argument("--redact", action="store_true",
+                    help="redact (patch) history: change objects replace "
+                         "stored (type,id,version) objects")
 
     sp = sub.add_parser("derive-changes")
     sp.add_argument("old")
@@ -465,6 +469,7 @@ def run(args, spark: SparkSession) -> int:
             [_read_one(spark, p) for p in args.changes],
             with_history=args.with_history,
             locations_on_ways=args.locations_on_ways,
+            redact=args.redact,
         )
         _write(out, args.output)
     elif cmd == "derive-changes":

@@ -57,6 +57,7 @@ def apply_changes(
     changes: list[DataFrame],
     with_history: bool = False,
     locations_on_ways: bool = False,
+    redact: bool = False,
 ) -> DataFrame:
     """Apply change batches to a base snapshot.
 
@@ -65,15 +66,30 @@ def apply_changes(
     batch wins ties (command_apply_changes.cpp:344-352); objects whose
     winner is a delete (visible=false) are dropped from the output.
 
-    History mode: plain set-union keeping all versions, duplicates on
-    (type,id,version) resolved to the latest source (:315-338).
+    History mode: set-union keeping all versions; the reference's
+    std::set_union equality is libosmium object order (type, id,
+    version, timestamp), so a change object replaces an input object
+    only when all four match (:333-338).
+
+    Redact mode (--redact, :129-135 + :325-332): implies history mode;
+    equality drops the timestamp (object_order_type_id_version_
+    without_timestamp), so a change object wholesale-replaces the
+    stored (type, id, version) — the history patch used to redact
+    sensitive data from old versions.
     """
+    if redact:
+        if locations_on_ways:
+            raise ValueError(
+                "cannot use redact and locations_on_ways together"
+            )
+        with_history = True  # reference forces history mode (:129-135)
     tagged = [base.withColumn("__src", F.lit(0))] + [
         c.withColumn("__src", F.lit(i + 1)) for i, c in enumerate(changes)
     ]
     all_rows = reduce(DataFrame.unionByName, tagged)
     if with_history:
-        w = Window.partitionBy("type", "id", "version").orderBy(F.desc("__src"))
+        key = ["type", "id", "version"] if redact else ["type", "id", "version", "ts"]
+        w = Window.partitionBy(*key).orderBy(F.desc("__src"))
         out = (
             all_rows.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

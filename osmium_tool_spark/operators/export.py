@@ -50,15 +50,22 @@ def _ruleset_col(tags: Column, rule, other_rule) -> Column:
       True or []   -> 'any': any TAGGED object matches
       False        -> 'none': nothing matches
       list[expr]   -> match any of the tag expressions
-      None (unset) -> 'other': match everything NOT matched by the other
-                      side's list (both-unset = both-any after the
-                      reference's promotion — vacuously true here too)
+      None (unset) -> 'other': match_none_of(other side's filter)
+                      (export_handler.cpp:53-55); both-unset promotes
+                      BOTH sides to 'any' (command_export.cpp:222-225)
     """
     has_tags = F.size(F.map_keys(tags)) > 0
     if rule is None:
+        if other_rule is None:
+            return has_tags  # both-unset -> promoted to both-'any'
         if isinstance(other_rule, (list, tuple)) and len(other_rule) > 0:
             return ~_matches_any_tag(tags, list(other_rule))
-        return F.lit(True)
+        if other_rule is False:
+            # none-of(a filter matching nothing) -> everything matches
+            return F.lit(True)
+        # other side is 'any' (default-true filter): none of the tags may
+        # match a match-everything filter -> true only for untagged objects
+        return ~has_tags
     if rule is True or (isinstance(rule, (list, tuple)) and len(rule) == 0):
         return has_tags
     if rule is False:
@@ -493,11 +500,21 @@ def with_attributes(
     (--attributes, command_export.cpp; keys @id,@type,@version,@changeset,
     @timestamp,@uid,@user)."""
     attrs = attrs or ["id", "type", "version", "changeset", "timestamp", "uid", "user"]
-    meta = entities.select(
-        "type", "id",
-        F.col("version").alias("__v"), F.col("changeset").alias("__c"),
-        F.col("ts").alias("__t"), F.col("uid").alias("__u"), F.col("user").alias("__n"),
-    ).dropDuplicates(["type", "id"])
+    # latest version wins deterministically on history/multi-version input
+    meta = (
+        entities.groupBy("type", "id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("version").alias("__v"), F.col("changeset").alias("__c"),
+                    F.col("ts").alias("__t"), F.col("uid").alias("__u"),
+                    F.col("user").alias("__n"),
+                ),
+                F.col("version"),
+            ).alias("__m")
+        )
+        .select("type", "id", "__m.*")
+    )
     j = feats.join(meta, on=["type", "id"], how="left")
     pairs = []
     mapping = {
@@ -536,12 +553,21 @@ def attributes_props_json(
     unknown = wanted - set(ATTR_ORDER)
     if unknown:
         raise ValueError(f"unknown attributes: {sorted(unknown)}")
-    meta = entities.select(
-        "type", "id",
-        F.col("version").alias("__v"), F.col("changeset").alias("__c"),
-        F.col("ts").alias("__t"), F.col("uid").alias("__u"),
-        F.col("user").alias("__n"), F.col("refs").alias("__r"),
-    ).dropDuplicates(["type", "id"])
+    # latest version wins deterministically on history/multi-version input
+    meta = (
+        entities.groupBy("type", "id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("version").alias("__v"), F.col("changeset").alias("__c"),
+                    F.col("ts").alias("__t"), F.col("uid").alias("__u"),
+                    F.col("user").alias("__n"), F.col("refs").alias("__r"),
+                ),
+                F.col("version"),
+            ).alias("__m")
+        )
+        .select("type", "id", "__m.*")
+    )
     j = feats.join(meta, on=["type", "id"], how="left")
 
     def jstr(key: str, val: Column) -> Column:
@@ -619,8 +645,16 @@ def to_geojsonseq(
     elif unique_id == "counter":
         from ..functions.zipindex import dense_index
 
+        # ftype rank makes the order total: a closed way can emit BOTH a
+        # linestring and a polygon feature under the same (type, id)
+        frank = (
+            F.when(F.col("ftype") == "point", 0)
+            .when(F.col("ftype") == "linestring", 1)
+            .when(F.col("ftype") == "polygon", 2)
+            .otherwise(3)
+        )
         feats = dense_index(
-            feats, [F.asc("type"), F.asc("id")], index_name="__cnt"
+            feats, [F.asc("type"), F.asc("id"), frank.asc()], index_name="__cnt"
         )
         idpart = F.concat(F.lit('"id":'), F.col("__cnt").cast("string"), F.lit(","))
     elif unique_id is not None:

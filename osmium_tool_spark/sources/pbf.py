@@ -61,10 +61,57 @@ def _fields(buf: bytes):
         yield tag, wt, val
 
 
+# Blob compression fields by protobuf tag (fileformat.proto). Only raw
+# (1) and zlib (3) are implemented; the reference throws on codecs it
+# was not built with, and so do we rather than silently skipping blobs.
+_BLOB_CODECS = {1: "raw", 3: "zlib", 4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
+
+# HeaderBlock required_features the reader actually honors
+# (osmformat.proto; reference checks in libosmium pbf_input_format).
+_SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"}
+
+
+def decompress_blob(blob: bytes) -> bytes:
+    """Decode one Blob message -> uncompressed payload bytes.
+
+    Raises ValueError on compression codecs this reader does not
+    implement (lzma/bzip2/lz4/zstd) instead of returning nothing —
+    a valid .osm.pbf must never silently read as empty.
+    """
+    import zlib
+
+    seen: list[str] = []
+    for tag, _wt, val in _fields(blob):
+        if tag == 1:
+            return val
+        if tag == 3:
+            return zlib.decompress(val)
+        if tag in _BLOB_CODECS:
+            seen.append(_BLOB_CODECS[tag])
+    raise ValueError(
+        "unsupported PBF blob compression "
+        f"{seen or ['<no data field>']}; only raw and zlib are supported"
+    )
+
+
+def _check_header_features(blob: bytes) -> None:
+    """Parse the OSMHeader HeaderBlock and reject unknown
+    required_features (tag 4), mirroring the reference's error."""
+    header_block = decompress_blob(blob)
+    for tag, _wt, val in _fields(header_block):
+        if tag == 4:
+            feature = val.decode("utf-8")
+            if feature not in _SUPPORTED_FEATURES:
+                raise ValueError(
+                    f"required PBF feature not supported: {feature!r}"
+                )
+
+
 def index_blobs(path: str) -> list[tuple[str, int, int]]:
     """One seek-only pass over the frame structure -> [(blob_type,
     blob_offset, blob_size)]. The driver-side analog of a splittable
-    input format's split enumeration."""
+    input format's split enumeration. Validates OSMHeader
+    required_features (raising on unsupported ones)."""
     out = []
     with open(path, "rb") as f:
         while True:
@@ -79,8 +126,13 @@ def index_blobs(path: str) -> list[tuple[str, int, int]]:
                     btype = val.decode()
                 elif tag == 3:
                     datasize = val
-            out.append((btype, f.tell(), datasize))
-            f.seek(datasize, 1)
+            if btype == "OSMHeader":
+                blob = f.read(datasize)
+                _check_header_features(blob)
+                out.append((btype, f.tell() - datasize, datasize))
+            else:
+                out.append((btype, f.tell(), datasize))
+                f.seek(datasize, 1)
     return out
 
 
@@ -336,17 +388,26 @@ def _make_blob_decoder(path: str):
         for pdf in batches:
             all_rows = []
             with open(path, "rb") as f:
+                codecs = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
                 for off, size in zip(pdf["offset"], pdf["size"]):
                     f.seek(int(off))
                     blob = f.read(int(size))
                     raw = None
+                    seen = []
                     for tag, _wt, val in fields(blob):
                         if tag == 1:
                             raw = val
                         elif tag == 3:
                             raw = zlib.decompress(val)
-                    if raw:
-                        all_rows.extend(parse_block(raw))
+                        elif tag in codecs:
+                            seen.append(codecs[tag])
+                    if raw is None:
+                        raise ValueError(
+                            "unsupported PBF blob compression "
+                            f"{seen or ['<no data field>']}; only raw and "
+                            "zlib are supported"
+                        )
+                    all_rows.extend(parse_block(raw))
             yield pd.DataFrame(all_rows, columns=cols)
 
     return decode

@@ -315,3 +315,38 @@ def test_compressed_xml_inputs(spark, fname):
     got = canon_rows(read_osm_xml(spark, f"{REF}/{fname}"))
     want = canon_rows(read_osm_xml(spark, f"{REF}/cat/input1.osm"))
     assert got == want and got
+
+
+class TestApplyChangesRedactGoldens:
+    """--redact history patch mode (command_apply_changes.cpp:129-135,
+    :325-332): change objects wholesale-replace stored objects with the
+    same (type, id, version) — timestamp excluded from the equality
+    (object_order_type_id_version_without_timestamp)."""
+
+    CASES = [
+        ("input-redact-and-update.osh", "input-redact-and-update.osc",
+         "output-redact-and-update.osh"),
+        ("input-patch-old-version.osh", "input-patch-old-version.osc",
+         "output-patch-old-version.osh"),
+        ("input-redact-metadata.osh", "input-redact-metadata.osc",
+         "output-redact-metadata.osh"),
+    ]
+
+    @pytest.mark.parametrize("base,change,expected", CASES, ids=[e for _, _, e in CASES])
+    def test_redact_golden(self, spark, base, change, expected):
+        from osmium_tool_spark.operators.changes import apply_changes
+
+        b = read_osm_xml(spark, f"{REF}/apply-changes/{base}")
+        c = read_osm_xml(spark, f"{REF}/apply-changes/{change}")
+        got = canon_rows(apply_changes(b, [c], redact=True), keep_order=True)
+        want = canon_rows(
+            read_osm_xml(spark, f"{REF}/apply-changes/{expected}"), keep_order=True
+        )
+        assert got == want
+
+    def test_redact_rejects_locations_on_ways(self, spark):
+        from osmium_tool_spark.operators.changes import apply_changes
+
+        b = read_osm_xml(spark, f"{REF}/apply-changes/input-data.osm")
+        with pytest.raises(ValueError, match="locations_on_ways"):
+            apply_changes(b, [b], redact=True, locations_on_ways=True)
