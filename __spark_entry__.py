@@ -438,6 +438,55 @@ def q_apply_changes_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apply_changes_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmium_tool_spark.operators.changes import apply_changes
+
+    base = (
+        _orders_base(spark, sf_dir)
+        .withColumn("ts", (F.col("id") * 1000).cast("long"))
+        .withColumn("user", F.lit("alice"))
+    )
+    hist = base.unionByName(base.withColumn("version", F.lit(2)))
+    # patch rows carry a DIFFERENT timestamp: redact equality ignores it
+    patch = (
+        base.filter(F.col("id") % 3 == 0)
+        .withColumn("ts", (F.col("id") * 1000 + 7).cast("long"))
+        .withColumn("user", F.lit("redacted"))
+        .withColumn("visible", F.lit(False))
+    )
+    out = apply_changes(hist, [patch], redact=True)
+    return out.select(
+        _L("id").alias("id"), _L("version").alias("version"),
+        F.col("user").alias("usr"), F.col("visible").alias("visible"),
+        _L("ts").alias("ts"),
+    )
+
+
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_osm_pbf -> read_osm_pbf roundtrip over the node frame; the
+    oracle sees the original derivation, so any loss in the binary
+    encode/decode chain (delta/zigzag/stringtable/dense info) fails the
+    value hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osmium_tool_spark.sinks.pbf import write_osm_pbf
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.pbf import read_osm_pbf
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"osmium_rt_{tag}.osm.pbf")
+    write_osm_pbf(nodes, path)
+    back = read_osm_pbf(spark, path)
+    return back.select(
+        _L("id").alias("id"), _L("lon").alias("lon"), _L("lat").alias("lat"),
+        F.col("tags").getItem("brand").alias("brand"),
+        _L("version").alias("version"),
+    )
+
+
 def _old_new(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from osmium_tool_spark.sources import testdata as td
 
@@ -698,26 +747,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_L("a").alias("a"), _L("b").alias("b"))
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmium_tool_spark.operators.text import lang_id
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan combined text analysis (language id + quality features +
+    token counts + fingerprint) — supersedes the per-signal queries
+    text_langid/text_quality/text_fingerprint/text_token_stats in the
+    driver gate; the plan is a single codegen'd projection."""
+    from osmium_tool_spark.operators.text import text_metrics
     from osmium_tool_spark.sources.testdata import load
 
     docs = load(spark, sf_dir, "documents")
-    out = lang_id(docs)
-    return out.select(_L("id").alias("id"), F.col("pred_lang"), _L("score").alias("score"))
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmium_tool_spark.operators.text import quality_score
-    from osmium_tool_spark.sources.testdata import load
-
-    docs = load(spark, sf_dir, "documents")
-    out = quality_score(docs)
+    out = text_metrics(docs)
     return out.select(
-        _L("id").alias("id"),
+        _L("id").alias("id"), F.col("pred_lang"), _L("score").alias("score"),
         _L("n_tokens").alias("n_tokens"),
         F.col("mean_token_len").cast("double").alias("mean_token_len"),
         F.col("stopword_ratio").cast("double").alias("stopword_ratio"),
+        _L("n_bpe_tokens").alias("n_bpe_tokens"), _L("fp").alias("fp"),
     )
 
 
@@ -738,14 +783,6 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _L("id").alias("id"), _L("n_words").alias("n_words"),
         _L("n_bpe_tokens").alias("n_bpe_tokens"),
     )
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmium_tool_spark.operators.text import fingerprint
-    from osmium_tool_spark.sources.testdata import load
-
-    docs = load(spark, sf_dir, "documents")
-    return fingerprint(docs).select(_L("id").alias("id"), _L("fp").alias("fp"))
 
 
 def q_validate_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,7 +1022,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver gate records the FIRST 50 entries (dict order). Order
+    # policy (round-2 verdict): queries that were past the window in r2
+    # (export formats, flagship pipeline, curation, multimodal) plus new
+    # surface come first; ten long-stable redundant-sibling queries
+    # rotate past the window (each remains pytest-covered, and each has
+    # an in-window sibling exercising the same operator family — see
+    # COVERAGE.md "driver-gate rotation").
     return {
+        # -- never-oracled in r2 + new surface (rows 1-13) --
+        "export_points": q_export_points,
+        "export_lines": q_export_lines,
+        "export_geojson": q_export_geojson,
+        "export_text": q_export_text,
+        "image_pipeline": q_image_pipeline,
+        "curate_documents": q_curate_documents,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "apply_changes_redact": q_apply_changes_redact,
+        "pbf_roundtrip": q_pbf_roundtrip,
+        "text_metrics": q_text_metrics,
+        # -- core operator rows (14-50) --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
         "extract_smart": q_extract_smart,
@@ -994,14 +1053,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_history": q_extract_history,
         "extract_osm_polygon": q_extract_osm_polygon,
         "tags_filter_plain": q_tags_filter_plain,
-        "tags_filter_invert": q_tags_filter_invert,
         "tags_filter_closure": q_tags_filter_closure,
         "getid_recursive": q_getid_recursive,
         "getparents": q_getparents,
-        "removeid": q_removeid,
         "renumber": q_renumber,
         "sort_canonical": q_sort_canonical,
         "merge_dedup": q_merge_dedup,
+        "validate_order": q_validate_order,
+        "cat_clean": q_cat_clean,
         "time_filter_snapshot": q_time_filter_snapshot,
         "time_filter_range": q_time_filter_range,
         "apply_changes_latest": q_apply_changes_latest,
@@ -1014,38 +1073,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changeset_filter": q_changeset_filter,
         "tile_rollup": q_tile_rollup,
         "knn_cellring": q_knn_cellring,
-        "knn_exact": q_knn_exact,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "phash_near_dup": q_phash_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
-        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_token_stats": q_text_token_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "validate_order": q_validate_order,
-        "merge_changes_simplify": q_merge_changes_simplify,
-        "fileinfo_crc": q_fileinfo_crc,
-        "cat_clean": q_cat_clean,
         "locations_index": q_locations_index,
         "add_locations": q_add_locations,
-        "export_points": q_export_points,
-        "export_lines": q_export_lines,
-        "export_geojson": q_export_geojson,
-        "export_text": q_export_text,
-        "image_pipeline": q_image_pipeline,
-        "curate_documents": q_curate_documents,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
+        # -- tail (51+): long-stable siblings past the driver window --
+        "tags_filter_invert": q_tags_filter_invert,
+        "removeid": q_removeid,
+        "merge_changes_simplify": q_merge_changes_simplify,
+        "fileinfo_crc": q_fileinfo_crc,
+        "knn_exact": q_knn_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
+        "text_tokens": q_text_tokens,
+        "text_token_stats": q_text_token_stats,
     }
 
 
@@ -1225,6 +1272,23 @@ FROM orders WHERE o_orderkey % 10 <> 0
 SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(1 AS BIGINT) AS version,
        (o_orderkey % 4 = 0) AS marked
 FROM orders
+"""
+
+    o["apply_changes_redact"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(v AS BIGINT) AS version,
+       CASE WHEN v = 1 AND o_orderkey % 3 = 0 THEN 'redacted' ELSE 'alice' END AS usr,
+       NOT (v = 1 AND o_orderkey % 3 = 0) AS visible,
+       CAST(o_orderkey * 1000 + CASE WHEN v = 1 AND o_orderkey % 3 = 0 THEN 7 ELSE 0 END AS BIGINT) AS ts
+FROM orders CROSS JOIN (VALUES (1),(2)) AS t(v)
+"""
+
+    o["pbf_roundtrip"] = f"""
+SELECT CAST(p_partkey AS BIGINT) AS id,
+       CAST({P_LON} AS BIGINT) AS lon,
+       CAST({P_LAT} AS BIGINT) AS lat,
+       p_brand AS brand,
+       CAST(1 AS BIGINT) AS version
+FROM part
 """
 
     o["derive_changes"] = """
@@ -1504,22 +1568,7 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
     for code in codes[1:]:
         pred = f"CASE WHEN s_{code} > {best} THEN '{code}' ELSE {pred} END"
         best = f"greatest({best}, s_{code})"
-    o["text_langid"] = f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
-SELECT CAST(doc_id AS BIGINT) AS id, {pred} AS pred_lang, CAST({best} AS BIGINT) AS score FROM s
-"""
-
     stop = ",".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
-    o["text_quality"] = f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
-SELECT CAST(doc_id AS BIGINT) AS id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / len(toks), 6) AS DOUBLE) AS mean_token_len,
-       CAST(round(CAST(len(list_filter(toks, t2 -> t2 IN ({stop}))) AS DOUBLE) / len(toks), 6) AS DOUBLE) AS stopword_ratio
-FROM t
-"""
-
     o["text_tokens"] = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM (SELECT unnest({TOKS}) AS token FROM documents)
@@ -1533,8 +1582,17 @@ SELECT CAST(doc_id AS BIGINT) AS id,
 FROM documents
 """
 
-    o["text_fingerprint"] = f"""
-SELECT CAST(doc_id AS BIGINT) AS id, {_polyhash_sql('text')} AS fp FROM documents
+    o["text_metrics"] = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, toks, {", ".join(score_cols)} FROM t)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       {pred} AS pred_lang, CAST({best} AS BIGINT) AS score,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / len(toks), 6) AS DOUBLE) AS mean_token_len,
+       CAST(round(CAST(len(list_filter(toks, t2 -> t2 IN ({stop}))) AS DOUBLE) / len(toks), 6) AS DOUBLE) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       {_polyhash_sql('text')} AS fp
+FROM s
 """
 
     o["validate_order"] = """

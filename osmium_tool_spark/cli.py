@@ -39,6 +39,10 @@ def _read_one(spark: SparkSession, path: str) -> DataFrame:
         from .sources.pbf import read_osm_pbf
 
         return read_osm_pbf(spark, path)
+    if path.endswith((".o5m", ".o5c")):
+        from .sources.o5m import read_o5m
+
+        return read_o5m(spark, path)
     if path.endswith((".osm", ".osh", ".osc", ".xml",
                       ".osm.gz", ".osh.gz", ".osc.gz",
                       ".osm.bz2", ".osh.bz2", ".osc.bz2")):
@@ -63,6 +67,14 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
         from .sources.opl import write_opl
 
         write_opl(df, out)
+    elif out.endswith(".pbf"):
+        from .sinks.pbf import write_osm_pbf
+
+        # write_osm_pbf range-sorts internally; no pre-sort needed
+        write_osm_pbf(
+            df, out, generator=_GENERATOR[0],
+            with_history=out.endswith(".osh.pbf"),
+        )
     elif out.endswith(".osc"):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_change
@@ -359,7 +371,8 @@ def run(args, spark: SparkSession) -> int:
         from .operators.idops import (
             getid,
             getparents,
-            ids_from_osm_file,
+            ids_df_from_osm_file,
+            ids_to_df,
             merge_id_sets,
             parse_id_list,
             read_id_file,
@@ -370,9 +383,17 @@ def run(args, spark: SparkSession) -> int:
         if cmd in ("getid", "removeid"):
             sets = [ids]
             sets += [read_id_file(p) for p in args.id_file]
-            sets += [ids_from_osm_file(spark, p) for p in args.id_osm_file]
             ids = merge_id_sets(*sets)
-            if not any(ids.values()):
+            # --id-osm-file id sets can be planet-scale: keep them as a
+            # DataFrame and semi-join (no driver collect)
+            id_sel = ids_to_df(spark, ids)
+            for p in args.id_osm_file:
+                id_sel = id_sel.unionByName(ids_df_from_osm_file(spark, p))
+            if args.id_osm_file:
+                id_sel = id_sel.distinct()
+            if not any(ids.values()) and (
+                not args.id_osm_file or id_sel.isEmpty()
+            ):
                 print(
                     "Please specify IDs on the command line or with --id-file/--id-osm-file",
                     file=sys.stderr,
@@ -380,7 +401,7 @@ def run(args, spark: SparkSession) -> int:
                 return 2
         ents = _read(spark, args.input)
         if cmd == "getid":
-            out = getid(ents, ids, recursive=args.add_referenced)
+            out = getid(ents, id_sel, recursive=args.add_referenced)
             _write(out, args.output)
             if args.with_history:
                 # reference: history mode never reports missing ids
@@ -388,14 +409,12 @@ def run(args, spark: SparkSession) -> int:
                 return 0
             # reference exit-code parity (command_getid.cpp:396-398): exit 1
             # when ANY requested id was not found, not just when all missing
-            req = [(t, i) for t, lst in ids.items() for i in lst]
-            req_df = spark.createDataFrame(req, "type int, id long")
-            missing = req_df.join(
+            missing = id_sel.join(
                 out.select("type", "id").distinct(), on=["type", "id"], how="left_anti"
             )
             return 1 if not missing.isEmpty() else 0
         elif cmd == "removeid":
-            out = removeid(ents, ids)
+            out = removeid(ents, id_sel)
         else:
             out = getparents(ents, ids, add_self=args.add_self)
         _write(out, args.output)

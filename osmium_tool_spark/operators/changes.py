@@ -88,7 +88,9 @@ def apply_changes(
     ]
     all_rows = reduce(DataFrame.unionByName, tagged)
     if with_history:
-        key = ["type", "id", "version"] if redact else ["type", "id", "version", "ts"]
+        key = ["type", "id", "version"]
+        if not redact and "ts" in all_rows.columns:
+            key.append("ts")
         w = Window.partitionBy(*key).orderBy(F.desc("__src"))
         out = (
             all_rows.withColumn("__rn", F.row_number().over(w))

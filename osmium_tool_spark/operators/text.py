@@ -146,3 +146,53 @@ def fingerprint(
     return df.select(
         F.col(id_col).alias("id"), poly_hash(F.col(text_col)).alias("fp")
     )
+
+
+def text_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: dict[str, tuple[str, ...]] | None = None,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """All per-document text signals in ONE projection over ONE scan:
+    language id (marker votes), quality features, both token counts,
+    and the content fingerprint. No joins, no extra shuffles — each
+    signal is Column math sharing a single tokenization, so the plan
+    is scan -> project (whole-stage codegen) at any scale.
+
+    Returns (id, pred_lang, score, n_tokens, mean_token_len,
+    stopword_ratio, n_bpe_tokens, fp)."""
+    from ..functions.exprs import bind
+
+    markers = markers or DEFAULT_MARKERS
+    codes = sorted(markers)  # lexicographic order = tie-break order
+
+    def feats(toks):
+        n = F.size(toks)
+        total_len = F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        stop_n = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+        scores = {code: marker_score(toks, markers[code]) for code in codes}
+        best = scores[codes[0]]
+        pred = F.lit(codes[0])
+        for code in codes[1:]:
+            s = scores[code]
+            pred = F.when(s > best, F.lit(code)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+        return F.struct(
+            pred.alias("pred_lang"),
+            best.cast("long").alias("score"),
+            n.cast("long").alias("n_tokens"),
+            F.round(total_len / n, 6).alias("mean_token_len"),
+            F.round(stop_n / n, 6).alias("stopword_ratio"),
+        )
+
+    m = bind(word_tokens(F.col(text_col)), feats)
+    return df.select(
+        F.col(id_col).alias("id"),
+        m.alias("m"),
+        F.size(bpe_ish_tokens(F.col(text_col))).cast("long").alias("n_bpe_tokens"),
+        poly_hash(F.col(text_col)).alias("fp"),
+    ).select("id", "m.*", "n_bpe_tokens", "fp")

@@ -237,7 +237,10 @@ def _make_blob_decoder(path: str):
                     lon_off = val
 
             def coord(off, raw):
-                return trunc100(off + gran * raw)
+                v = trunc100(off + gran * raw)
+                # libosmium undefined_coordinate (deleted/locationless
+                # nodes in history files) -> NULL
+                return None if v == 0x7FFFFFFF else v
 
             def finish_meta(row, info):
                 if info is None:
@@ -345,7 +348,9 @@ def _make_blob_decoder(path: str):
                         refs = roles = memids = mtypes = []
                         for t2, _w, v in fields(val):
                             if t2 == 1:
-                                row["id"] = v
+                                # int64 (not sint): negatives arrive as
+                                # 64-bit two's complement
+                                row["id"] = v - (1 << 64) if v >= 1 << 63 else v
                             elif t2 == 2:
                                 keys = packed(v)
                             elif t2 == 3:

@@ -101,3 +101,131 @@ def test_cli_pbf_to_opl_and_xml(spark, tmp_path):
         '<osm version="0.6" generator="test">',
     )
     assert open(out2).read() == want_xml
+
+
+class TestPbfWriter:
+    """sinks/pbf.py: the write half of the interchange loop. Parity
+    target: read(write(frame)) == frame for every fixture shape, and
+    write(read(write(x))) byte-identical to write(x) (stability)."""
+
+    def _roundtrip(self, spark, df, tmp_path, with_history=False):
+        from osmium_tool_spark.sinks.pbf import write_osm_pbf
+
+        out = str(tmp_path / "rt.osm.pbf")
+        write_osm_pbf(df, out, with_history=with_history)
+        return out, read_osm_pbf(spark, out)
+
+    @pytest.mark.parametrize(
+        "fname", ["f1.osm.pbf", "f1-nodensenodes.osm.pbf", "f1-nocompression.osm.pbf"]
+    )
+    def test_roundtrip_formats_matrix(self, spark, fname, tmp_path):
+        src = read_osm_pbf(spark, f"{REF}/formats/{fname}")
+        _, back = self._roundtrip(spark, src, tmp_path)
+        assert meta_rows(back) == meta_rows(src)
+
+    @pytest.mark.parametrize(
+        "fname", ["f1-nometadata.osm.pbf", "f1-nodensenodes-nometadata.osm.pbf"]
+    )
+    def test_roundtrip_nometadata(self, spark, fname, tmp_path):
+        src = read_osm_pbf(spark, f"{REF}/formats/{fname}")
+        _, back = self._roundtrip(spark, src, tmp_path)
+        assert nometa_rows(back) == nometa_rows(src)
+        # metadata must stay absent, not become zeros
+        assert all(r.version is None for r in back.collect())
+
+    def test_roundtrip_xml_fixture_via_pbf(self, spark, tmp_path):
+        src = read_osm_xml(spark, f"{REF}/formats/f1.osm")
+        _, back = self._roundtrip(spark, src, tmp_path)
+        assert meta_rows(back) == meta_rows(src)
+
+    def test_roundtrip_negative_ids(self, spark, tmp_path):
+        # sort/input-neg.osm: negative node/way/relation ids (int64
+        # two's-complement varints for way/relation ids)
+        src = read_osm_xml(spark, f"{REF}/sort/input-neg.osm")
+        _, back = self._roundtrip(spark, src, tmp_path)
+        assert meta_rows(back) == meta_rows(src)
+
+    def test_roundtrip_history_with_deleted(self, spark, tmp_path):
+        # history file: visible flags + undefined locations on deleted
+        # nodes must survive (undefined_coordinate sentinel -> NULL)
+        src = read_osm_xml(spark, f"{REF}/apply-changes/input-patch-old-version.osh")
+        _, back = self._roundtrip(spark, src, tmp_path, with_history=True)
+
+        def hist_rows(df):
+            return sorted(
+                (r.type, r.id, r.version, r.visible, r.ts, r.uid or 0,
+                 r.user or "", r.changeset,
+                 tuple(sorted((r.tags or {}).items())), r.lon, r.lat,
+                 tuple(r.refs or ()),
+                 tuple((m.mtype, m.ref, m.role) for m in (r.members or ())))
+                for r in df.collect()
+            )
+
+        assert hist_rows(back) == hist_rows(src)
+
+    def test_write_is_byte_stable(self, spark, tmp_path):
+        from osmium_tool_spark.sinks.pbf import write_osm_pbf
+
+        src = read_osm_pbf(spark, f"{REF}/formats/f1.osm.pbf")
+        a = str(tmp_path / "a.osm.pbf")
+        write_osm_pbf(src, a)
+        b = str(tmp_path / "b.osm.pbf")
+        write_osm_pbf(read_osm_pbf(spark, a), b)
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_header_features_and_bbox(self, spark, tmp_path):
+        from osmium_tool_spark.sinks.pbf import write_osm_pbf
+        from osmium_tool_spark.sources.pbf import index_blobs
+
+        src = read_osm_pbf(spark, f"{REF}/formats/f1.osm.pbf")
+        out = str(tmp_path / "h.osm.pbf")
+        write_osm_pbf(src, out, bbox=(10000000, 10000000, 20000000, 20000000))
+        blobs = index_blobs(out)  # also validates required_features
+        assert blobs[0][0] == "OSMHeader"
+        # one OSMData blob per non-empty partition
+        assert set(b[0] for b in blobs[1:]) == {"OSMData"}
+
+    def test_cli_cat_to_pbf_roundtrip(self, spark, tmp_path):
+        from osmium_tool_spark.cli import main
+
+        out = str(tmp_path / "out.osm.pbf")
+        rc = main(["cat", f"{REF}/formats/f1.osm", "-o", out], spark=spark)
+        assert rc == 0
+        got = meta_rows(read_osm_pbf(spark, out))
+        want = meta_rows(read_osm_xml(spark, f"{REF}/formats/f1.osm"))
+        assert got == want
+
+    def test_multiblock_output(self, spark, tmp_path):
+        # >8000 entities forces multiple OSMData blobs; ordering and
+        # delta chains must restart cleanly per block
+        from osmium_tool_spark.sinks.pbf import write_osm_pbf
+        from osmium_tool_spark.sources.pbf import index_blobs
+        from pyspark.sql import functions as F
+
+        n = 20000
+        src = (
+            spark.range(1, n + 1)
+            .select(
+                F.lit(0).alias("type"), F.col("id"),
+                F.lit(1).alias("version").cast("int"),
+                F.lit(True).alias("visible"),
+                F.lit(7).alias("changeset").cast("long"),
+                F.lit(1_420_074_000_000_000).alias("ts").cast("long"),
+                F.lit(3).alias("uid").cast("int"), F.lit("u").alias("user"),
+                F.map_from_arrays(
+                    F.array(F.lit("k")), F.array(F.col("id").cast("string"))
+                ).alias("tags"),
+                (F.col("id") % 1800000000).cast("int").alias("lon"),
+                (F.col("id") % 900000000).cast("int").alias("lat"),
+                F.lit(None).cast("array<long>").alias("refs"),
+                F.lit(None).cast(
+                    "array<struct<mtype:int,ref:long,role:string>>"
+                ).alias("members"),
+            )
+        )
+        out = str(tmp_path / "big.osm.pbf")
+        write_osm_pbf(src, out)
+        assert len([b for b in index_blobs(out) if b[0] == "OSMData"]) >= 3
+        back = read_osm_pbf(spark, out)
+        assert back.count() == n
+        assert back.agg(F.sum("id")).collect()[0][0] == n * (n + 1) // 2

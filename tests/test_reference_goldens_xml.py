@@ -350,3 +350,70 @@ class TestApplyChangesRedactGoldens:
         b = read_osm_xml(spark, f"{REF}/apply-changes/input-data.osm")
         with pytest.raises(ValueError, match="locations_on_ways"):
             apply_changes(b, [b], redact=True, locations_on_ways=True)
+
+
+class TestDistributedXmlRead:
+    """Large plain .osm files switch to the splittable distributed read
+    (driver probes element-boundary split points, executors parse byte
+    ranges); unsplittable large inputs (compressed, osmChange) fail
+    fast with a guard pointing at PBF/OPL/parquet."""
+
+    def _synth_xml(self, tmp_path, n=3000):
+        lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+                 '<osm version="0.6" generator="t">']
+        for i in range(1, n + 1):
+            lines.append(
+                f'  <node id="{i}" version="1" '
+                f'timestamp="2015-01-0{1 + i % 9}T00:00:00Z" uid="3" '
+                f'user="u" changeset="9" lat="{(i % 80)}.5" lon="{(i % 170)}.25">'
+            )
+            lines.append(f'    <tag k="n" v="v{i}"/>')
+            lines.append("  </node>")
+        for i in range(1, n // 10 + 1):
+            lines.append(f'  <way id="{i}" version="1">')
+            lines.append(f'    <nd ref="{i}"/><nd ref="{i + 1}"/>')
+            lines.append(f'    <tag k="w" v="x{i}"/>')
+            lines.append("  </way>")
+        for i in range(1, n // 100 + 1):
+            lines.append(f'  <relation id="{i}" version="1">')
+            lines.append(f'    <member type="way" ref="{i}" role="outer"/>')
+            lines.append("  </relation>")
+        lines.append("</osm>")
+        p = tmp_path / "big.osm"
+        p.write_text("\n".join(lines))
+        return str(p)
+
+    def test_distributed_equals_driver(self, spark, tmp_path):
+        p = self._synth_xml(tmp_path)
+        driver_rows = canon_rows(
+            read_osm_xml(spark, p, distributed_min_bytes=1 << 40)
+        )
+        dist = read_osm_xml(spark, p, distributed_min_bytes=1)
+        # force small splits so multiple ranges actually happen
+        from osmium_tool_spark.sources.osmxml import _read_osm_xml_distributed
+
+        dist_small = _read_osm_xml_distributed(spark, p, split_bytes=10_000)
+        assert canon_rows(dist) == driver_rows
+        assert canon_rows(dist_small) == driver_rows
+        assert len(driver_rows) == 3000 + 300 + 30
+
+    def test_large_osc_guard(self, spark, tmp_path):
+        p = tmp_path / "big.osc"
+        p.write_text(
+            '<osmChange version="0.6"><modify>'
+            + '<node id="1" version="2" lat="1" lon="1"/>' * 100
+            + "</modify></osmChange>"
+        )
+        with pytest.raises(ValueError, match="cannot be split"):
+            read_osm_xml(spark, str(p), distributed_min_bytes=10)
+
+    def test_large_compressed_guard(self, spark, tmp_path):
+        import gzip
+
+        p = tmp_path / "big.osm.gz"
+        with gzip.open(p, "wt") as f:
+            f.write('<osm version="0.6">'
+                    + '<node id="1" version="1" lat="1" lon="1"/>' * 200
+                    + "</osm>")
+        with pytest.raises(ValueError, match="cannot be split"):
+            read_osm_xml(spark, str(p), distributed_min_bytes=10)
