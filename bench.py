@@ -133,7 +133,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "ann_topk",
-        "text_quality",
+        "text_metrics",
     ]
     qs = entry.queries()
     for name in headline:

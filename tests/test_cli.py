@@ -299,3 +299,21 @@ def test_cli_osc_in_osc_out_sort_golden(spark, tmp_path):
     )
     assert rc == 0
     assert open(out).read() == open("/root/reference/test/sort/output-change.osc").read()
+
+
+def test_generator_reaches_parquet_header(spark, tmp_path):
+    """--generator must land in the parquet sink's _header.json, not just
+    the XML sinks."""
+    import json as _json
+
+    from osmium_tool_spark.cli import main
+
+    out = str(tmp_path / "out")
+    rc = main(
+        ["--generator", "mygen/9.9", "cat",
+         "/root/reference/test/cat/input1.osm", "-o", out],
+        spark=spark,
+    )
+    assert rc == 0
+    hdr = _json.load(open(f"{out}/_header.json"))
+    assert hdr["generator"] == "mygen/9.9"

@@ -230,3 +230,51 @@ def test_wkt_features_match_geojson_coords(ents):
             {"Point": "POINT(", "LineString": "LINESTRING(",
              "Polygon": "POLYGON((", "MultiPolygon": "MULTIPOLYGON("}[geom["type"]]
         )
+
+
+def test_counter_id_total_order_closed_way_both_features(spark):
+    """unique_id='counter': a closed way that emits BOTH a linestring and
+    a polygon shares (type,id); the ftype rank must make the counter
+    assignment deterministic (linestring before polygon)."""
+    rows = [
+        _node(1, 1.0, 1.0),
+        _node(2, 1.25, 1.0),
+        _node(3, 1.25, 1.25),
+        _node(4, 1.0, 1.25),
+        # both linear_tags and area_tags match -> two features for way 21
+        _way(21, [1, 2, 3, 4, 1], {"building": "yes", "highway": "x"}),
+    ]
+    e = _df(spark, rows)
+    f = features(
+        e, linear_tags=["highway"], area_tags=["building"]
+    ).filter(F.col("type") == WAY)
+    for _ in range(3):  # deterministic across runs
+        feats = [
+            json.loads(r.feature)
+            for r in to_geojsonseq(f, unique_id="counter").collect()
+        ]
+        by_id = {ft["id"]: ft["geometry"]["type"] for ft in feats}
+        # areas serialize as MultiPolygon (reference output.geojson parity)
+        assert by_id == {1: "LineString", 2: "MultiPolygon"}
+
+
+def test_attributes_latest_version_wins_on_history(spark):
+    """with_attributes/attributes_props_json pick the HIGHEST version's
+    metadata deterministically on multi-version input."""
+    from osmium_tool_spark.operators.export import with_attributes
+
+    rows = [
+        _node(1, 1.0, 1.0, {"amenity": "cafe"}),
+        _node(1, 1.0, 1.0, {"amenity": "cafe"}),
+    ]
+    e = _df(spark, rows)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.monotonically_increasing_id())
+    e = e.withColumn("version", F.row_number().over(w)).withColumn(
+        "changeset", F.col("version").cast("long") * 100
+    )
+    f = features(e).filter(F.col("ftype") == "point")
+    out = with_attributes(f, e, ["version", "changeset"])
+    tags = out.collect()[0].tags
+    assert tags["@version"] == "2" and tags["@changeset"] == "200"
