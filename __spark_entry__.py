@@ -654,6 +654,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> one representative per
+    cluster (min doc_id). Pairs come from the exact ngram-Jaccard operator
+    so the DuckDB oracle can rebuild the identical edge set, then the
+    recursive CTE reproduces the component labels."""
+    from osmium_tool_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    labels = dup_clusters(pairs, ids=docs.select("doc_id"))
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, on="cluster_id").select(
+        _L("id").alias("doc_id"),
+        _L("cluster_id").alias("cluster_id"),
+        _L("cluster_size").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.dedup import minhash_lsh_pairs
     from osmium_tool_spark.sources.testdata import load
@@ -1073,7 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changeset_filter": q_changeset_filter,
         "tile_rollup": q_tile_rollup,
         "knn_cellring": q_knn_cellring,
-        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "phash_near_dup": q_phash_near_dup,
@@ -1083,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locations_index": q_locations_index,
         "add_locations": q_add_locations,
         # -- tail (51+): long-stable siblings past the driver window --
+        "dedup_exact": q_dedup_exact,
         "tags_filter_invert": q_tags_filter_invert,
         "removeid": q_removeid,
         "merge_changes_simplify": q_merge_changes_simplify,
@@ -1422,6 +1443,28 @@ p AS (SELECT a.doc_id AS a, b.doc_id AS b,
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(round(CAST(common AS DOUBLE)/(sza + szb - common), 6) AS DOUBLE) AS jaccard
 FROM p WHERE CAST(common AS DOUBLE)/(sza + szb - common) >= 0.1
+"""
+
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_sh3_sql(TOKS)} AS s FROM documents),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1),
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+reach(id, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+),
+lbl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+alldocs AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM alldocs GROUP BY cluster_id)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       (a.doc_id = a.cluster_id) AS keep
+FROM alldocs a JOIN sz USING (cluster_id)
 """
 
     perms = minhash_perms(16)

@@ -328,3 +328,111 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def _canon_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Edge set canonicalized to (hi, lo) with hi > lo, distinct."""
+    return (
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+            F.least(F.col(a), F.col(b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to
+    min(neighborhood(u) + {u}). Edges stay canonical (hi > lo)."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, on="u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For every node u (over smaller-neighbor edges): connect u and all
+    its smaller neighbors to the minimum of them. Canonical in, canonical
+    out (every emitted (x, m) has x >= m; x == m self-loops dropped)."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    with_m = edges.join(mins, on="hi")
+    out = with_m.select(F.col("lo").alias("x"), F.col("m")).unionByName(
+        mins.select(F.col("hi").alias("x"), F.col("m"))
+    )
+    return (
+        out.filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    ids: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, cluster_id).
+
+    The step AFTER pair generation in a production dedup pipeline: near-dup
+    relations are not transitive, so keeping "one of each pair" both
+    over-deletes and under-deletes; the correct unit is the connected
+    component (cluster), with one representative kept per cluster
+    (`cluster_id` = the minimum id in the component, the conventional
+    representative choice).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014), the
+    standard O(log^2 n)-round distributed CC — NOT driver-side union-find
+    (which would collect every edge) and NOT naive label propagation
+    (O(diameter) rounds; a 10^6-long near-dup chain would need 10^6
+    shuffles, large/small-star needs ~20). Each round is two groupBy/join
+    stages on the edge set, which SHRINKS monotonically toward one star
+    per component; `localCheckpoint` truncates lineage per round.
+
+    `ids` (optional, one column matching `a`'s type): the full id universe;
+    ids in no pair become singleton clusters (cluster_id = id). Returns
+    (id, cluster_id); ids never appear twice.
+    """
+    edges = _canon_edges(pairs, a, b).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("hi"), F.lit(0)).alias("sh"),
+            F.coalesce(F.sum("lo"), F.lit(0)).alias("sl"),
+            F.coalesce(F.sum(F.col("hi") * MIX + F.col("lo")), F.lit(0)).alias("sx"),
+        ).collect()[0]
+        sig = (sig["n"], sig["sh"], sig["sl"], sig["sx"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every component is a star (child -> min-id root)
+    labels = edges.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
+    roots = edges.select(F.col("lo").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    labels = labels.unionByName(roots)
+    if ids is not None:
+        id_name = ids.columns[0]
+        singles = (
+            ids.select(F.col(id_name).alias("id"))
+            .distinct()
+            .join(labels.select("id"), on="id", how="left_anti")
+            .withColumn("cluster_id", F.col("id"))
+        )
+        labels = labels.unionByName(singles)
+    return labels

@@ -102,7 +102,10 @@ def run_ngram():
 
 
 out = {{}}
+ops = {ops!r}
 for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram)):
+    if name not in ops:
+        continue
     fn()  # warm-up: JVM, codegen, broadcast machinery
     best = float("inf")
     for _ in range(2):
@@ -115,8 +118,9 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_entities: int, n_docs: int) -> dict[str, float]:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_entities=n_entities, n_docs=n_docs)
+def run_level(cpus: int, n_entities: int, n_docs: int, ops: list[str]) -> dict[str, float]:
+    code = CHILD.format(repo=REPO, cpus=cpus, n_entities=n_entities, n_docs=n_docs,
+                        ops=ops)
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, timeout=5400,
                        capture_output=True, text=True)
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
@@ -131,9 +135,12 @@ def main() -> None:
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_200_000
     levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
     lo, hi = (int(x) for x in levels.split(","))
+    ops = os.environ.get(
+        "SPARK_GRAFT_SCALE_OPS", "renumber,dedup_ngram_jaccard"
+    ).split(",")
 
-    t_lo = run_level(lo, n_entities, n_docs)
-    t_hi = run_level(hi, n_entities, n_docs)
+    t_lo = run_level(lo, n_entities, n_docs, ops)
+    t_hi = run_level(hi, n_entities, n_docs, ops)
 
     rows = []
     result = {"n_entities": n_entities, "n_docs": n_docs,

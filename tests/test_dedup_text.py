@@ -118,3 +118,86 @@ def test_curate_documents(spark):
     out = curate_documents(docs, min_tokens=5, jaccard_threshold=0.5, max_stopword_ratio=0.5)
     kept = {r.doc_id for r in out.collect()}
     assert kept == {1, 5}  # 2 exact-dup dropped, 3 near-dup dropped, 4 short
+
+
+# -- dup_clusters: distributed connected components over near-dup pairs --
+
+
+def _uf_clusters(pairs, all_ids):
+    """Driver-side union-find reference implementation."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for i in all_ids:
+        comp.setdefault(find(i), []).append(i)
+    return {i: min(members) for r, members in comp.items() for i in members}
+
+
+def _cluster_df(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_dup_clusters_chain_needs_iterations(spark):
+    """A 12-node path graph exercises multi-round convergence (naive
+    1-round propagation would stop with wrong labels)."""
+    from osmium_tool_spark.operators.dedup import dup_clusters
+
+    pairs = [(i, i + 1) for i in range(1, 12)]
+    out = dup_clusters(_cluster_df(spark, pairs)).collect()
+    assert {r.id for r in out} == set(range(1, 13))
+    assert {r.cluster_id for r in out} == {1}
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """Random-ish fixed graph vs driver-side union-find."""
+    from osmium_tool_spark.operators.dedup import dup_clusters
+
+    ids = list(range(1, 41))
+    pairs = [((i * 7) % 40 + 1, (i * 13) % 40 + 1) for i in range(25)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expected = _uf_clusters(pairs, ids)
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = dup_clusters(_cluster_df(spark, pairs), ids=ids_df).collect()
+    got = {r.id: r.cluster_id for r in out}
+    assert len(out) == len(got) == 40  # no id twice
+    assert got == expected
+
+
+def test_dup_clusters_singletons_and_empty(spark):
+    from osmium_tool_spark.operators.dedup import dup_clusters
+
+    ids_df = spark.createDataFrame([(i,) for i in (1, 2, 3)], "doc_id long")
+    empty = spark.createDataFrame([], "a long, b long")
+    out = {r.id: r.cluster_id for r in dup_clusters(empty, ids=ids_df).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+    # two components + one singleton
+    out2 = {
+        r.id: r.cluster_id
+        for r in dup_clusters(_cluster_df(spark, [(1, 2)]), ids=ids_df).collect()
+    }
+    assert out2 == {1: 1, 2: 1, 3: 3}
+
+
+def test_dup_clusters_on_ngram_pairs(docs):
+    """End-to-end: docs 1/2/4 form one near-dup cluster; representative is
+    the min doc_id."""
+    from osmium_tool_spark.operators.dedup import dup_clusters
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    spark = docs.sparkSession
+    out = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, ids=docs.select("doc_id")).collect()
+    }
+    assert out == {1: 1, 2: 1, 4: 1, 3: 3, 5: 5}
