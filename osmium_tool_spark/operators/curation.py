@@ -5,9 +5,13 @@ operators exist for.
              -> language gate -> curated set + token budget
 
 Dedup keep-rule: within an exact-duplicate group the smallest doc_id
-survives; for near-dup pairs (a < b) the LARGER id is dropped (greedy,
-deterministic, union-find-free — the standard web-scale choice since
-transitive chains are rare after exact dedup).
+survives; for near-dup pairs the default is greedy (drop the larger id of
+each pair — deterministic, join-only, fine when transitive chains are
+rare after exact dedup). `cluster_dedup=True` switches to connected-
+component semantics (dedup.dup_clusters): one representative per near-dup
+CLUSTER, the policy to use when chains matter. The two differ on "hub"
+graphs — pairs {(1,3),(2,3)}: greedy keeps 1 AND 2 (they are not near-dups
+of each other), cluster keeps only 1 (all three share a component).
 
 Scale shape: every stage is a Column filter or an (already skew-guarded)
 pair join from operators/dedup.py; the final anti-join keys on doc id.
@@ -19,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, minhash_lsh_pairs
+from .dedup import dup_clusters, exact_dedup, minhash_lsh_pairs
 from .text import lang_id, quality_score
 
 
@@ -31,6 +35,7 @@ def curate_documents(
     min_tokens: int = 10,
     max_stopword_ratio: float = 0.5,
     languages: tuple[str, ...] | None = None,
+    cluster_dedup: bool = False,
 ) -> DataFrame:
     """Returns (doc_id, n_tokens) for the curated (kept) documents."""
     # 1. exact dedup: keep the group keeper only
@@ -39,10 +44,19 @@ def curate_documents(
     )
     uniq = docs.join(keepers, on=id_col, how="left_semi")
 
-    # 2. near-dup removal: drop the larger id of each qualifying pair
+    # 2. near-dup removal
     pairs = minhash_lsh_pairs(uniq, id_col, text_col, threshold=jaccard_threshold)
-    drop = pairs.select(F.col("b").alias(id_col)).distinct()
-    deduped = uniq.join(drop, on=id_col, how="left_anti")
+    if cluster_dedup:
+        # connected-component policy: one representative (min id) per cluster
+        labels = dup_clusters(pairs, ids=uniq.select(id_col))
+        keep = labels.filter(F.col("id") == F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        deduped = uniq.join(keep, on=id_col, how="left_semi")
+    else:
+        # greedy pair policy: drop the larger id of each qualifying pair
+        drop = pairs.select(F.col("b").alias(id_col)).distinct()
+        deduped = uniq.join(drop, on=id_col, how="left_anti")
 
     # 3. quality gate
     q = quality_score(deduped, text_col=text_col, id_col=id_col)

@@ -201,3 +201,24 @@ def test_dup_clusters_on_ngram_pairs(docs):
         for r in dup_clusters(pairs, ids=docs.select("doc_id")).collect()
     }
     assert out == {1: 1, 2: 1, 4: 1, 3: 3, 5: 5}
+
+
+def test_curate_documents_cluster_policy(spark):
+    """cluster_dedup=True keeps one representative per near-dup component
+    and matches the greedy policy on simple chains."""
+    from osmium_tool_spark.operators.curation import curate_documents
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs very far away today", "en"),
+        (2, "the quick brown fox jumps over the lazy dog and runs very far away today", "en"),
+        (3, "the quick brown fox jumps over the lazy dog and runs very far away now", "en"),
+        (4, "tiny", "en"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_documents(
+        docs, min_tokens=5, jaccard_threshold=0.5, max_stopword_ratio=0.5,
+        cluster_dedup=True,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 5}
