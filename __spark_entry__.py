@@ -599,6 +599,24 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile pyramid: one fact-table aggregate at the finest
+    level, each coarser level re-aggregated from the previous one
+    (operators/tiles.py). Measure column exercises SUM-combinable rollup."""
+    from osmium_tool_spark.operators.tiles import tile_pyramid
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = tile_pyramid(
+        nodes, res=CELL_RES, min_res=2,
+        measures={"vsum": F.col("id") % 100},
+    )
+    return out.select(
+        _L("res").alias("res"), _L("cell").alias("cell"),
+        _L("n").alias("n"), _L("vsum").alias("vsum"),
+    )
+
+
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import knn_cellring
     from osmium_tool_spark.sources import testdata as td
@@ -728,6 +746,27 @@ def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         _L("query_id").alias("query_id"),
         _L("neighbor_id").alias("neighbor_id"),
+        _L("rank").alias("rank"),
+    )
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook IVF ANN (pyspark.ml k-means + multi-probe).
+
+    No oracle_sql: the codebook comes from an iterative k-means fit, which
+    DuckDB cannot replicate — the driver records the weaker rows-only
+    check; exactness at nprobe == n_centroids vs brute force is pinned in
+    tests/test_similarity_images.py."""
+    from osmium_tool_spark.operators.similarity import ann_topk_ivf
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.round("cos", 6).alias("cos"),
         _L("rank").alias("rank"),
     )
 
@@ -1081,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_dedup": q_merge_dedup,
         "validate_order": q_validate_order,
         "cat_clean": q_cat_clean,
-        "time_filter_snapshot": q_time_filter_snapshot,
         "time_filter_range": q_time_filter_range,
         "apply_changes_latest": q_apply_changes_latest,
         "apply_changes_history": q_apply_changes_history,
@@ -1092,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fileinfo": q_fileinfo,
         "changeset_filter": q_changeset_filter,
         "tile_rollup": q_tile_rollup,
+        "tile_pyramid": q_tile_pyramid,
         "knn_cellring": q_knn_cellring,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1103,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locations_index": q_locations_index,
         "add_locations": q_add_locations,
         # -- tail (51+): long-stable siblings past the driver window --
+        "time_filter_snapshot": q_time_filter_snapshot,
         "dedup_exact": q_dedup_exact,
         "tags_filter_invert": q_tags_filter_invert,
         "removeid": q_removeid,
@@ -1111,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_tokens": q_text_tokens,
         "text_token_stats": q_text_token_stats,
@@ -1394,6 +1435,22 @@ WHERE num_changes > 0 AND num_comments > 0 AND uid IN ({uid_list})
 WITH {NODES_CTE},
 cells AS (SELECT {_morton_sql(ix, iy)} AS cell FROM nodes)
 SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell
+"""
+
+    # pyramid oracle: a direct per-resolution group-by (the cascade must
+    # equal it by floor-division nesting)
+    levels = []
+    for r in range(2, CELL_RES + 1):
+        levels.append(
+            f"SELECT CAST({r} AS BIGINT) AS res, "
+            f"CAST({_morton_sql(_ix_sql('lon', r), _iy_sql('lat', r), r)} AS BIGINT) AS cell, "
+            f"CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(id % 100) AS BIGINT) AS vsum FROM nodes GROUP BY 2"
+        )
+    union = "\nUNION ALL\n".join(levels)
+    o["tile_pyramid"] = f"""
+WITH {NODES_CTE}
+{union}
 """
 
     n_cells = 1 << CELL_RES

@@ -299,27 +299,42 @@ def renumber(
 
     # --- extend with referenced-but-absent ids (fresh ids in scan order:
     # ways pass first, then relation members; command_renumber.cpp assigns
-    # on first id_map lookup). ONE combined pass: the common all-refs-known
-    # case costs a single isEmpty probe -----------------------------------
+    # on first id_map lookup). The common all-refs-known case costs one
+    # NARROW probe: only (type, ref) rides the anti-join shuffle (the scan
+    # -order columns are recomputed just for actual misses), and emptiness
+    # is decided by a fully-parallel count — the previous limit-style
+    # `.isEmpty()` scanned partitions incrementally and ran nearly serial
+    # on an empty anti-join (measured ~12% core utilization) --------------
     ways_src = entities.filter(F.col("type") == WAY)
     rels_src = entities.filter(F.col("type") == RELATION)
-    wrefs = ways_src.select(
-        F.lit(NODE).alias("type"),
-        F.lit(0).alias("o0"),  # ways pass precedes the relation pass
-        id_sort_key(F.col("id")).alias("o1"),
-        F.posexplode("refs").alias("o2", "ref"),
+
+    def all_refs(with_order: bool) -> DataFrame:
+        order_w = [F.lit(0).alias("o0"), id_sort_key(F.col("id")).alias("o1")] if with_order else []
+        order_m = [F.lit(1).alias("o0"), id_sort_key(F.col("id")).alias("o1")] if with_order else []
+        if with_order:
+            wexp = F.posexplode("refs").alias("o2", "ref")
+            mexp = F.posexplode("members").alias("o2", "m")
+            mcols = ["o0", "o1", "o2"]
+        else:
+            wexp = F.explode("refs").alias("ref")
+            mexp = F.explode("members").alias("m")
+            mcols = []
+        wrefs = ways_src.select(F.lit(NODE).alias("type"), *order_w, wexp)
+        mrefs = rels_src.select(*order_m, mexp).select(
+            F.col("m.mtype").alias("type"), *mcols, F.col("m.ref").alias("ref")
+        )
+        return wrefs.unionByName(mrefs).filter(F.col("type").isin(list(types)))
+
+    n_missing = (
+        all_refs(with_order=False)
+        .join(mapping.select("type", F.col("id").alias("ref")), on=["type", "ref"], how="left_anti")
+        .count()
     )
-    mrefs = rels_src.select(
-        F.lit(1).alias("o0"),
-        id_sort_key(F.col("id")).alias("o1"),
-        F.posexplode("members").alias("o2", "m"),
-    ).select(F.col("m.mtype").alias("type"), "o0", "o1", "o2", F.col("m.ref").alias("ref"))
-    refs_all = wrefs.unionByName(mrefs).filter(F.col("type").isin(list(types)))
-    missing = refs_all.join(
-        mapping.select("type", F.col("id").alias("ref")), on=["type", "ref"], how="left_anti"
-    )
-    first = missing.groupBy("type", "ref").agg(F.min(F.struct("o0", "o1", "o2")).alias("__o"))
-    if not first.isEmpty():
+    if n_missing:
+        missing = all_refs(with_order=True).join(
+            mapping.select("type", F.col("id").alias("ref")), on=["type", "ref"], how="left_anti"
+        )
+        first = missing.groupBy("type", "ref").agg(F.min(F.struct("o0", "o1", "o2")).alias("__o"))
         bounds = mapping.groupBy("type").agg(
             F.max("new_id").alias("__mx"), F.min("new_id").alias("__mn")
         )

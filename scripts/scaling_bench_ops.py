@@ -44,10 +44,13 @@ def entities(n):
     # EXISTING node ids (a way ref derives from a base index j with
     # j % 3 == 1, the node branch): dangling refs would drag renumber
     # through its fresh-id worst case and swamp the measurement.
+    # Ids scatter within a 2^33 space: real OSM ids are dense-ish small
+    # ints (planet node ids < 2^34) — hashing into a 9e11 space would
+    # inflate shuffle entropy (and spill) beyond anything representative.
     base = spark.range(1, n + 1)
     nodes = base.filter(F.col("id") % 3 != 0).select(
         F.lit(0).alias("type"),
-        ((F.col("id") * 2654435761) % 900000000000).alias("id"),
+        ((F.col("id") * 2654435761) % 8589934592).alias("id"),
         F.lit(1).alias("version"),
         F.lit(None).cast("array<long>").alias("refs"),
         F.lit(None).cast("array<struct<mtype:int,ref:long,role:string>>").alias("members"),
@@ -56,11 +59,11 @@ def entities(n):
     def ref(i):
         j0 = (F.col("id") * 31 + i.cast("long") * 2654435761) % (n - 2)
         j = j0 - (j0 % 3) + 1  # j % 3 == 1 -> a node-branch base index
-        return (j * 2654435761) % 900000000000
+        return (j * 2654435761) % 8589934592
 
     ways = base.filter(F.col("id") % 3 == 0).select(
         F.lit(1).alias("type"),
-        ((F.col("id") * 2246822519) % 900000000000).alias("id"),
+        ((F.col("id") * 2246822519) % 8589934592).alias("id"),
         F.lit(1).alias("version"),
         F.transform(F.sequence(F.lit(1), F.lit(8)), ref).alias("refs"),
         F.lit(None).cast("array<struct<mtype:int,ref:long,role:string>>").alias("members"),

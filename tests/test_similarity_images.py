@@ -179,3 +179,65 @@ def test_ann_topk_lsh_recall_vs_exact(spark):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
+
+
+def test_ann_topk_ivf_recall_and_exact_limit(spark):
+    """Trained-codebook IVF ANN: (a) nprobe == n_centroids degenerates to
+    the exact brute-force result; (b) nprobe=2 keeps high recall@5."""
+    from osmium_tool_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+        train_ivf_centroids,
+    )
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    assert cents.shape[1] == 64
+
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_topk_ivf(
+            emb, queries, k=5, n_centroids=8, nprobe=8, centroids=cents
+        ).collect()
+    }
+    assert full == exact  # probing every list == exact search
+
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_ivf(
+            emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents
+        ).collect()
+    }
+    base = {(q, n) for q, n, _ in exact}
+    recall = len(approx & base) / len(base)
+    assert recall >= 0.5, f"recall@5 {recall:.2f}"
+
+
+def test_ivf_assign_probe_order(spark):
+    """nprobe>1 returns centroid ids best-first; nprobe=1 argmax matches."""
+    import numpy as np
+
+    from osmium_tool_spark.operators.similarity import ivf_assign
+
+    cents = np.eye(3)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.0]), (2, [0.0, 0.1, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: list(r.cids)
+        for r in ivf_assign(df, cents, nprobe=2, out_col="cids").collect()
+    }
+    assert rows[1] == [0, 1]
+    assert rows[2] == [2, 1]
+    one = {
+        r.vec_id: list(r.cids)
+        for r in ivf_assign(df, cents, nprobe=1, out_col="cids").collect()
+    }
+    assert one[1] == [0] and one[2] == [2]
