@@ -54,7 +54,13 @@ def tile_pyramid(
     sums = [F.sum("n").alias("n")] + [
         F.sum(name).alias(name) for name in measures
     ]
-    level = base.groupBy("cell").agg(*sums)
+    # Each level is persisted: the final UNION's branches would otherwise
+    # re-derive every level from the raw input (a DataFrame union does not
+    # share subplans across branches), turning the cascade back into Z full
+    # scans — .explain showed one input-sized Exchange chain PER level
+    # before this. A level frame is aggregate-sized (≤4^r cells), so the
+    # cache cost is negligible next to the input.
+    level = base.groupBy("cell").agg(*sums).persist()
 
     out = level.select(F.lit(res).alias("res"), "cell", "n", *measures)
     for r in range(res - 1, min_res - 1, -1):
@@ -66,6 +72,7 @@ def tile_pyramid(
             )
             .groupBy("cell")
             .agg(*sums)
+            .persist()
         )
         out = out.unionByName(
             level.select(F.lit(r).alias("res"), "cell", "n", *measures)
