@@ -204,3 +204,49 @@ def test_stream_matches_batch_apply_changes_on_testdata(spark, tmp_path):
         for r in store.read(spark).collect()
     }
     assert got == want and want
+
+
+def test_flagship_checkpointed_resume(spark, tmp_path):
+    """Checkpointed flagship == single-plan flagship; resume skips the
+    input-sized stage; force_from invalidates a suffix only."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.pipeline import (
+        image_extract_tile,
+        image_extract_tile_checkpointed,
+    )
+    from osmium_tool_spark.sources.images import synth_images
+
+    img_path = str(tmp_path / "images")
+    synth_images(spark, 5000, partitions=4).write.parquet(img_path)
+    extracts = [Extract.bbox(0, -170, -60, -40, 60), Extract.bbox(1, -30, -60, 170, 60)]
+    exprs = ["n/fmt=png,jpeg"]
+    root = str(tmp_path / "ck_flagship")
+
+    out1 = image_extract_tile_checkpointed(spark, img_path, exprs, extracts, root)
+    direct = image_extract_tile(
+        spark.read.parquet(img_path), exprs, extracts, cell_res=8
+    )
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, direct.collect()))
+
+    # lineage: one record per stage, input-sized stage first
+    lines = [json.loads(l) for l in open(f"{root}/lineage.jsonl")]
+    assert [l["stage"] for l in lines] == ["filter_georef", "assign", "rollup"]
+    assert all(l["rows_out"] > 0 and l["partition_rows"] for l in lines)
+
+    # resume: second run must not rewrite any stage (mtimes unchanged)
+    import os
+
+    mt = {s: os.path.getmtime(f"{root}/{s}/metrics.json") for s in ("filter_georef", "assign", "rollup")}
+    out2 = image_extract_tile_checkpointed(spark, img_path, exprs, extracts, root)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out1.collect()))
+    assert all(os.path.getmtime(f"{root}/{s}/metrics.json") == mt[s] for s in mt)
+
+    # force_from=rollup recomputes only the rollup stage
+    image_extract_tile_checkpointed(spark, img_path, exprs, extracts, root, force_from="rollup")
+    assert os.path.getmtime(f"{root}/filter_georef/metrics.json") == mt["filter_georef"]
+    assert os.path.getmtime(f"{root}/assign/metrics.json") == mt["assign"]
+    assert os.path.getmtime(f"{root}/rollup/metrics.json") > mt["rollup"]
