@@ -825,6 +825,38 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthesized PII spans
+    (the corpus itself is PII-free): every 3rd doc gains an email, every
+    5th a phone, every 7th an IPv4. Pure projection — regexp_count +
+    regexp_replace in whole-stage codegen, zero shuffle."""
+    from osmium_tool_spark.operators.text import scrub_pii
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +1 (555) 123-"), (1000 + F.col("doc_id") % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    out = scrub_pii(docs.select("doc_id", body.alias("body")), text_col="body")
+    return out.select(
+        _L("doc_id").alias("doc_id"), F.col("body_clean"),
+        _L("n_email").alias("n_email"), _L("n_ipv4").alias("n_ipv4"),
+        _L("n_phone").alias("n_phone"), _L("pii_total").alias("pii_total"),
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.text import token_counts
     from osmium_tool_spark.sources.testdata import load
@@ -1122,7 +1154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_clean": q_cat_clean,
         "time_filter_range": q_time_filter_range,
         "apply_changes_latest": q_apply_changes_latest,
-        "apply_changes_history": q_apply_changes_history,
         "derive_changes": q_derive_changes,
         "diff_status": q_diff_status,
         "check_refs": q_check_refs,
@@ -1131,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changeset_filter": q_changeset_filter,
         "tile_rollup": q_tile_rollup,
         "tile_pyramid": q_tile_pyramid,
+        "scrub_pii": q_scrub_pii,
         "knn_cellring": q_knn_cellring,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1143,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_locations": q_add_locations,
         # -- tail (51+): long-stable siblings past the driver window --
         "time_filter_snapshot": q_time_filter_snapshot,
+        "apply_changes_history": q_apply_changes_history,
         "dedup_exact": q_dedup_exact,
         "tags_filter_invert": q_tags_filter_invert,
         "removeid": q_removeid,
@@ -1673,6 +1706,32 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
 SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM (SELECT unnest({TOKS}) AS token FROM documents)
 GROUP BY token HAVING count(*) >= 50
+"""
+
+    pii_email = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    pii_ip = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    pii_phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    o["scrub_pii"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-' || (1000 + doc_id % 9000) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.' || (doc_id % 256) || '.1' ELSE '' END
+         AS body
+  FROM documents),
+s1 AS (SELECT doc_id, body,
+              len(regexp_extract_all(body, '{pii_email}')) AS n_email,
+              regexp_replace(body, '{pii_email}', '<EMAIL>', 'g') AS b1 FROM raw),
+s2 AS (SELECT *, len(regexp_extract_all(b1, '{pii_ip}')) AS n_ipv4,
+              regexp_replace(b1, '{pii_ip}', '<IP>', 'g') AS b2 FROM s1),
+s3 AS (SELECT *, len(regexp_extract_all(b2, '{pii_phone}')) AS n_phone,
+              regexp_replace(b2, '{pii_phone}', '<PHONE>', 'g') AS b3 FROM s2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, b3 AS body_clean,
+       CAST(n_email AS BIGINT) AS n_email, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS pii_total
+FROM s3
 """
 
     o["text_token_stats"] = f"""

@@ -196,3 +196,52 @@ def text_metrics(
         F.size(bpe_ish_tokens(F.col(text_col))).cast("long").alias("n_bpe_tokens"),
         poly_hash(F.col(text_col)).alias("fp"),
     ).select("id", "m.*", "n_bpe_tokens", "fp")
+
+
+# regexes kept Spark/DuckDB-portable (RE2-ish: no lookbehind/backrefs)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # local@domain.tld — conservative: requires a dot in the domain
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # dotted-quad IPv4
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # international-ish phone numbers: optional +CC, separators, >=9 digits
+    "phone": (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "body",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Mask PII spans (emails / IPv4 / phone-like digit runs) with typed
+    placeholder tokens, and count the replacements per kind — the standard
+    scrub stage of a training-data curation pipeline.
+
+    Pure JVM Column work: `regexp_replace` for the masking and
+    `regexp_count` for the per-kind counts, all inside whole-stage codegen
+    — no Python on the hot path, no shuffle at all (a projection). Kinds
+    apply in the declared order (email before phone, so digits inside an
+    already-masked span are not double-counted... emails are masked before
+    the phone rule can eat their digit runs).
+
+    Output: input columns + `<out_col>` (scrubbed text, default
+    `<text_col>_clean`) + `n_<kind>` counts + `pii_total`.
+    """
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out_col = out_col or f"{text_col}_clean"
+    cleaned = F.col(text_col)
+    counts = []
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        counts.append(F.regexp_count(cleaned, F.lit(pat)).cast("long").alias(f"n_{k}"))
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    out = df.select("*", cleaned.alias(out_col), *counts)
+    total = None
+    for k in kinds:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total.cast("long"))

@@ -222,3 +222,49 @@ def test_curate_documents_cluster_policy(spark):
     )
     kept = {r.doc_id for r in out.collect()}
     assert kept == {1, 5}
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from osmium_tool_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.co.uk now"),
+            (2, "server 10.0.255.7 port"),
+            (3, "call +44 (0)20 7946-0958 today"),
+            (4, "mix a@b.io and 1.2.3.4 and +1 555 123 4567"),
+            (5, "clean text with no pii at all"),
+        ],
+        "doc_id long, body string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["body_clean"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1 and out[1]["pii_total"] == 1
+    assert out[2]["body_clean"] == "server <IP> port"
+    assert "<PHONE>" in out[3]["body_clean"]
+    assert out[4]["n_email"] == 1 and out[4]["n_ipv4"] == 1 and out[4]["n_phone"] == 1
+    assert out[4]["body_clean"] == "mix <EMAIL> and <IP> and <PHONE>"
+    assert out[5]["body_clean"] == out[5]["body"] and out[5]["pii_total"] == 0
+
+
+def test_scrub_pii_order_protects_masked_spans(spark):
+    """Emails are masked before the phone rule can eat their digit runs;
+    IPs before phones so a dotted quad is not counted as a phone."""
+    from osmium_tool_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "ip 192.168.100.200 only")], "doc_id long, body string"
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r["n_ipv4"] == 1 and r["n_phone"] == 0
+    assert r["body_clean"] == "ip <IP> only"
+
+
+def test_scrub_pii_bad_kind(spark):
+    import pytest as _pytest
+
+    from osmium_tool_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, body string")
+    with _pytest.raises(ValueError):
+        scrub_pii(df, kinds=("email", "ssn"))

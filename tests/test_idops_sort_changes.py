@@ -280,3 +280,40 @@ def test_apply_changes_locations_on_ways(spark):
     out = changes.apply_changes(base, [ch], locations_on_ways=True)
     w = out.filter(out.type == 1).collect()[0]
     assert [(loc.lon, loc.lat) for loc in w.locations] == [(50000000, 50000000), (20000000, 20000000)]
+
+
+def test_fileinfo_crc_ordered_stream(spark):
+    """Distributed ordered CRC == sequential zlib.crc32 of the canonical
+    stream; invariant to input partitioning/order."""
+    import zlib
+
+    from osmium_tool_spark.operators.aggregates import (
+        canonical_row_string,
+        fileinfo_crc_ordered,
+    )
+    from osmium_tool_spark.functions.sortkeys import id_sort_key
+    from osmium_tool_spark.sources.fixtures import _df, _node, _way
+
+    rows = []
+    for i in range(1, 300):
+        rows.append(_node((-i if i % 7 == 0 else i), 1.0, 2.0,
+                          {"k": f"v{i}"}, version=i % 3 + 1))
+    for i in range(1, 80):
+        rows.append(_way(i, [i, i + 1]))
+    ents = _df(spark, rows)
+
+    got = fileinfo_crc_ordered(ents).collect()[0]
+
+    ordered = (
+        ents.orderBy("type", id_sort_key(F.col("id")), "version")
+        .select(canonical_row_string().alias("s"))
+        .collect()
+    )
+    blob = ("\n".join(r["s"] for r in ordered) + "\n").encode()
+    assert got["stream_crc32"] == zlib.crc32(blob)
+    assert got["rows"] == len(rows)
+    assert got["bytes"] == len(blob)
+
+    # invariant under a different physical layout of the same rows
+    got2 = fileinfo_crc_ordered(ents.repartition(7).sortWithinPartitions("version")).collect()[0]
+    assert got2["stream_crc32"] == got["stream_crc32"]
