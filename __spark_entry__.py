@@ -857,6 +857,94 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic multi-line body (the corpus texts are
+    single-line): first-40-chars line + body + source line + the first-40
+    line again — intra-doc duplicate lines for repetition_stats, cross-doc
+    boilerplate (source values repeat over ~25 docs) for line_dedup."""
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.substring("text", 1, 40), F.lit("\n"), F.col("text"), F.lit("\n"),
+        F.col("source"), F.lit("\n"), F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", t2.alias("text"))
+
+
+_MULTILINE_CTE = (
+    "mdocs AS (SELECT doc_id, substr(text,1,40) || chr(10) || text || chr(10) "
+    "|| source || chr(10) || substr(text,1,40) AS text FROM documents)"
+)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021) over synthesized
+    multi-line documents: duplicate-line fractions + top word-2gram
+    character coverage. Distributed explode+hash-agg shape — no per-row
+    O(L^2) loops, no corpus-wide window."""
+    from osmium_tool_spark.operators.text import repetition_stats
+
+    out = repetition_stats(_multiline_docs(spark, sf_dir))
+    return out.select(
+        _L("id").alias("id"), _L("n_lines").alias("n_lines"),
+        F.col("dup_line_frac").cast("double").alias("dup_line_frac"),
+        F.col("dup_line_char_frac").cast("double").alias("dup_line_char_frac"),
+        F.col("top_gram"), _L("top_gram_count").alias("top_gram_count"),
+        F.col("top_gram_char_frac").cast("double").alias("top_gram_char_frac"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line dedup (Raffel et al. 2020 §2.2): lines whose
+    normalized form appears in >=2 distinct docs are dropped, documents
+    reassembled in line order. The banned-line join side carries only
+    lines clearing the thresholds — boilerplate-sized, not corpus-sized."""
+    from osmium_tool_spark.operators.dedup import line_dedup
+
+    out = line_dedup(_multiline_docs(spark, sf_dir), min_line_chars=4)
+    return out.select(
+        _L("id").alias("id"), F.col("text_clean"),
+        _L("n_kept").alias("n_kept"), _L("n_removed").alias("n_removed"),
+    )
+
+
+def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially balanced deterministic sampling: up to k=3 nodes per tile
+    cell, ordered by a portable multiplicative hash — the anti-skew
+    training-data draw over the extract hotspot. The row_number<=k filter
+    compiles to WindowGroupLimit (map-side partial top-k), so dense cells
+    never ship their full population into the shuffle."""
+    from osmium_tool_spark.functions.cells import cell_id
+    from osmium_tool_spark.operators.sample import balanced_sample
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    cells = nodes.select("id", cell_id(F.col("lon"), F.col("lat"), CELL_RES).alias("cell"))
+    out = balanced_sample(cells, ["cell"], k=3, id_col="id")
+    return out.select(
+        _L("cell").alias("cell"), _L("id").alias("id"),
+        _L("sample_rank").alias("sample_rank"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota sampling (language rebalancing): explicit quotas for
+    en/de, default 2 for every other language; quota table broadcast,
+    top-k bounded map-side by the largest quota."""
+    from osmium_tool_spark.operators.sample import stratified_quota_sample
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_quota_sample(
+        docs, "lang", {"en": 7, "de": 3}, id_col="doc_id", default_k=2
+    )
+    return out.select(
+        F.col("lang"), _L("doc_id").alias("doc_id"),
+        _L("sample_rank").alias("sample_rank"),
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.text import token_counts
     from osmium_tool_spark.sources.testdata import load
@@ -1154,14 +1242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_clean": q_cat_clean,
         "time_filter_range": q_time_filter_range,
         "apply_changes_latest": q_apply_changes_latest,
-        "derive_changes": q_derive_changes,
         "diff_status": q_diff_status,
-        "check_refs": q_check_refs,
         "tags_count": q_tags_count,
         "fileinfo": q_fileinfo,
-        "changeset_filter": q_changeset_filter,
         "tile_rollup": q_tile_rollup,
         "tile_pyramid": q_tile_pyramid,
+        "tile_sample": q_tile_sample,
+        "stratified_sample": q_stratified_sample,
+        "text_repetition": q_text_repetition,
+        "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
         "knn_cellring": q_knn_cellring,
         "dedup_clusters": q_dedup_clusters,
@@ -1172,8 +1261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
         "locations_index": q_locations_index,
-        "add_locations": q_add_locations,
         # -- tail (51+): long-stable siblings past the driver window --
+        "add_locations": q_add_locations,
+        "derive_changes": q_derive_changes,
+        "check_refs": q_check_refs,
+        "changeset_filter": q_changeset_filter,
         "time_filter_snapshot": q_time_filter_snapshot,
         "apply_changes_history": q_apply_changes_history,
         "dedup_exact": q_dedup_exact,
@@ -1484,6 +1576,74 @@ SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n FROM cells GR
     o["tile_pyramid"] = f"""
 WITH {NODES_CTE}
 {union}
+"""
+
+    # portable deterministic sample order: ((id % P + seed) * MIX) % P
+    samp_h = "((id % 1000000007) * 2654435761) % 1000000007"
+    o["tile_sample"] = f"""
+WITH {NODES_CTE},
+cells AS (SELECT id, {_morton_sql(_ix_sql('lon'), _iy_sql('lat'))} AS cell FROM nodes),
+r AS (SELECT id, cell,
+        row_number() OVER (PARTITION BY cell ORDER BY {samp_h}, id) AS rk
+      FROM cells)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(id AS BIGINT) AS id,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= 3
+"""
+
+    doc_h = "((doc_id % 1000000007) * 2654435761) % 1000000007"
+    o["stratified_sample"] = f"""
+WITH r AS (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang ORDER BY {doc_h}, doc_id) AS rk
+      FROM documents)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= CASE lang WHEN 'en' THEN 7 WHEN 'de' THEN 3 ELSE 2 END
+"""
+
+    o["text_repetition"] = f"""
+WITH {_MULTILINE_CTE},
+l AS (SELECT doc_id AS id, unnest(string_split(text, chr(10))) AS line FROM mdocs),
+pl AS (SELECT id, line, count(*) AS cnt FROM l GROUP BY id, line),
+ls AS (SELECT id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+        sum(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END) AS dup_chars,
+        sum(cnt * len(line)) AS line_chars
+       FROM pl GROUP BY id),
+tk AS (SELECT doc_id AS id, len(text) AS n_chars,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM mdocs),
+g AS (SELECT id, n_chars,
+        unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+      FROM tk),
+pg AS (SELECT id, n_chars, gram, count(*) AS cnt FROM g GROUP BY id, n_chars, gram),
+top AS (SELECT id, n_chars,
+        max(lpad(CAST(cnt AS VARCHAR), 10, '0') || chr(9) || gram) AS k
+        FROM pg GROUP BY id, n_chars)
+SELECT CAST(ls.id AS BIGINT) AS id, CAST(n_lines AS BIGINT) AS n_lines,
+  round((n_lines - n_distinct) * 1.0 / n_lines, 6) AS dup_line_frac,
+  CASE WHEN line_chars > 0 THEN round(dup_chars * 1.0 / line_chars, 6) ELSE 0.0 END
+    AS dup_line_char_frac,
+  coalesce(substr(k, 12), '') AS top_gram,
+  CAST(coalesce(CAST(substr(k, 1, 10) AS BIGINT), 0) AS BIGINT) AS top_gram_count,
+  coalesce(round(CAST(substr(k, 1, 10) AS BIGINT) * len(substr(k, 12)) * 1.0
+                 / greatest(n_chars, 1), 6), 0.0) AS top_gram_char_frac
+FROM ls LEFT JOIN top ON ls.id = top.id
+"""
+
+    o["line_dedup"] = f"""
+WITH {_MULTILINE_CTE},
+l AS (SELECT id, u.pos, u.line, lower(trim(u.line)) AS norm
+      FROM (SELECT doc_id AS id,
+              unnest([{{pos: i, line: ls[i]}} for i in range(1, len(ls)+1)]) AS u
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM mdocs) z) y),
+banned AS (SELECT norm FROM l WHERE len(norm) >= 4
+           GROUP BY norm HAVING count(DISTINCT id) >= 2),
+m AS (SELECT id, pos, line,
+        (len(norm) >= 4 AND norm IN (SELECT norm FROM banned)) AS removed FROM l)
+SELECT CAST(id AS BIGINT) AS id,
+  coalesce(string_agg(CASE WHEN NOT removed THEN line END, chr(10) ORDER BY pos), '')
+    AS text_clean,
+  CAST(sum(CASE WHEN removed THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM m GROUP BY id
 """
 
     n_cells = 1 << CELL_RES

@@ -59,6 +59,27 @@ def word_shingles(text: Column, n: int) -> Column:
     return F.get(F.transform(toks_once, build), 0)
 
 
+def word_grams(text: Column, n: int) -> Column:
+    """Word n-gram strings WITH multiplicity (no array_distinct) — the
+    repetition-analysis sibling of `word_shingles` (same once-bound token
+    array to avoid per-index re-tokenization)."""
+    toks_once = F.array(word_tokens(text))
+
+    def build(toks: Column) -> Column:
+        if n == 1:
+            return toks
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        )
+        # guard: sequence(0, negative) would count DOWN in Spark
+        return F.when(F.size(toks) >= n, gram).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.get(F.transform(toks_once, build), 0)
+
+
 def poly_hash(s: Column) -> Column:
     """Portable polynomial string hash: fold(h*31 + codepoint) % (1e9+7)."""
     return F.aggregate(
@@ -436,3 +457,63 @@ def dup_clusters(
         )
         labels = labels.unionByName(singles)
     return labels
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 5,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 boilerplate rule, Raffel et
+    al. 2020 §2.2): drop every line whose normalized form (lower+trim)
+    occurs in >= ``min_docs`` DISTINCT documents, then reassemble each
+    document from its surviving lines in original order. Lines shorter
+    than ``min_line_chars`` after normalization (headings, blanks,
+    separators) are exempt — never counted, never removed.
+
+    Distributed shape: posexplode lines -> one hash aggregate building the
+    banned-line set (only lines that clear both thresholds survive the
+    HAVING, so the join side is boilerplate-sized, not corpus-sized) ->
+    equi-join lines against it (AQE broadcasts when small) -> per-document
+    reassembly via sort_array(collect_list(struct(pos, line))). The only
+    per-document state is that document's own line list — no window over
+    the corpus, no driver collection.
+
+    Returns (id, <out_col>, n_kept, n_removed).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    lines = base.select(
+        "id", F.posexplode(F.split(F.col("t"), "\n")).alias("pos", "line")
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    eligible = F.length("norm") >= min_line_chars
+    banned = (
+        lines.filter(eligible)
+        .groupBy("norm")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("norm")
+        .withColumn("__banned", F.lit(True))
+    )
+    marked = lines.join(banned, "norm", "left")
+    removed = eligible & F.col("__banned").isNotNull()
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~removed, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias(out_col),
+            F.sum(F.when(removed, 0).otherwise(1)).cast("long").alias("n_kept"),
+            F.sum(F.when(removed, 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -245,3 +245,82 @@ def scrub_pii(
         c = F.col(f"n_{k}")
         total = c if total is None else total + c
     return out.withColumn("pii_total", total.cast("long"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line
+    fraction, duplicate-line character fraction, and the character
+    fraction covered by the most frequent word n-gram (Rae et al. 2021,
+    "Scaling Language Models", table A1 — the repetition filters).
+
+    Distributed shape (NOT per-row O(L^2) higher-order-function loops):
+    explode lines / n-grams, two hash aggregates with map-side combine
+    each, then an aggregate-sized join of the two signal frames. Every
+    stage is input-partitioned — no window over the whole corpus, no
+    driver state — so the plan survives documents with millions of lines
+    and a corpus of billions of rows.
+
+    Top-gram tie-break is deterministic and oracle-portable: the winner is
+    max(zero-padded count || TAB || gram), i.e. highest count, then
+    lexicographically largest gram — a plain MAX aggregate instead of a
+    per-doc window sort.
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac, top_gram,
+    top_gram_count, top_gram_char_frac).
+    """
+    from .dedup import word_grams
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    lines = base.select("id", F.explode(F.split(F.col("t"), "\n")).alias("line"))
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("cnt"))
+    line_chars = F.sum(F.col("cnt") * F.length("line"))
+    dup_chars = F.sum(
+        F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(F.lit(0))
+    )
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        dup_chars.alias("dup_chars"),
+        line_chars.alias("line_chars"),
+    )
+
+    grams = base.select(
+        "id", "n_chars", F.explode(word_grams(F.col("t"), gram_n)).alias("gram")
+    )
+    per_gram = grams.groupBy("id", "n_chars", "gram").agg(F.count("*").alias("cnt"))
+    key = F.concat(F.lpad(F.col("cnt").cast("string"), 10, "0"), F.lit("\t"), F.col("gram"))
+    top = per_gram.groupBy("id", "n_chars").agg(F.max(key).alias("k")).select(
+        "id",
+        F.substring("k", 12, 2_000_000).alias("top_gram"),
+        F.substring("k", 1, 10).cast("long").alias("top_gram_count"),
+        F.round(
+            F.substring("k", 1, 10).cast("long")
+            * F.length(F.substring("k", 12, 2_000_000))
+            / F.greatest(F.col("n_chars"), F.lit(1)),
+            6,
+        ).alias("top_gram_char_frac"),
+    )
+
+    out = line_stats.join(top, "id", "left")
+    return out.select(
+        "id",
+        "n_lines",
+        F.round((F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.when(F.col("line_chars") > 0, F.round(F.col("dup_chars") / F.col("line_chars"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+        F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias("top_gram_count"),
+        F.coalesce(F.col("top_gram_char_frac"), F.lit(0.0)).alias("top_gram_char_frac"),
+    )
