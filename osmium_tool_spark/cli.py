@@ -217,6 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("fileinfo")
     sp.add_argument("input", nargs=1)
     sp.add_argument("-j", "--json", action="store_true")
+    # reference: CRC default ON for JSON output, OFF otherwise
+    # (man/osmium-fileinfo.md:62-67)
+    sp.add_argument("-c", "--crc", action="store_true", default=None)
+    sp.add_argument("--no-crc", dest="crc", action="store_false")
 
     sp = io(sub.add_parser("tags-count"), n_inputs=1)
     sp.add_argument("expressions", nargs="*")
@@ -449,9 +453,15 @@ def run(args, spark: SparkSession) -> int:
             data = fileinfo_report(
                 ents.withColumn("__seq", SF.monotonically_increasing_id()),
                 seq_col="__seq",
+                with_crc=args.crc is not False,  # JSON default: CRC on
             )
             print(json.dumps({"data": data}, indent=4))
         else:
+            if args.crc:
+                from .operators.aggregates import fileinfo_crc_libosmium
+
+                r = fileinfo_crc_libosmium(ents).collect()[0]
+                print(f"  CRC32: {r['stream_crc32']:08x}")
             for r in fileinfo(ents).collect():
                 print(r)
     elif cmd == "tags-count":

@@ -37,15 +37,19 @@ def fileinfo(entities: DataFrame) -> DataFrame:
     )
 
 
-def fileinfo_report(entities: DataFrame, seq_col: str | None = None) -> dict:
+def fileinfo_report(
+    entities: DataFrame, seq_col: str | None = None, with_crc: bool = False
+) -> dict:
     """Reference-shaped fileinfo 'data' report (command_fileinfo.cpp:
     335-445 JSON layout; golden test/fileinfo/fi1-result.json): bbox in
     degrees, first/last ISO timestamps, per-type counts and min/max ids,
     multiple_versions, metadata availability, and objects_ordered when
     `seq_col` supplies the physical stream order. ONE aggregate job over
-    the scan (+ the order-validation probe). The reference's stream crc32
-    is intentionally absent — the engine fingerprint is fileinfo_crc
-    (order-independent sum of per-row CRC32s, a documented deviation)."""
+    the scan (+ the order-validation probe). ``with_crc`` adds the
+    reference's stream "crc32" field (8 hex digits) via
+    `fileinfo_crc_libosmium` — byte-parity with the fi1 golden; the cheap
+    100 TB engine fingerprint remains `fileinfo_crc` (order-independent
+    sum of per-row CRC32s)."""
     import time as _time
 
     from ..schema import COORD_SCALE, NODE, RELATION, WAY
@@ -121,6 +125,9 @@ def fileinfo_report(entities: DataFrame, seq_col: str | None = None) -> dict:
         data["objects_ordered"] = (
             validate_order(entities.withColumnRenamed(seq_col, "seq")).isEmpty()
         )
+    if with_crc:
+        crc = fileinfo_crc_libosmium(entities, seq_col=seq_col).collect()[0]
+        data["crc32"] = f"{crc['stream_crc32']:08x}"
     return data
 
 
@@ -336,6 +343,146 @@ def fileinfo_crc_ordered(entities: DataFrame) -> DataFrame:
         part_crc, "pid int, crc long, nbytes long, nrows long"
     ).collect()
 
+    total_crc, total_bytes, total_rows = 0, 0, 0
+    for r in sorted(parts, key=lambda r: r["pid"]):
+        total_crc = crc32_combine(total_crc, r["crc"], r["nbytes"])
+        total_bytes += r["nbytes"]
+        total_rows += r["nrows"]
+    return spark.createDataFrame(
+        [(total_crc, total_rows, total_bytes)],
+        "stream_crc32 long, rows long, bytes long",
+    )
+
+
+def fileinfo_crc_libosmium(entities: DataFrame, seq_col: str | None = None) -> DataFrame:
+    """Ordered stream CRC32 in the REFERENCE's per-object byte layout —
+    byte-parity mode for `fileinfo -j`'s "crc32" field (src/
+    command_fileinfo.cpp:102,125-126 feeds each object to libosmium's
+    osmium::CRC<CRC_zlib>).
+
+    The byte layout was derived test-first from the reference's committed
+    golden (test/fileinfo/fi1-result.json: crc32 "95828746" — 8 HEX
+    digits per man/osmium-fileinfo.md:114): per object
+    ``id:int64le | visible:byte | version:uint32le | timestamp:uint32le
+    (epoch seconds) | uid:uint32le | user:utf8`` then per type
+    node → ``lon:int32le lat:int32le`` (fixed-point 1e7), way → each ref
+    int64le, relation → each member as ``ref:int64le mtype:uint16le
+    role:utf8 NUL``; tags as ``key NUL value NUL`` in stored order.
+    CAVEAT: in fi1 version==changeset==uid==1 for every object, so the
+    fixture pins the layout only up to which two of {version, changeset,
+    uid} fill the two int32 slots; this implementation uses
+    (version, uid) and excludes changeset. Tag/member/ref encodings are
+    self-consistent documented choices (fi1 has no tags/refs/members to
+    pin them).
+
+    Same distributed shape as `fileinfo_crc_ordered`: range-partition the
+    stream order, CRC each partition's bytes, fold (crc, nbytes) pairs in
+    partition order via GF(2) crc32_combine — no serial pass. The per-row
+    byte packing is Python inside Arrow batches: this is the opt-in
+    byte-parity mode (like the XML writer), not the 100 TB fingerprint
+    (that is `fileinfo_crc`).
+
+    Stream order: ``seq_col`` (file order) when given, else canonical
+    (type, |id|-aware id, version). Returns a 1-row DataFrame
+    (stream_crc32, rows, bytes).
+    """
+    import zlib
+
+    from ..functions.crc import crc32_combine
+    from ..functions.sortkeys import id_sort_key
+
+    spark = entities.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if seq_col is not None:
+        order = [F.col(seq_col).alias("__o0")]
+    else:
+        order = [
+            F.col("type").alias("__o0"),
+            id_sort_key(F.col("id")).alias("__o1"),
+            F.coalesce(F.col("version"), F.lit(0)).alias("__o2"),
+        ]
+    onames = [f"__o{i}" for i in range(len(order))]
+    prepared = (
+        entities.select(
+            *order,
+            F.col("type").alias("t"),
+            F.col("id"),
+            F.coalesce(F.col("version"), F.lit(0)).cast("long").alias("version"),
+            F.coalesce(F.col("visible"), F.lit(True)).alias("visible"),
+            (F.coalesce(F.col("ts"), F.lit(0)) / 1_000_000).cast("long").alias("secs"),
+            F.coalesce(F.col("uid"), F.lit(0)).cast("long").alias("uid"),
+            F.coalesce(F.col("user"), F.lit("")).alias("user"),
+            F.map_entries(
+                F.coalesce(F.col("tags"), F.create_map().cast("map<string,string>"))
+            ).alias("tag_entries"),
+            F.col("lon"),
+            F.col("lat"),
+            F.coalesce(F.col("refs"), F.array().cast("array<long>")).alias("refs"),
+            F.coalesce(
+                F.col("members"),
+                F.array().cast("array<struct<mtype:int,ref:long,role:string>>"),
+            ).alias("members"),
+        )
+        .repartitionByRange(n, *[F.col(c) for c in onames])
+        .sortWithinPartitions(*[F.col(c) for c in onames])
+        .select(F.spark_partition_id().alias("__pid"), "*")
+    )
+
+    def part_crc(batches):
+        import struct
+
+        import pandas as pd
+
+        head = struct.Struct("<qBIII")
+        i32x2 = struct.Struct("<ii")
+        i64 = struct.Struct("<q")
+        u16 = struct.Struct("<H")
+        crc = 0
+        nbytes = 0
+        nrows = 0
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            buf = bytearray()
+            for t, id_, ver, vis, secs, uid, user, tag_entries, lon, lat, refs, members in zip(
+                pdf["t"], pdf["id"], pdf["version"], pdf["visible"], pdf["secs"],
+                pdf["uid"], pdf["user"], pdf["tag_entries"], pdf["lon"], pdf["lat"],
+                pdf["refs"], pdf["members"],
+            ):
+                buf += head.pack(
+                    int(id_), 1 if vis else 0, int(ver) & 0xFFFFFFFF,
+                    int(secs) & 0xFFFFFFFF, int(uid) & 0xFFFFFFFF,
+                )
+                buf += str(user).encode("utf-8")
+                for ent in tag_entries:
+                    k, v = (ent["key"], ent["value"]) if isinstance(ent, dict) else ent
+                    buf += k.encode("utf-8") + b"\x00" + v.encode("utf-8") + b"\x00"
+                if t == 0:
+                    buf += i32x2.pack(int(lon), int(lat))
+                elif t == 1:
+                    for r in refs:
+                        buf += i64.pack(int(r))
+                else:
+                    for m in members:
+                        mt, ref, role = (
+                            (m["mtype"], m["ref"], m["role"])
+                            if isinstance(m, dict) else m
+                        )
+                        buf += i64.pack(int(ref)) + u16.pack(int(mt) & 0xFFFF)
+                        buf += (role or "").encode("utf-8") + b"\x00"
+            crc = zlib.crc32(bytes(buf), crc)
+            nbytes += len(buf)
+            nrows += len(pdf)
+        if pid is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "crc": [crc], "nbytes": [nbytes], "nrows": [nrows]}
+            )
+
+    parts = prepared.mapInPandas(
+        part_crc, "pid int, crc long, nbytes long, nrows long"
+    ).collect()
     total_crc, total_bytes, total_rows = 0, 0, 0
     for r in sorted(parts, key=lambda r: r["pid"]):
         total_crc = crc32_combine(total_crc, r["crc"], r["nbytes"])

@@ -247,8 +247,9 @@ class TestCatGoldens:
 
 class TestFileinfoGoldens:
     """fileinfo -j data-section parity vs test/fileinfo/fi1-result.json
-    (crc32 and the buffers memory internals are implementation details of
-    the reference's stream reader and intentionally absent)."""
+    (only the buffers memory internals — an implementation detail of the
+    reference's stream reader — are absent; crc32 is byte-parity via
+    fileinfo_crc_libosmium)."""
 
     def test_fi1_report(self, spark):
         import json as _json
@@ -258,11 +259,21 @@ class TestFileinfoGoldens:
         ents = read_osm_xml(spark, f"{REF}/fileinfo/fi1.osm").withColumn(
             "__seq", F.monotonically_increasing_id()
         )
-        got = fileinfo_report(ents, seq_col="__seq")
+        got = fileinfo_report(ents, seq_col="__seq", with_crc=True)
         want = _json.load(open(f"{REF}/fileinfo/fi1-result.json"))["data"]
         for key in ("bbox", "timestamp", "objects_ordered", "multiple_versions",
-                    "count", "minid", "maxid", "metadata"):
+                    "count", "minid", "maxid", "metadata", "crc32"):
             assert got[key] == want[key], key
+
+    def test_stream_crc_partition_invariant(self, spark):
+        """The GF(2)-combined stream CRC must not depend on partitioning."""
+        from osmium_tool_spark.operators.aggregates import fileinfo_crc_libosmium
+
+        ents = read_osm_xml(spark, f"{REF}/extract/input1.osm")
+        a = fileinfo_crc_libosmium(ents).collect()[0]
+        b = fileinfo_crc_libosmium(ents.repartition(7)).collect()[0]
+        assert a["stream_crc32"] == b["stream_crc32"]
+        assert a["bytes"] == b["bytes"] and a["rows"] == b["rows"]
 
     def test_multiple_versions_and_unordered(self, spark):
         from osmium_tool_spark.operators.aggregates import fileinfo_report
