@@ -122,3 +122,86 @@ def ring_cells(cell: Column, res: int, ring: int) -> Column:
             if max(abs(dx), abs(dy)) == ring:
                 cells.append(cell_from_xy(x + dx, y + dy, res))
     return F.array_distinct(F.array(*cells))
+
+
+# ---------------------------------------------------------------------------
+# driver-side Morton math (plain ints) — query planning over the cell space:
+# bbox -> packed-cell-id ranges for file/row-group pruning on clustered
+# tables (the Iceberg partition-pruning analog; see sources/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def morton_py(x: int, y: int, res: int) -> int:
+    """Interleave res-bit x and y (plain-int twin of _interleave)."""
+    code = 0
+    for b in range(res):
+        code |= ((x >> b) & 1) << (2 * b)
+        code |= ((y >> b) & 1) << (2 * b + 1)
+    return code
+
+
+def cell_id_py(lon_fp: int, lat_fp: int, res: int) -> int:
+    """Packed cell id for fixed-point coords (plain-int twin of cell_id)."""
+    n = 1 << res
+    ix = min((lon_fp - _LON_MIN) * n // _LON_SPAN, n - 1)
+    iy = min((lat_fp - _LAT_MIN) * n // _LAT_SPAN, n - 1)
+    return (res << 56) | morton_py(ix, iy, res)
+
+
+def morton_ranges(
+    lon_min: int, lat_min: int, lon_max: int, lat_max: int,
+    res: int, max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose a fixed-point bbox into inclusive packed-cell-id ranges at
+    resolution ``res`` — the standard Z-order quadtree descent: a quad
+    fully inside the box emits one contiguous Morton range (children share
+    the parent's bit prefix), a disjoint quad prunes, a straddling quad
+    recurses. Descending children in Morton order (yx bit = 00,01,10,11)
+    yields sorted ranges; adjacent ranges coalesce, and if more than
+    ``max_ranges`` remain the smallest gaps are merged (a SUPERSET — safe
+    because callers re-apply the exact bbox predicate after the scan).
+
+    O(4 * res * perimeter_quads) driver work — query planning, not data.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range")
+    n = 1 << res
+    x0 = min(max((lon_min - _LON_MIN) * n // _LON_SPAN, 0), n - 1)
+    x1 = min(max((lon_max - _LON_MIN) * n // _LON_SPAN, 0), n - 1)
+    y0 = min(max((lat_min - _LAT_MIN) * n // _LAT_SPAN, 0), n - 1)
+    y1 = min(max((lat_max - _LAT_MIN) * n // _LAT_SPAN, 0), n - 1)
+
+    out: list[tuple[int, int]] = []
+
+    def rec(d: int, qx: int, qy: int, code: int) -> None:
+        s = res - d
+        cx0, cy0 = qx << s, qy << s
+        cx1, cy1 = cx0 + (1 << s) - 1, cy0 + (1 << s) - 1
+        if cx1 < x0 or cx0 > x1 or cy1 < y0 or cy0 > y1:
+            return
+        if cx0 >= x0 and cx1 <= x1 and cy0 >= y0 and cy1 <= y1:
+            m0 = code << (2 * s)
+            out.append((m0, m0 + (1 << (2 * s)) - 1))
+            return
+        for child in range(4):  # yx bits: Morton-ascending
+            rec(d + 1, qx * 2 + (child & 1), qy * 2 + (child >> 1), code * 4 + child)
+
+    rec(0, 0, 0, 0)
+
+    # coalesce adjacent ranges
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    # cap by merging smallest inter-range gaps (superset)
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    tag = res << 56
+    return [(tag | lo, tag | hi) for lo, hi in merged]
