@@ -928,6 +928,30 @@ def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Z-order layout path: cluster-write the node frame by
+    Morton cell, then answer a bbox extract via Morton-range planning +
+    parquet-footer file pruning + pushed range predicate + exact
+    refinement (sources/layout.py). The oracle is the plain bbox filter
+    over the original derivation — any pruning bug (file skipped that
+    held a match, range decomposition miss) fails rows/hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.layout import bbox_scan_clustered, write_clustered
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"osmium_zorder_{tag}")
+    write_clustered(nodes, path, res=8, partitions=16)
+    out, _stats = bbox_scan_clustered(spark, path, BBOX_FP, res=8)
+    return out.select(
+        _L("id").alias("id"), _L("lon").alias("lon"), _L("lat").alias("lat")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key quota sampling (language rebalancing): explicit quotas for
     en/de, default 2 for every other language; quota table broadcast,
@@ -1238,7 +1262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "renumber": q_renumber,
         "sort_canonical": q_sort_canonical,
         "merge_dedup": q_merge_dedup,
-        "validate_order": q_validate_order,
         "cat_clean": q_cat_clean,
         "time_filter_range": q_time_filter_range,
         "apply_changes_latest": q_apply_changes_latest,
@@ -1248,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_pyramid": q_tile_pyramid,
         "tile_sample": q_tile_sample,
+        "zorder_extract": q_zorder_extract,
         "stratified_sample": q_stratified_sample,
         "text_repetition": q_text_repetition,
         "line_dedup": q_line_dedup,
@@ -1262,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "locations_index": q_locations_index,
         # -- tail (51+): long-stable siblings past the driver window --
+        "validate_order": q_validate_order,
         "add_locations": q_add_locations,
         "derive_changes": q_derive_changes,
         "check_refs": q_check_refs,
@@ -1589,6 +1614,13 @@ r AS (SELECT id, cell,
 SELECT CAST(cell AS BIGINT) AS cell, CAST(id AS BIGINT) AS id,
        CAST(rk AS BIGINT) AS sample_rank
 FROM r WHERE rk <= 3
+"""
+
+    o["zorder_extract"] = f"""
+WITH {NODES_CTE}
+SELECT CAST(id AS BIGINT) AS id, CAST(lon AS BIGINT) AS lon, CAST(lat AS BIGINT) AS lat
+FROM nodes
+WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}
 """
 
     doc_h = "((doc_id % 1000000007) * 2654435761) % 1000000007"
