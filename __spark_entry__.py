@@ -771,6 +771,28 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace k-means
+    codebooks, m-byte codes, ADC scoring via per-query LUTs, exact-cosine
+    refinement of the ADC top-R.
+
+    No oracle_sql: the codebooks come from iterative k-means — the driver
+    records the rows-only check; exactness on code-aligned corpora and
+    the refinement contract are pinned in tests/test_pq.py."""
+    from osmium_tool_spark.operators.similarity import ann_topk_pq
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_pq(emb, queries, k=5, m=8, ksub=16, refine=50)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.round("score", 6).alias("score"),
+        _L("rank").alias("rank"),
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import ann_topk_lsh
     from osmium_tool_spark.sources.testdata import load
@@ -1302,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_tokens": q_text_tokens,
         "text_token_stats": q_text_token_stats,

@@ -17,7 +17,7 @@ key first so each query only scans its bucket.
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cells import cell_id, neighbor_cells
@@ -597,4 +597,208 @@ def ann_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    max_train_rows: int = 100_000,
+    seed: int = 7,
+    iters: int = 20,
+):
+    """Per-subspace k-means codebooks for PQ: split the (L2-normalized)
+    vector into ``m`` contiguous subspaces, cluster each into ``ksub``
+    centroids. Returns a (m, ksub, dim/m) float64 numpy array.
+
+    Training is numpy Lloyd iterations over a bounded deterministic
+    sample collected to the driver — the iterative part never scans the
+    full table (same contract as `train_ivf_centroids`); only the
+    one-pass `pq_encode` does. Deterministic: seeded init, stable argmin,
+    empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    n_rows = corpus.count()
+    sample = corpus.select(F.col(vec_col).alias("v"))
+    if n_rows > max_train_rows:
+        sample = sample.sample(fraction=min(1.0, max_train_rows / n_rows), seed=seed)
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample.collect()])
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if len(X) < ksub:
+        raise ValueError(f"training sample ({len(X)}) smaller than ksub={ksub}")
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    X = X / nrm
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[rng.choice(len(Xs), ksub, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x - c||^2 via the dot trick: x^2 constant per row
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (Xs @ cents.T)
+            assign = np.argmin(d, axis=1)
+            for j in range(ksub):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = Xs[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to ``m`` subspace code ids (array<smallint>) — the
+    one-pass compression scan: a dim-float vector becomes m small ints
+    (32x smaller at dim=64, m=8, float32 source). Arrow-batched: one
+    (batch, dsub) @ (dsub, ksub) matmul per subspace, codebook rides the
+    closure as a plain numpy array. Vectors are L2-normalized before
+    encoding (the codebooks are trained on the unit sphere), so the ADC
+    inner product approximates cosine."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<smallint>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        Xf = np.stack(vecs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(Xf, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        Xf = Xf / nrm
+        codes = np.empty((len(Xf), m), dtype=np.int16)
+        for s in range(m):
+            Xs = Xf[:, s * dsub : (s + 1) * dsub]
+            cents = books[s]
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (Xs @ cents.T)
+            codes[:, s] = np.argmin(d, axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    codebooks=None,
+    refine: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k cosine by asymmetric distance computation (ADC)
+    over PQ codes: each query precomputes an (m, ksub) lookup table of
+    subspace inner products; a corpus vector's score is the sum of m
+    table lookups on its code — no float vectors are read in the scoring
+    scan at all.
+
+    Scale shape: queries are a SMALL broadcast set (same contract as
+    `ann_topk`); the corpus travels as (id, m-byte code). Each partition
+    emits only its local top-k per query (numpy argpartition), so the
+    shuffle is n_partitions x n_queries x k rows regardless of corpus
+    size; a final per-query sort picks the global top-k. With
+    ``refine`` = R > 0, the top R ADC candidates are re-ranked by exact
+    cosine via an id equi-join back to the corpus vectors (candidate-
+    sized, not corpus-sized). Returns (query_id, neighbor_id, score,
+    rank) where score is ADC (or exact cosine when refined).
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, ksub=ksub, vec_col=vec_col, seed=seed
+        )
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    # (nq, m, ksub) LUTs: subspace inner products
+    luts = np.stack(
+        [Q[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)], axis=1
+    )
+
+    coded = pq_encode(corpus, books, vec_col=vec_col).select(
+        F.col(id_col).alias("nid"), F.col("pq_code")
+    )
+    kk = max(k, refine)
+
+    def score_parts(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)  # (b, m)
+            nids = pdf["nid"].to_numpy()
+            # gather: scores (b, nq) = sum_s luts[:, s, codes[:, s]]
+            scores = np.zeros((len(codes), len(qids)))
+            for s in range(m):
+                scores += luts[:, s, codes[:, s]].T  # (b, nq)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                col = scores[:, qi].copy()
+                col[nids == qids[qi]] = -np.inf  # exclude self BEFORE top-k
+                take = min(kk, len(col))
+                idx = np.argpartition(-col, take - 1)[:take] if take < len(col) else np.arange(len(col))
+                idx = idx[np.isfinite(col[idx])]
+                out_q.extend([qids[qi]] * len(idx))
+                out_n.extend(nids[idx])
+                out_s.extend(col[idx])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "score": out_s})
+
+    cand = coded.mapInPandas(
+        score_parts, "query_id long, neighbor_id long, score double"
+    )
+
+    if refine > 0:
+        pre = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        cand = cand.withColumn("__r", F.row_number().over(pre)).filter(
+            F.col("__r") <= refine
+        ).drop("__r")
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        qdf = corpus.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+            f"query_id long, qv array<double>",
+        )
+        cand = (
+            cand.join(vecs, "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+            .select("query_id", "neighbor_id", "score")
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
     )
