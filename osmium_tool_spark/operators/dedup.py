@@ -517,3 +517,81 @@ def line_dedup(
             F.sum(F.when(removed, 1).otherwise(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def multimodal_near_dup(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 6,
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+    phash_block_col: str | None = "fmt",
+) -> DataFrame:
+    """Joint image+caption near-dup clusters over the standing table: a
+    pair is near-duplicate when EITHER modality matches — the visual copy
+    with a rewritten caption AND the re-encoded image with the copied
+    caption both collapse. Edges = phash-hamming pairs (prefix-bit LSH)
+    UNION caption MinHash-LSH pairs (exact-Jaccard verified), labeled
+    into connected components by `dup_clusters` (large-star/small-star).
+
+    Returns (id, cluster_id, n_members) for every image that belongs to a
+    multi-member cluster; one representative per cluster = min id. Both
+    pair generators are the bucketed 100 TB shapes — no cross joins — and
+    the union only grows the edge list, which large/small-star shrinks.
+    """
+    img_pairs = phash_near_dup_pairs(
+        images.select(F.col(id_col), F.col(phash_col), *(
+            [F.col(phash_block_col)] if phash_block_col else []
+        )),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        block_col=phash_block_col,
+    ).select(F.col("a"), F.col("b"))
+    cap_pairs = minhash_lsh_pairs(
+        images.select(F.col(id_col), F.col(caption_col)),
+        id_col=id_col,
+        text_col=caption_col,
+        n=ngram,
+        num_perm=num_perm,
+        band_size=band_size,
+        threshold=jaccard_threshold,
+    ).select(F.col("a"), F.col("b"))
+    edges = img_pairs.unionByName(cap_pairs).distinct()
+    if dict(images.dtypes)[id_col] in ("bigint", "int", "smallint", "tinyint"):
+        clusters = dup_clusters(edges, a="a", b="b")
+    else:
+        # dup_clusters' convergence math needs numeric ids; map string ids
+        # through a distributed dense index (edge-endpoint-sized, not
+        # corpus-sized) and translate the labels back
+        from ..functions.zipindex import dense_index
+
+        verts = (
+            edges.select(F.col("a").alias("sid"))
+            .unionByName(edges.select(F.col("b").alias("sid")))
+            .distinct()
+        )
+        vmap = dense_index(verts, [F.asc("sid")], index_name="nid")
+        num_edges = (
+            edges.join(vmap.withColumnRenamed("sid", "a"), "a")
+            .withColumnRenamed("nid", "na")
+            .join(vmap.withColumnRenamed("sid", "b"), "b")
+            .withColumnRenamed("nid", "nb")
+            .select(F.col("na").alias("a"), F.col("nb").alias("b"))
+        )
+        num_clusters = dup_clusters(num_edges, a="a", b="b")
+        # back to string ids; cluster representative = min member id
+        labeled = num_clusters.join(
+            vmap.withColumnRenamed("nid", "id"), "id"
+        ).select(F.col("sid").alias("id"), F.col("cluster_id"))
+        reps = (
+            labeled.groupBy("cluster_id").agg(F.min("id").alias("rep"))
+        )
+        clusters = labeled.join(reps, "cluster_id").select(
+            "id", F.col("rep").alias("cluster_id")
+        )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return clusters.join(sizes, "cluster_id").select("id", "cluster_id", "n_members")
