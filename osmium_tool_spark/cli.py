@@ -221,6 +221,11 @@ def build_parser() -> argparse.ArgumentParser:
     # (man/osmium-fileinfo.md:62-67)
     sp.add_argument("-c", "--crc", action="store_true", default=None)
     sp.add_argument("--no-crc", dest="crc", action="store_false")
+    sp.add_argument("-e", "--extended", action="store_true",
+                    help="read the whole file (always done here; compat flag)")
+    sp.add_argument("-g", "--get", default=None, metavar="VARIABLE",
+                    help="print one variable (dotted path, e.g. data.count.nodes)")
+    sp.add_argument("-G", "--show-variables", action="store_true")
 
     sp = io(sub.add_parser("tags-count"), n_inputs=1)
     sp.add_argument("expressions", nargs="*")
@@ -443,10 +448,34 @@ def run(args, spark: SparkSession) -> int:
         out.write.mode("overwrite").parquet(args.output)
         return 1 if n else 0  # reference exit code semantics
     elif cmd == "fileinfo":
-        from .operators.aggregates import fileinfo, fileinfo_report
+        from .operators.aggregates import (
+            fileinfo,
+            fileinfo_report,
+            fileinfo_text,
+            flatten_report,
+        )
 
+        if args.get and args.json:
+            print("fileinfo: --get cannot be used with --json", file=sys.stderr)
+            return 2
         ents = _read(spark, args.input)
-        if args.json:
+        if args.get or args.show_variables:
+            from pyspark.sql import functions as SF
+
+            data = fileinfo_report(
+                ents.withColumn("__seq", SF.monotonically_increasing_id()),
+                seq_col="__seq", with_crc=bool(args.crc),
+            )
+            flat = flatten_report({"data": data})
+            if args.show_variables:
+                for k in sorted(flat):
+                    print(k)
+            else:
+                if args.get not in flat:
+                    print(f"fileinfo: unknown variable {args.get!r}", file=sys.stderr)
+                    return 2
+                print(flat[args.get])
+        elif args.json:
             # reference-shaped report (command_fileinfo.cpp:335-445)
             from pyspark.sql import functions as SF
 
@@ -457,13 +486,14 @@ def run(args, spark: SparkSession) -> int:
             )
             print(json.dumps({"data": data}, indent=4))
         else:
-            if args.crc:
-                from .operators.aggregates import fileinfo_crc_libosmium
+            # reference text format (fi1-result.txt Data/Metadata sections)
+            from pyspark.sql import functions as SF
 
-                r = fileinfo_crc_libosmium(ents).collect()[0]
-                print(f"  CRC32: {r['stream_crc32']:08x}")
-            for r in fileinfo(ents).collect():
-                print(r)
+            data = fileinfo_report(
+                ents.withColumn("__seq", SF.monotonically_increasing_id()),
+                seq_col="__seq", with_crc=bool(args.crc),
+            )
+            print(fileinfo_text(data))
     elif cmd == "tags-count":
         from .operators.aggregates import tags_count
 

@@ -492,3 +492,94 @@ def fileinfo_crc_libosmium(entities: DataFrame, seq_col: str | None = None) -> D
         [(total_crc, total_rows, total_bytes)],
         "stream_crc32 long, rows long, bytes long",
     )
+
+
+def _coord_compact(deg: float) -> str:
+    """Degree -> compact string: trailing zeros and a bare dot trimmed
+    ('1', not '1.0') — the reference's coordinate output format
+    (fi1-result.txt 'Bounding box: (1,1,1,3)')."""
+    s = f"{deg:.7f}".rstrip("0").rstrip(".")
+    return s if s not in ("", "-") else "0"
+
+
+def _meta_attrs_str(meta: dict) -> str:
+    """Metadata attribute-set string: 'all' / 'none' / '+'-joined names in
+    the reference's declared order (libosmium metadata options format)."""
+    order = ["version", "timestamp", "changeset", "uid", "user"]
+    present = [k for k in order if meta.get(k)]
+    if len(present) == len(order):
+        return "all"
+    if not present:
+        return "none"
+    return "+".join(present)
+
+
+def fileinfo_text(data: dict) -> str:
+    """The reference's human-readable fileinfo Data/Metadata sections,
+    byte-parity with test/fileinfo/fi1-result.txt (the File/Header
+    sections describe the physical input file and the buffer lines are
+    reader internals — both outside this engine's scope)."""
+    lines = ["Data:"]
+    bbox = data.get("bbox") or []
+    if bbox:
+        lines.append(
+            "  Bounding box: (%s)" % ",".join(_coord_compact(c) for c in bbox)
+        )
+    ts = data.get("timestamp", {})
+    lines.append("  Timestamps:")
+    lines.append(f"    First: {ts.get('first', '')}")
+    lines.append(f"    Last: {ts.get('last', '')}")
+    if "objects_ordered" in data:
+        lines.append(
+            "  Objects ordered (by type and id): %s"
+            % ("yes" if data["objects_ordered"] else "no")
+        )
+    lines.append(
+        "  Multiple versions of same object: %s"
+        % ("yes" if data.get("multiple_versions") else "no")
+    )
+    if "crc32" in data:
+        lines.append(f"  CRC32: {data['crc32']}")
+    cnt, mn, mx = data["count"], data["minid"], data["maxid"]
+    for t in ("changesets", "nodes", "ways", "relations"):
+        lines.append(f"  Number of {t}: {cnt[t]}")
+    for t, label in (
+        ("changesets", "changeset"), ("nodes", "node"),
+        ("ways", "way"), ("relations", "relation"),
+    ):
+        lines.append(f"  Smallest {label} ID: {mn[t]}")
+    for t, label in (
+        ("changesets", "changeset"), ("nodes", "node"),
+        ("ways", "way"), ("relations", "relation"),
+    ):
+        lines.append(f"  Largest {label} ID: {mx[t]}")
+    meta = data.get("metadata", {})
+    lines.append("Metadata:")
+    lines.append(
+        "  All objects have following metadata attributes: %s"
+        % _meta_attrs_str(meta.get("all_objects", {}))
+    )
+    lines.append(
+        "  Some objects have following metadata attributes: %s"
+        % _meta_attrs_str(meta.get("some_objects", {}))
+    )
+    return "\n".join(lines)
+
+
+def flatten_report(report: dict, prefix: str = "") -> dict:
+    """Dotted-path flattening for `fileinfo -g VARIABLE` / `-G`
+    (man/osmium-fileinfo.md:73-77): {'data': {'count': {'nodes': 3}}}
+    -> {'data.count.nodes': 3}; lists render as space-joined values
+    (the reference's multi-value variable format)."""
+    out: dict = {}
+    for k, v in report.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_report(v, key))
+        elif isinstance(v, list):
+            out[key] = " ".join(str(x) for x in v)
+        elif isinstance(v, bool):
+            out[key] = "yes" if v else "no"
+        else:
+            out[key] = v
+    return out

@@ -265,6 +265,44 @@ class TestFileinfoGoldens:
                     "count", "minid", "maxid", "metadata", "crc32"):
             assert got[key] == want[key], key
 
+    def test_fi1_text_report(self, spark):
+        """fileinfo text output vs fi1-result.txt: every engine-scope line
+        (Data/Metadata; not the File/Header/buffer reader internals) is
+        byte-identical and in the same order."""
+        from osmium_tool_spark.operators.aggregates import (
+            fileinfo_report,
+            fileinfo_text,
+        )
+
+        ents = read_osm_xml(spark, f"{REF}/fileinfo/fi1.osm").withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
+        got = fileinfo_text(
+            fileinfo_report(ents, seq_col="__seq", with_crc=True)
+        ).splitlines()
+        golden = open(f"{REF}/fileinfo/fi1-result.txt").read().splitlines()
+        want = [
+            line for line in golden
+            if not line.startswith(("File:", "  Name:", "  Format:",
+                                    "  Compression:", "  Size:", "Header:",
+                                    "  Bounding boxes:", "  With history:",
+                                    "  Options:", "    generator=",
+                                    "    version=", "    xml_josm_upload="))
+            and "buffer" not in line.lower()
+        ]
+        assert got == want
+
+    def test_fileinfo_get_variables(self, spark):
+        from osmium_tool_spark.operators.aggregates import flatten_report
+
+        flat = flatten_report({"data": {
+            "count": {"nodes": 3}, "multiple_versions": False,
+            "bbox": [1.0, 1.0, 1.0, 3.0],
+        }})
+        assert flat["data.count.nodes"] == 3
+        assert flat["data.multiple_versions"] == "no"
+        assert flat["data.bbox"] == "1.0 1.0 1.0 3.0"
+
     def test_stream_crc_partition_invariant(self, spark):
         """The GF(2)-combined stream CRC must not depend on partitioning."""
         from osmium_tool_spark.operators.aggregates import fileinfo_crc_libosmium
