@@ -991,6 +991,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli sampling over documents:
+    longer docs (n_chars >= 300) survive at 2x the base rate — the
+    pushdown-filter downsampling stage of a curation pipeline."""
+    from osmium_tool_spark.operators.sample import bernoulli_sample
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.when(F.col("n_chars") >= 300, F.lit(2.0)).otherwise(F.lit(1.0))
+    out = bernoulli_sample(docs, 0.2, id_col="doc_id", weight=w)
+    return out.select(_L("doc_id").alias("doc_id"), _L("n_chars").alias("n_chars"))
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.text import token_counts
     from osmium_tool_spark.sources.testdata import load
@@ -1328,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_tokens": q_text_tokens,
         "text_token_stats": q_text_token_stats,
+        "bernoulli_sample": q_bernoulli_sample,
     }
 
 
@@ -1647,6 +1661,12 @@ WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}
 """
 
     doc_h = "((doc_id % 1000000007) * 2654435761) % 1000000007"
+    o["bernoulli_sample"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {doc_h} < 0.2 * 1000000007
+      * (CASE WHEN n_chars >= 300 THEN 2.0 ELSE 1.0 END)
+"""
     o["stratified_sample"] = f"""
 WITH r AS (SELECT lang, doc_id,
         row_number() OVER (PARTITION BY lang ORDER BY {doc_h}, doc_id) AS rk

@@ -94,3 +94,29 @@ def stratified_quota_sample(
         .filter(F.col(rank_col) <= F.coalesce(F.col("__quota"), F.lit(default_k)))
         .drop("__quota")
     )
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "id",
+    seed: int = 0,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff
+    sample_hash(id, seed) < rate * P, optionally scaled by a per-row
+    ``weight`` in [0, 1/rate] (quality-weighted downsampling: high-score
+    documents survive at up to weight× the base rate).
+
+    Unlike `DataFrame.sample`, the draw is a pure Column predicate on the
+    row's own id — no RNG state, no partition sensitivity: the same row
+    always gets the same verdict, so reruns, resumed jobs, and the DuckDB
+    oracle all agree. A pushed-down filter (zero shuffle).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    h = sample_hash(F.col(id_col), seed)
+    thresh = F.lit(rate) * F.lit(HASH_MOD)
+    if weight is not None:
+        thresh = thresh * weight
+    return df.filter(h < thresh)

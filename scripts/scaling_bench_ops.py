@@ -92,6 +92,35 @@ def documents(n):
     )
 
 
+def documents_lines(n):
+    # ~10 lines per doc: 8 unique-content lines (hashed words) + 2 drawn
+    # from a 200-line boilerplate pool, so the banned-line set is small
+    # and real cross-doc removal happens (the C4 shape).
+    def line(i):
+        unique = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(6)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(F.col("id"), i, j)) % 200000).cast("string"),
+                ),
+            ),
+        )
+        boiler = F.concat(
+            F.lit("standard boilerplate footer line number "),
+            (F.abs(F.xxhash64(F.col("id"), i, F.lit(-1))) % 200).cast("string"),
+        )
+        return F.when(i % 5 == 0, boiler).otherwise(unique)
+
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n", F.transform(F.sequence(F.lit(1), F.lit(10)), line)
+        ).alias("text"),
+    )
+
+
 def run_renumber():
     from osmium_tool_spark.operators.idops import renumber
 
@@ -104,9 +133,16 @@ def run_ngram():
     ngram_jaccard_pairs(documents({n_docs}), "doc_id", "text").count()
 
 
+def run_line_dedup():
+    from osmium_tool_spark.operators.dedup import line_dedup
+
+    line_dedup(documents_lines({n_docs})).count()
+
+
 out = {{}}
 ops = {ops!r}
-for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram)):
+for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
+                 ("line_dedup", run_line_dedup)):
     if name not in ops:
         continue
     fn()  # warm-up: JVM, codegen, broadcast machinery

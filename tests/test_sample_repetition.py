@@ -184,3 +184,50 @@ def test_line_dedup_all_removed_keeps_doc_row(spark):
 def test_line_dedup_min_docs_threshold(boiler_docs):
     out = line_dedup(boiler_docs, min_docs=4, min_line_chars=5).collect()
     assert all(r.n_removed == 0 for r in out)  # footer only in 3 docs
+
+
+# ---------------------------------------------------------------------------
+# bernoulli_sample
+# ---------------------------------------------------------------------------
+
+
+def test_bernoulli_sample_deterministic_and_rate(spark):
+    from osmium_tool_spark.operators.sample import bernoulli_sample
+
+    df = spark.range(20_000)
+    a = bernoulli_sample(df, 0.25, id_col="id").count()
+    b = bernoulli_sample(df, 0.25, id_col="id").count()
+    assert a == b  # same verdicts every run
+    assert abs(a / 20_000 - 0.25) < 0.02  # rate approximately honored
+    c = bernoulli_sample(df, 0.25, id_col="id", seed=9).count()
+    assert abs(c / 20_000 - 0.25) < 0.02
+    # different seed -> different (but overlapping) draw
+    ids_a = {r.id for r in bernoulli_sample(df, 0.25, id_col="id").collect()}
+    ids_c = {r.id for r in bernoulli_sample(df, 0.25, id_col="id", seed=9).collect()}
+    assert ids_a != ids_c
+
+
+def test_bernoulli_sample_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from osmium_tool_spark.operators.sample import bernoulli_sample
+
+    df = spark.range(20_000).withColumn(
+        "q", F.when(F.col("id") % 2 == 0, 2.0).otherwise(0.5)
+    )
+    out = bernoulli_sample(df, 0.2, id_col="id", weight=F.col("q"))
+    rates = {
+        r["k"]: r["n"] / 10_000
+        for r in out.groupBy((F.col("id") % 2).alias("k")).agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert abs(rates[0] - 0.4) < 0.03  # weight 2.0 -> 2x base rate
+    assert abs(rates[1] - 0.1) < 0.02  # weight 0.5 -> half base rate
+
+
+def test_bernoulli_sample_rejects_bad_rate(spark):
+    from osmium_tool_spark.operators.sample import bernoulli_sample
+
+    with pytest.raises(ValueError):
+        bernoulli_sample(spark.range(5), 1.5, id_col="id")
