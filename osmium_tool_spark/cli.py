@@ -484,7 +484,17 @@ def run(args, spark: SparkSession) -> int:
                 seq_col="__seq",
                 with_crc=args.crc is not False,  # JSON default: CRC on
             )
-            print(json.dumps({"data": data}, indent=4))
+            report = {"data": data}
+            src = args.input[0]
+            base = src
+            for suf in (".gz", ".bz2"):
+                if base.endswith(suf):
+                    base = base[: -len(suf)]
+            if base.endswith((".osm", ".osh", ".osc")):
+                from .sources.osmxml import read_osm_xml_header
+
+                report = {**read_osm_xml_header(src), "data": data}
+            print(json.dumps(report, indent=4))
         else:
             # reference text format (fi1-result.txt Data/Metadata sections)
             from pyspark.sql import functions as SF

@@ -384,3 +384,48 @@ def read_changesets_xml(spark: SparkSession, path: str) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, CHANGESET_SCHEMA)
+
+
+def read_osm_xml_header(path: str) -> dict:
+    """File + header metadata in the reference's `fileinfo -j` shape
+    (command_fileinfo.cpp JSON layout; golden test/fileinfo/
+    fi1-result.json): file name/format/compression/size, header bounding
+    boxes, with_history (.osh suffix), and the <osm> root attributes as
+    `option` entries (generator, version; `upload` surfaces as
+    `xml_josm_upload` — the reference's name for JOSM's upload hint)."""
+    import os as _os
+
+    base = path
+    for suf in (".gz", ".bz2"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    compression = "gzip" if path.endswith(".gz") else (
+        "bzip2" if path.endswith(".bz2") else "none"
+    )
+    file_info = {
+        "name": path,
+        "format": "XML",
+        "compression": compression,
+        "size": _os.path.getsize(path),
+    }
+    text = _read_text(path)
+    root = ET.fromstring(text)
+    boxes = []
+    option: dict[str, str] = {}
+    for k, v in sorted(root.attrib.items()):
+        option["xml_josm_upload" if k == "upload" else k] = v
+    for el in root:
+        if el.tag == "bounds":
+            try:
+                boxes.append([
+                    float(el.attrib["minlon"]), float(el.attrib["minlat"]),
+                    float(el.attrib["maxlon"]), float(el.attrib["maxlat"]),
+                ])
+            except (KeyError, ValueError):
+                pass
+    header = {
+        "boxes": boxes,
+        "with_history": base.endswith(".osh"),
+        "option": option,
+    }
+    return {"file": file_info, "header": header}

@@ -292,6 +292,28 @@ class TestFileinfoGoldens:
         ]
         assert got == want
 
+    def test_fi1_full_report(self, spark):
+        """COMPLETE fileinfo -j report (file + header + data) equals
+        fi1-result.json, excluding only the reader-internal buffers
+        block."""
+        import json as _json
+
+        from osmium_tool_spark.operators.aggregates import fileinfo_report
+        from osmium_tool_spark.sources.osmxml import read_osm_xml_header
+
+        src = f"{REF}/fileinfo/fi1.osm"
+        ents = read_osm_xml(spark, src).withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
+        got = {
+            **read_osm_xml_header(src),
+            "data": fileinfo_report(ents, seq_col="__seq", with_crc=True),
+        }
+        got["file"]["name"] = "fileinfo/fi1.osm"  # golden path is relative
+        want = _json.load(open(f"{REF}/fileinfo/fi1-result.json"))
+        want["data"].pop("buffers")
+        assert got == want
+
     def test_fileinfo_get_variables(self, spark):
         from osmium_tool_spark.operators.aggregates import flatten_report
 
