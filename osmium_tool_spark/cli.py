@@ -305,6 +305,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("show")
     sp.add_argument("input", nargs=1)
     sp.add_argument("-n", "--rows", type=int, default=20)
+    # reference surface (man/osmium-show.md): format selection + type
+    # filter; output always goes straight to stdout (no pager in a
+    # library CLI), so --no-pager is accepted as a no-op
+    sp.add_argument("-f", "--output-format", default="opl", choices=["opl", "xml"])
+    sp.add_argument("-o", "--format-opl", dest="output_format",
+                    action="store_const", const="opl")
+    sp.add_argument("-x", "--format-xml", dest="output_format",
+                    action="store_const", const="xml")
+    sp.add_argument("-t", "--object-type", action="append", default=None,
+                    choices=["node", "way", "relation"])
+    sp.add_argument("--no-pager", action="store_true")
 
     sp = sub.add_parser("create-locations-index")
     sp.add_argument("input", nargs=1)
@@ -675,12 +686,27 @@ def run(args, spark: SparkSession) -> int:
         out.write.mode("overwrite").parquet(args.output)
     elif cmd == "show":
         from .functions.sortkeys import canonical_sort
-        from .sources.opl import _make_serializer
+        from .schema import NAME_TO_TYPE
 
-        ser = _make_serializer()
-        rows = canonical_sort(_read_one(spark, args.input[0])).limit(args.rows).collect()
-        for r in rows:
-            print(ser(r.asDict(recursive=True)))
+        df = _read_one(spark, args.input[0])
+        if args.object_type:
+            types = [NAME_TO_TYPE[t] for t in args.object_type]
+            df = df.filter(df["type"].isin(types))
+        df = canonical_sort(df).limit(args.rows)
+        if args.output_format == "xml":
+            import tempfile
+
+            from .sinks.osmxml import write_osm_xml
+
+            with tempfile.NamedTemporaryFile(suffix=".osm", mode="r") as tmp:
+                write_osm_xml(df, tmp.name, generator=_GENERATOR[0])
+                print(open(tmp.name).read(), end="")
+        else:
+            from .sources.opl import _make_serializer
+
+            ser = _make_serializer()
+            for r in df.collect():
+                print(ser(r.asDict(recursive=True)))
     elif cmd == "create-locations-index":
         from .operators.locations import create_locations_index
 

@@ -129,11 +129,25 @@ def bbox_scan_clustered(
     a 4M-row table, while file selection was identical) — 8 is plenty
     because file pruning works on [min, max] intervals anyway and the
     exact bbox refinement restores precision."""
+    from ..schema import COORD_SCALE
+
     lon_min, lat_min, lon_max, lat_max = bbox_fp
-    ranges = morton_ranges(lon_min, lat_min, lon_max, lat_max, res, max_ranges)
+    if lon_min > lon_max:
+        # antimeridian-crossing box (the reference models it as two
+        # regions, man/osmium-extract.md): split at ±180° and union the
+        # Morton ranges; the exact predicate is the wrapped disjunction
+        east = morton_ranges(
+            lon_min, lat_min, 180 * COORD_SCALE, lat_max, res, max_ranges // 2 or 1
+        )
+        west = morton_ranges(
+            -180 * COORD_SCALE, lat_min, lon_max, lat_max, res, max_ranges // 2 or 1
+        )
+        ranges = sorted(east + west)
+        lon_pred = (F.col(lon) >= lon_min) | (F.col(lon) <= lon_max)
+    else:
+        ranges = morton_ranges(lon_min, lat_min, lon_max, lat_max, res, max_ranges)
+        lon_pred = F.col(lon).between(lon_min, lon_max)
     df, stats = clustered_scan(spark, path, ranges)
-    exact = (
-        F.col(lon).between(lon_min, lon_max) & F.col(lat).between(lat_min, lat_max)
-    )
+    exact = lon_pred & F.col(lat).between(lat_min, lat_max)
     stats["n_ranges"] = len(ranges)
     return df.filter(exact), stats

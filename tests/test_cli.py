@@ -191,6 +191,17 @@ def test_cli_show_prints_opl(spark, input_dir, capsys):
     assert len(out) == 3 and out[0].startswith("n10 ")
 
 
+def test_cli_show_type_filter_and_xml(spark, input_dir, capsys):
+    rc = main(["show", input_dir, "-t", "way", "-n", "2"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(line.startswith("w") for line in out)
+    rc = main(["show", input_dir, "-x", "-n", "2", "--no-pager"], spark=spark)
+    assert rc == 0
+    xml = capsys.readouterr().out
+    assert xml.startswith("<?xml") and "<osm " in xml and "<node" in xml
+
+
 def test_cli_changeset_filter(spark, tmp_path):
     cs = spark.createDataFrame(
         [(1, 100, True, 5, "", 3, 0, 10, 0, 10), (2, 200, False, 5, "", 0, 0, 10, 0, 10)],

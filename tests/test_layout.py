@@ -127,3 +127,20 @@ def test_pushed_range_predicate_reaches_scan(spark, clustered):
     out, _ = bbox_scan_clustered(spark, path, bbox, RES)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "cell" in plan
+
+
+def test_clustered_bbox_scan_antimeridian(spark, clustered):
+    path, df = clustered
+    # 170°E .. -170°E (crosses the antimeridian), mid latitudes
+    bbox = (fp(170.0), fp(-30.0), fp(-170.0), fp(30.0))
+    out, stats = bbox_scan_clustered(spark, path, bbox, RES)
+    got = sorted(r["id"] for r in out.collect())
+    want = sorted(
+        r["id"]
+        for r in df.filter(
+            ((F.col("lon") >= bbox[0]) | (F.col("lon") <= bbox[2]))
+            & F.col("lat").between(bbox[1], bbox[3])
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert stats["files_read"] < stats["files_total"]
