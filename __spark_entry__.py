@@ -793,6 +793,25 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (FAISS standard): coarse quantizer prunes the
+    lists scanned, PQ codes compress what is read to score them, exact
+    cosine re-ranks the ADC top-R. Rows-only (iterative k-means)."""
+    from osmium_tool_spark.operators.similarity import ann_topk_ivfpq
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_topk_ivfpq(emb, queries, k=5, n_centroids=8, nprobe=3,
+                         m=8, ksub=16, refine=50)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("neighbor_id").alias("neighbor_id"),
+        F.round("score", 6).alias("score"),
+        _L("rank").alias("rank"),
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import ann_topk_lsh
     from osmium_tool_spark.sources.testdata import load
@@ -1338,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_tokens": q_text_tokens,
         "text_token_stats": q_text_token_stats,

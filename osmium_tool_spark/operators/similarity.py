@@ -802,3 +802,121 @@ def ann_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    centroids=None,
+    codebooks=None,
+    refine: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ (the FAISS-standard composition): the coarse quantizer
+    prunes WHICH rows are scored (queries probe their ``nprobe`` nearest
+    inverted lists — an equi-join on centroid id), and product
+    quantization compresses WHAT is read to score them (m-byte codes +
+    per-query ADC lookup tables). At 10^12 rows the scoring scan touches
+    nprobe/n_centroids of the corpus and 8 bytes per touched row instead
+    of the full float vector — the two orthogonal reductions multiplied.
+
+    The standing index is (id, cid, pq_code) — build it once with the
+    returned/persisted `centroids` + `codebooks` and reuse across query
+    batches. Scoring is a vectorized pandas UDF over the probed join
+    (LUT gather-sum, no per-row Python); the per-query top-k rides
+    row_number (WindowGroupLimit pushes the partial top-k map-side).
+    ``refine`` re-ranks the ADC top-R by exact cosine via a
+    candidate-sized id join. Returns (query_id, neighbor_id, score, rank).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, ksub=ksub, vec_col=vec_col, seed=seed
+        )
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    # standing index: (nid, cid, pq_code)
+    index = pq_encode(
+        ivf_assign(corpus, centroids, vec_col, "cids", nprobe=1),
+        books, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.get("cids", 0).alias("cid"),
+        F.col("pq_code"),
+    )
+
+    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    luts = np.stack(
+        [Q[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)], axis=1
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    sims = Q @ cents.T
+    probes = np.argsort(-sims, kind="stable", axis=1)[:, : int(nprobe)]
+    spark = corpus.sparkSession
+    qprobe = spark.createDataFrame(
+        [(int(q), int(c)) for qi, q in enumerate(qids) for c in probes[qi]],
+        "query_id long, cid int",
+    )
+
+    @pandas_udf("double")
+    def adc(query_id: pd.Series, code: pd.Series) -> pd.Series:
+        codes = np.stack(code.to_numpy()).astype(np.int64)
+        qi = query_id.map(qpos).to_numpy()
+        s = np.zeros(len(codes))
+        for j in range(m):
+            s += luts[qi, j, codes[:, j]]
+        return pd.Series(s)
+
+    cand = (
+        index.join(F.broadcast(qprobe), on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", adc(F.col("query_id"), F.col("pq_code")))
+        .select("query_id", "neighbor_id", "score")
+    )
+
+    if refine > 0:
+        pre = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        cand = cand.withColumn("__r", F.row_number().over(pre)).filter(
+            F.col("__r") <= refine
+        ).drop("__r")
+        vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        qdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+            "query_id long, qv array<double>",
+        )
+        cand = (
+            cand.join(vecs, "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+            .select("query_id", "neighbor_id", "score")
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
+    )

@@ -105,3 +105,76 @@ def test_pq_train_guards(spark):
         train_pq_codebooks(df, m=2, ksub=4)  # dim 3 % 2
     with pytest.raises(ValueError, match="smaller than ksub"):
         train_pq_codebooks(df, m=3, ksub=64)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(8, DIM)) * 5
+    pts = np.repeat(centers, 25, axis=0) + rng.normal(size=(200, DIM)) * 0.3
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_full_probe_refine_equals_brute(clustered_corpus):
+    """nprobe == n_centroids (no list pruned) + refine >= corpus (every
+    candidate re-ranked exactly) must reproduce brute force exactly."""
+    from osmium_tool_spark.operators.similarity import ann_topk_ivfpq
+
+    df = clustered_corpus
+    from pyspark.sql import functions as SF
+    queries = df.filter(SF.col("vec_id") % 50 == 0)
+    got = ann_topk_ivfpq(
+        df, queries, k=5, n_centroids=4, nprobe=4, m=M, ksub=KSUB,
+        refine=500, seed=3,
+    )
+    brute = ann_topk(df, queries, k=5, id_col="vec_id")
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    have = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    assert have == want
+
+
+def test_ivfpq_partial_probe_shape_and_recall(clustered_corpus):
+    from osmium_tool_spark.operators.similarity import ann_topk_ivfpq
+
+    df = clustered_corpus
+    from pyspark.sql import functions as SF
+    queries = df.filter(SF.col("vec_id") % 50 == 0)
+    out = ann_topk_ivfpq(
+        df, queries, k=5, n_centroids=8, nprobe=2, m=M, ksub=KSUB,
+        refine=30, seed=3,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(df, queries, 5, id_col="vec_id").collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    # tight clusters + probing the 2 nearest of 8 lists: most true
+    # neighbors live in the query's own list
+    assert len(brute & got) / len(brute) >= 0.6
+
+
+def test_ivfpq_persisted_index_reuse(clustered_corpus):
+    from osmium_tool_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    df = clustered_corpus
+    from pyspark.sql import functions as SF
+    queries = df.filter(SF.col("vec_id") % 50 == 0)
+    cents = train_ivf_centroids(df, n_centroids=4, seed=3)
+    books = train_pq_codebooks(df, m=M, ksub=KSUB, seed=3)
+    a = ann_topk_ivfpq(df, queries, k=5, centroids=cents, codebooks=books,
+                       nprobe=2).collect()
+    b = ann_topk_ivfpq(df, queries, k=5, centroids=cents, codebooks=books,
+                       nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
