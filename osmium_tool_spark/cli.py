@@ -308,11 +308,14 @@ def build_parser() -> argparse.ArgumentParser:
     # reference surface (man/osmium-show.md): format selection + type
     # filter; output always goes straight to stdout (no pager in a
     # library CLI), so --no-pager is accepted as a no-op
-    sp.add_argument("-f", "--output-format", default="opl", choices=["opl", "xml"])
+    sp.add_argument("-f", "--output-format", default="opl",
+                    choices=["opl", "xml", "debug"])
     sp.add_argument("-o", "--format-opl", dest="output_format",
                     action="store_const", const="opl")
     sp.add_argument("-x", "--format-xml", dest="output_format",
                     action="store_const", const="xml")
+    sp.add_argument("-d", "--format-debug", dest="output_format",
+                    action="store_const", const="debug")
     sp.add_argument("-t", "--object-type", action="append", default=None,
                     choices=["node", "way", "relation"])
     sp.add_argument("--no-pager", action="store_true")
@@ -693,14 +696,43 @@ def run(args, spark: SparkSession) -> int:
             types = [NAME_TO_TYPE[t] for t in args.object_type]
             df = df.filter(df["type"].isin(types))
         df = canonical_sort(df).limit(args.rows)
+        # input header (generator / upload hint) flows through like the
+        # reference's show, which reprints the source header
+        src = args.input[0]
+        opts = {"generator": _GENERATOR[0], "version": "0.6"}
+        if src.endswith((".osm", ".osh", ".osc", ".gz", ".bz2")):
+            from .sources.osmxml import read_osm_xml_header
+
+            opts = read_osm_xml_header(src)["header"]["option"] or opts
         if args.output_format == "xml":
             import tempfile
 
             from .sinks.osmxml import write_osm_xml
 
             with tempfile.NamedTemporaryFile(suffix=".osm", mode="r") as tmp:
-                write_osm_xml(df, tmp.name, generator=_GENERATOR[0])
+                write_osm_xml(
+                    df, tmp.name,
+                    generator=opts.get("generator", _GENERATOR[0]),
+                    upload_false=opts.get("xml_josm_upload") == "false",
+                )
                 print(open(tmp.name).read(), end="")
+        elif args.output_format == "debug":
+            from pyspark.sql import functions as SF
+
+            from .sinks.debugfmt import to_debug_text
+            from .sinks.osmxml import _entries_iter
+
+            agg = df.agg(
+                SF.count("*").alias("n"),
+                SF.count_distinct("type", "id").alias("d"),
+            ).collect()[0]
+            print(
+                to_debug_text(
+                    list(_entries_iter(df)), opts,
+                    multiple_versions=agg["n"] != agg["d"],
+                ),
+                end="",
+            )
         else:
             from .sources.opl import _make_serializer
 

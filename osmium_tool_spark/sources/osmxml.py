@@ -412,8 +412,12 @@ def read_osm_xml_header(path: str) -> dict:
     root = ET.fromstring(text)
     boxes = []
     option: dict[str, str] = {}
-    for k, v in sorted(root.attrib.items()):
-        option["xml_josm_upload" if k == "upload" else k] = v
+    renamed = {
+        ("xml_josm_upload" if k == "upload" else k): v
+        for k, v in root.attrib.items()
+    }
+    for k in sorted(renamed):  # libosmium stores options sorted by FINAL name
+        option[k] = renamed[k]
     for el in root:
         if el.tag == "bounds":
             try:

@@ -328,3 +328,28 @@ def test_generator_reaches_parquet_header(spark, tmp_path):
     assert rc == 0
     hdr = _json.load(open(f"{out}/_header.json"))
     assert hdr["generator"] == "mygen/9.9"
+
+
+class TestShowGoldens:
+    """`show -f debug/opl/xml` vs the reference's committed show goldens
+    (test/show/CMakeLists.txt runs exactly these three)."""
+
+    REF = "/root/reference/test"
+
+    def _golden(self, name):
+        return open(f"{self.REF}/show/{name}").read()
+
+    def test_show_debug_golden(self, spark, capsys):
+        rc = main(["show", f"{self.REF}/show/input.osm", "-f", "debug"], spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == self._golden("output-debug.txt")
+
+    def test_show_opl_golden(self, spark, capsys):
+        rc = main(["show", f"{self.REF}/show/input.osm", "-f", "opl"], spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == self._golden("output-opl.opl")
+
+    def test_show_xml_golden(self, spark, capsys):
+        rc = main(["show", f"{self.REF}/show/input.osm", "-f", "xml"], spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == self._golden("output-xml.osm")
