@@ -258,7 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("left")
     sp.add_argument("right")
     sp.add_argument("-o", "--output", default=None)
-    sp.add_argument("-f", "--output-format", default="parquet", choices=["parquet", "compact"])
+    sp.add_argument("-f", "--output-format", default="parquet",
+                    choices=["parquet", "compact", "opl"])
     sp.add_argument("-s", "--summary", action="store_true",
                     help="print left/right/same/different counts to stderr")
     sp.add_argument("-c", "--suppress-common", action="store_true",
@@ -267,6 +268,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="no output, exit code only")
     sp.add_argument("--ignore", action="append", default=[],
                     help="columns excluded from the content compare (e.g. changeset, uid, user, ts)")
+    sp.add_argument("--ignore-uid", action="store_true",
+                    help="reference flag: uid differences do not count")
 
     sp = io(sub.add_parser("export"), n_inputs=1)
     sp.add_argument("-f", "--output-format", default="geojson",
@@ -570,10 +573,25 @@ def run(args, spark: SparkSession) -> int:
 
         if args.quiet and (args.output or args.suppress_common):
             raise SystemExit("diff: do not use --quiet with output options")
-        out = diff(_read_one(spark, args.left), _read_one(spark, args.right), ignore=set(args.ignore))
+        ignore = set(args.ignore) | ({"uid"} if args.ignore_uid else set())
+        ldf, rdf = _read_one(spark, args.left), _read_one(spark, args.right)
+        out = diff(ldf, rdf, ignore=ignore)
         counts = diff_summary(out).collect()[0]
         if not args.quiet:
-            if args.output is None:
+            if args.output is None and args.output_format == "opl":
+                # stdout marked-OPL (diff -f opl; byte parity vs test/diff)
+                from .operators.changes import diff_marked
+                from .sinks.osmxml import _entries_iter
+                from .sources.opl import _make_serializer
+
+                ser = _make_serializer(omit=frozenset(ignore))
+                for row in _entries_iter(
+                    diff_marked(ldf, rdf, ignore=ignore,
+                                suppress_common=args.suppress_common)
+                ):
+                    mark = row.pop("mark")
+                    print(mark + ser(row))
+            elif args.output is None:
                 # stdout compact (the reference default when no -o given)
                 for r in diff_compact(out, suppress_common=args.suppress_common).collect():
                     print(r["line"])

@@ -278,3 +278,38 @@ def derive_changes(
         )
     out = created.unionByName(modified).unionByName(deleted)
     return canonical_sort(out)
+
+
+def diff_marked(
+    left: DataFrame,
+    right: DataFrame,
+    ignore: set[str] | None = None,
+    suppress_common: bool = False,
+) -> DataFrame:
+    """Full-payload diff rows for the OPL output format (`osmium diff
+    -f opl`, command_diff.cpp output handler; goldens test/diff/
+    output.opl / output-c.opl): 'same' emits the left object once with a
+    ' ' mark, 'left'/'right' emit '-'/'+', and 'different' emits BOTH
+    sides — '-' left then '+' right. Returns the entity columns plus
+    `mark`, in canonical (type, id, version, '-'-before-'+') order."""
+    d = diff(left, right, ignore)
+    key = ["type", "id", "version"]
+    lmark = (
+        F.when(F.col("status").isin("left", "different"), F.lit("-"))
+        .when(F.col("status") == "same", F.lit(" "))
+    )
+    lj = (
+        left.join(d, on=key)
+        .withColumn("mark", lmark)
+        .filter(F.col("mark").isNotNull())
+    )
+    rj = (
+        right.join(d, on=key)
+        .filter(F.col("status").isin("right", "different"))
+        .withColumn("mark", F.lit("+"))
+    )
+    out = lj.unionByName(rj).drop("status")
+    if suppress_common:
+        out = out.filter(F.col("mark") != " ")
+    rank = F.when(F.col("mark") == "+", 1).otherwise(0)
+    return out.orderBy("type", "id", "version", rank)

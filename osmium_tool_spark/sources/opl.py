@@ -138,8 +138,11 @@ def read_opl(spark: SparkSession, path: str) -> DataFrame:
 _ESCAPE = set(' ,=@%\n\t\r')
 
 
-def _make_serializer():
-    """Self-contained OPL line serializer (closure)."""
+def _make_serializer(omit: frozenset = frozenset()):
+    """Self-contained OPL line serializer (closure). ``omit`` drops whole
+    metadata fields from the line (the reference omits attributes its
+    metadata settings exclude — e.g. `diff --ignore-uid` emits no i
+    field, test/diff/output-compact-c-nouid-opl)."""
     import time as _time
 
     type_ch = {0: "n", 1: "w", 2: "r"}
@@ -167,7 +170,8 @@ def _make_serializer():
         parts.append(f"d{'V' if row['visible'] or row['visible'] is None else 'D'}")
         parts.append(f"c{row['changeset'] if row['changeset'] is not None else ''}")
         parts.append(f"t{fmt_ts(row['ts'])}")
-        parts.append(f"i{row['uid'] if row['uid'] is not None else ''}")
+        if "uid" not in omit:
+            parts.append(f"i{row['uid'] if row['uid'] is not None else ''}")
         parts.append(f"u{escape(row['user'] or '')}")
         tags = row["tags"] or {}
         parts.append("T" + ",".join(f"{escape(k)}={escape(v)}" for k, v in tags.items()))

@@ -353,3 +353,47 @@ class TestShowGoldens:
         rc = main(["show", f"{self.REF}/show/input.osm", "-f", "xml"], spark=spark)
         assert rc == 0
         assert capsys.readouterr().out == self._golden("output-xml.osm")
+
+
+class TestDiffGoldens:
+    """The full committed diff matrix (test/diff/CMakeLists.txt): byte
+    parity of compact and marked-OPL outputs, --ignore-uid field
+    suppression, and the reference exit codes."""
+
+    REF = "/root/reference/test/diff"
+
+    CASES = [
+        ("compact", [], "output-compact", 1),
+        ("compact-c", ["-c"], "output-compact-c", 1),
+        ("opl", ["-f", "opl"], "output.opl", 1),
+        ("opl-c", ["-f", "opl", "-c"], "output-c.opl", 1),
+        ("ignore-uid", ["--ignore-uid", "-c"], "output-compact-c-nouid", 1),
+        ("ignore-uid-opl", ["--ignore-uid", "-f", "opl", "-c"],
+         "output-compact-c-nouid-opl", 1),
+    ]
+
+    @pytest.mark.parametrize("name,opts,golden,code", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_diff_golden(self, spark, capsys, name, opts, golden, code):
+        rc = main(
+            ["diff", f"{self.REF}/input1.osm", f"{self.REF}/input2.osm", *opts],
+            spark=spark,
+        )
+        assert rc == code
+        assert capsys.readouterr().out == open(f"{self.REF}/{golden}").read()
+
+    def test_diff_same_inputs(self, spark, capsys):
+        rc = main(["diff", f"{self.REF}/input1.osm", f"{self.REF}/input1.osm"],
+                  spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == open(f"{self.REF}/output-same").read()
+
+    @pytest.mark.parametrize("fmt", [[], ["-f", "opl"]], ids=["compact", "opl"])
+    def test_diff_uid_only_difference_ignored(self, spark, capsys, fmt):
+        rc = main(
+            ["diff", f"{self.REF}/input1uid.osm", f"{self.REF}/input2uid.osm",
+             "--ignore-uid", "-c", *fmt],
+            spark=spark,
+        )
+        assert rc == 0
+        assert capsys.readouterr().out == open(f"{self.REF}/output-empty").read()
