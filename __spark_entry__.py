@@ -503,9 +503,18 @@ def _old_new(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 
 def q_derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference derive-changes semantics (command_derive_changes.cpp
+    merge loop, golden-pinned round 3): equality is (version, timestamp)
+    — NOT content — so the modified side bumps version; the new-object
+    op follows the change-writer convention (version 1 create, else
+    modify)."""
     from osmium_tool_spark.operators.changes import derive_changes
 
     old, new = _old_new(spark, sf_dir)
+    new = new.withColumn(
+        "version",
+        F.when(F.col("id") % 3 == 0, F.col("version") + 1).otherwise(F.col("version")),
+    )
     out = derive_changes(old, new)
     return out.select(_L("id").alias("id"), F.col("change_op"))
 
@@ -1562,9 +1571,9 @@ FROM part
 
     o["derive_changes"] = """
 SELECT CAST(o_orderkey AS BIGINT) AS id,
-       CASE WHEN o_orderkey % 7 = 0 THEN 'create'
-            WHEN o_orderkey % 5 = 0 THEN 'delete'
-            ELSE 'modify' END AS change_op
+       CASE WHEN o_orderkey % 5 = 0 THEN 'delete'
+            WHEN o_orderkey % 3 = 0 THEN 'modify'  -- version bumped to 2
+            ELSE 'create' END AS change_op         -- new-only at version 1
 FROM orders
 WHERE (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
    OR (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)

@@ -550,10 +550,24 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "apply-changes":
         from .operators.changes import apply_changes
 
+        # the reference reads history mode from the input/output file
+        # formats when --with-history is not given
+        # (command_apply_changes.cpp: history flag of the file header)
+        def is_history(p: str) -> bool:
+            for suf in (".gz", ".bz2"):
+                if p.endswith(suf):
+                    p = p[: -len(suf)]
+            return p.endswith(".osh")
+
+        with_history = (
+            args.with_history
+            or is_history(args.input[0])
+            or is_history(args.output)
+        )
         out = apply_changes(
             _read_one(spark, args.input[0]),
             [_read_one(spark, p) for p in args.changes],
-            with_history=args.with_history,
+            with_history=with_history,
             locations_on_ways=args.locations_on_ways,
             redact=args.redact,
         )

@@ -232,12 +232,16 @@ def derive_changes(
     keep_details: bool = False,
     update_timestamp: int | None = None,
 ) -> DataFrame:
-    """Compute the change set old -> new (command_derive_changes.cpp):
-    right-only + different -> create/modify rows from `new`; left-only ->
-    synthesized deletion records (visible=false, details zeroed unless
-    keep_details, version+1 if increment_version, ts overridden if
-    update_timestamp). Output rows + `change_op` column in
-    {'create','modify','delete'}.
+    """Compute the change set old -> new (command_derive_changes.cpp
+    merge loop): objects are matched per (type, id) and considered EQUAL
+    when version matches and the timestamps match OR either side has no
+    timestamp (libosmium object equality treats an unset timestamp as a
+    wildcard — the only-version golden matrix pins this); unequal or
+    new-only objects emit the NEW side (version 1 -> create, else modify
+    — the change-writer convention), old-only objects emit synthesized
+    deletion records (visible=false, only id/version/timestamp kept
+    unless keep_details, version+1 if increment_version, ts overridden
+    if update_timestamp). Output rows + `change_op` column.
 
     Works per (type,id) on latest versions (data files: <=1 version/object).
     """
@@ -247,12 +251,14 @@ def derive_changes(
     opresent = F.col("o.visible").isNotNull()
     npresent = F.col("n.visible").isNotNull()
 
-    oh = _content_hash("o", set())
-    nh = _content_hash("n", set())
-
-    created = j.filter(~opresent & npresent).select("n.*").withColumn("change_op", F.lit("create"))
-    modified = (
-        j.filter(opresent & npresent & (oh != nh)).select("n.*").withColumn("change_op", F.lit("modify"))
+    tsboth = F.col("o.ts").isNotNull() & F.col("n.ts").isNotNull()
+    same = F.col("o.version").eqNullSafe(F.col("n.version")) & (
+        ~tsboth | (F.col("o.ts") == F.col("n.ts"))
+    )
+    new_op = F.when(F.col("n.version") == 1, F.lit("create")).otherwise(F.lit("modify"))
+    emitted = (
+        j.filter(npresent & (~opresent | ~same))
+        .select("n.*", new_op.alias("change_op"))
     )
     deleted = j.filter(opresent & ~npresent).select("o.*")
     deleted = deleted.withColumn("visible", F.lit(False)).withColumn("change_op", F.lit("delete"))
@@ -270,13 +276,13 @@ def derive_changes(
                 "members",
                 F.when(F.col("members").isNotNull(), F.slice(F.col("members"), 1, 0)),
             )
-            .withColumn("changeset", F.lit(0).cast("long"))
+            .withColumn("changeset", F.lit(None).cast("long"))
             .withColumn("uid", F.lit(0))
             .withColumn("user", F.lit(""))
             .withColumn("lon", F.lit(None).cast(dict(deleted.dtypes)["lon"]))
             .withColumn("lat", F.lit(None).cast(dict(deleted.dtypes)["lat"]))
         )
-    out = created.unionByName(modified).unionByName(deleted)
+    out = emitted.unionByName(deleted)
     return canonical_sort(out)
 
 

@@ -64,7 +64,17 @@ def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) 
         parts.append(f' lat="{_coord(r["lat"])}" lon="{_coord(r["lon"])}"')
     children = []
     if r["type"] == WAY:
-        children += [f'{cpad}<nd ref="{ref}"/>' for ref in (r.get("refs") or [])]
+        refs = list(r.get("refs") or [])
+        locs = list(r.get("locations") or [])
+        if locs and len(locs) == len(refs):
+            # locations-on-ways output: nd carries lat/lon
+            # (reference apply-changes/add-locations-to-ways goldens)
+            children += [
+                f'{cpad}<nd ref="{ref}" lat="{_coord(lo["lat"])}" lon="{_coord(lo["lon"])}"/>'
+                for ref, lo in zip(refs, locs)
+            ]
+        else:
+            children += [f'{cpad}<nd ref="{ref}"/>' for ref in refs]
     elif r["type"] == RELATION:
         children += [
             f'{cpad}<member type="{TYPE_NAMES[m["mtype"]]}" ref="{m["ref"]}" '

@@ -397,3 +397,78 @@ class TestDiffGoldens:
         )
         assert rc == 0
         assert capsys.readouterr().out == open(f"{self.REF}/output-empty").read()
+
+
+class TestApplyChangesGoldens:
+    """The committed apply-changes matrix run DIRECTLY through the CLI
+    (test/apply-changes/CMakeLists.txt): byte parity of the XML outputs,
+    history-mode autodetect from the .osh suffix, --locations-on-ways
+    nd lat/lon output."""
+
+    REF = "/root/reference/test/apply-changes"
+
+    CASES = [
+        ("data", [], "input-data.osm", "out.osm", "output-data.osm"),
+        ("osh-osh", [], "input-history.osh", "out.osh", "output-history.osh"),
+        ("osh-osh-wh", ["--with-history"], "input-history.osh", "out.osh",
+         "output-history.osh"),
+        ("osm-osh-wh", ["--with-history"], "input-history.osm", "out.osh",
+         "output-history.osh"),
+        ("data-low", ["--locations-on-ways"], "input-data-low.osm", "out.osm",
+         "output-data-low.osm"),
+        ("version-on-vt", [], "input-version+timestamp.osm", "out.osm",
+         "output-version-applied-on-version+timestamp.osm", "input-version.osc"),
+        ("version-on-vt-low", ["--locations-on-ways"],
+         "input-version+timestamp.osm", "out.osm",
+         "output-version-applied-on-version+timestamp-low.osm", "input-version.osc"),
+    ]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+    def test_apply_changes_golden(self, spark, tmp_path, case):
+        name, opts, inp, outname, golden = case[:5]
+        change = case[5] if len(case) > 5 else "input-change.osc"
+        out = str(tmp_path / outname)
+        rc = main(
+            ["--generator", "test", "apply-changes", *opts,
+             f"{self.REF}/{inp}", f"{self.REF}/{change}", "-o", out],
+            spark=spark,
+        )
+        assert rc == 0
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()
+
+
+class TestDeriveChangesGoldens:
+    """The committed derive-changes matrix run DIRECTLY through the CLI:
+    version/timestamp-only equality (unset timestamp = wildcard),
+    version-based create/modify, bare delete stubs."""
+
+    REF = "/root/reference/test/derive-changes"
+
+    CASES = [
+        ("normal", [], "input1.osm", "input2.osm", "output.osc"),
+        ("keep-details", ["--keep-details"], "input1.osm", "input2.osm",
+         "output-keep-details.osc"),
+        ("incr-version", ["--increment-version"], "input1.osm", "input2.osm",
+         "output-incr-version.osc"),
+        ("only-versions", [], "input1.osm", "input2-only-versions.osm",
+         "output-2-only-version.osc"),
+        ("vt-with-v", [], "input1-only-version-timestamp.osm",
+         "input2-only-versions.osm", "output-2-only-version-timestamp.osc"),
+        ("v-with-vt", [], "input1-only-version.osm",
+         "input2-only-version-timestamp.osm",
+         "output-2-version-with-version-timestamp.osc"),
+        ("v-with-all", [], "input1-only-version.osm",
+         "input2-all-with-relation.osm", "output-2-version-with-all.osc"),
+    ]
+
+    @pytest.mark.parametrize("name,opts,old,new,golden", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_derive_changes_golden(self, spark, tmp_path, name, opts, old, new, golden):
+        out = str(tmp_path / "out.osc")
+        rc = main(
+            ["--generator", "test", "derive-changes", *opts,
+             f"{self.REF}/{old}", f"{self.REF}/{new}", "-o", out],
+            spark=spark,
+        )
+        assert rc == 0
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()

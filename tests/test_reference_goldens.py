@@ -198,7 +198,9 @@ def test_derive_changes_golden(dc_old, dc_new):
     d = rows[(NODE, 13)]
     assert (d.version, d.ts, d.visible) == (1, T1, False)
     assert d.lon is None and d.lat is None and dict(d.tags) == {}
-    assert d.uid == 0 and d.user == "" and d.changeset == 0
+    # changeset NULL (not 0): the reference's delete stubs omit the
+    # changeset attribute entirely (test/derive-changes/output.osc)
+    assert d.uid == 0 and d.user == "" and d.changeset is None
 
 
 def test_derive_changes_golden_keep_details(dc_old, dc_new):
