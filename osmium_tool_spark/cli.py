@@ -448,7 +448,9 @@ def run(args, spark: SparkSession) -> int:
         from .operators.idops import renumber
         from .schema import NODE, RELATION, WAY
 
-        s = [int(x) for x in args.start_id.split(",")]
+        # reference get_start_id: 0 means "the default 1"
+        # (command_renumber.cpp:139-146)
+        s = [int(x) or 1 for x in args.start_id.split(",")]
         s += [s[-1]] * (3 - len(s))
         out = renumber(
             _read(spark, args.input),
@@ -456,7 +458,25 @@ def run(args, spark: SparkSession) -> int:
             index_dir=args.index_dir,
             object_types=_types(args.object_type),
         )
-        _write(out, args.output)
+        # renumber COPIES the input header (command_renumber.cpp reader
+        # header passthrough) — unlike apply-changes, whose goldens drop
+        # the upload hint
+        if args.output.endswith((".osm", ".osh")) and args.input[0].endswith(
+            (".osm", ".osh", ".xml")
+        ):
+            from .functions.sortkeys import canonical_sort
+            from .sinks.osmxml import write_osm_xml
+            from .sources.osmxml import read_osm_xml_header
+
+            opts = read_osm_xml_header(args.input[0])["header"]["option"]
+            write_osm_xml(
+                canonical_sort(out), args.output,
+                with_visible=args.output.endswith(".osh"),
+                generator=_GENERATOR[0],
+                upload_false=opts.get("xml_josm_upload") == "false",
+            )
+        else:
+            _write(out, args.output)
     elif cmd == "check-refs":
         from .operators.idops import check_refs
 

@@ -472,3 +472,44 @@ class TestDeriveChangesGoldens:
         )
         assert rc == 0
         assert open(out).read() == open(f"{self.REF}/{golden}").read()
+
+
+class TestRenumberGoldens:
+    """The committed renumber matrix DIRECTLY through the CLI: header
+    passthrough (upload hint), -t type restriction, per-type/negative
+    start ids (0 = default 1), and the two-phase --index-dir flow where
+    a change file is renumbered with the persisted mapping."""
+
+    REF = "/root/reference/test/renumber"
+
+    def _run(self, spark, args):
+        rc = main(["--generator", "test", "renumber", *args], spark=spark)
+        assert rc == 0
+
+    def test_renumber_sorted(self, spark, tmp_path):
+        out = str(tmp_path / "o.osm")
+        self._run(spark, [f"{self.REF}/input-sorted.osm", "-o", out])
+        assert open(out).read() == open(f"{self.REF}/output-sorted.osm").read()
+
+    def test_renumber_nodes_only(self, spark, tmp_path):
+        out = str(tmp_path / "o.osm")
+        self._run(spark, ["-t", "n", f"{self.REF}/input-sorted.osm", "-o", out])
+        assert open(out).read() == open(f"{self.REF}/output-sorted-n.osm").read()
+
+    def test_renumber_start_zero_is_default(self, spark, tmp_path):
+        out = str(tmp_path / "o.osm")
+        self._run(spark, ["--start-id", "0,3,-3", f"{self.REF}/input-sorted.osm", "-o", out])
+        assert open(out).read() == open(f"{self.REF}/output-sorted-s.osm").read()
+
+    @pytest.mark.parametrize("data,golden", [
+        ("input-sorted.osm", "output-change.osc"),
+        ("input-norel.osm", "output-norel-change.osc"),
+    ], ids=["change", "change-norel"])
+    def test_renumber_change_via_index_dir(self, spark, tmp_path, data, golden):
+        idx = str(tmp_path / "idx")
+        self._run(spark, ["--index-dir", idx, f"{self.REF}/{data}",
+                          "-o", str(tmp_path / "d.osm")])
+        out = str(tmp_path / "c.osc")
+        self._run(spark, ["--index-dir", idx, f"{self.REF}/input-change.osc",
+                          "-o", out])
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()
