@@ -62,7 +62,8 @@ def _read(spark: SparkSession, paths: list[str]) -> DataFrame:
 _GENERATOR = ["osmium_tool_spark/0.1.0"]  # mutable: set by --generator
 
 
-def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None) -> None:
+def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
+           sort: bool = True) -> None:
     if out.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
@@ -79,13 +80,15 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_change
 
-        write_osm_change(canonical_sort(df), out, generator=_GENERATOR[0])
+        write_osm_change(canonical_sort(df) if sort else df, out,
+                         generator=_GENERATOR[0])
     elif out.endswith((".osm", ".osh")):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml
 
         write_osm_xml(
-            canonical_sort(df), out, with_visible=out.endswith(".osh"),
+            canonical_sort(df) if sort else df, out,
+            with_visible=out.endswith(".osh"),
             generator=_GENERATOR[0],
         )
     elif fmt == "parquet":
@@ -344,7 +347,10 @@ def run(args, spark: SparkSession) -> int:
 
         dfs = [_read_one(spark, p) for p in args.input]
         out = cat(dfs, object_types=_types(args.object_type), clean_attrs=args.clean)
-        _write(out, args.output)
+        # cat is a streaming concatenation in the reference — XML output
+        # preserves input order (golden output-cat21.osm); the parquet/OPL
+        # sinks keep their documented sorted order contract
+        _write(out, args.output, sort=not args.output.endswith((".osm", ".osh", ".osc")))
     elif cmd == "sort":
         from .operators.sort_merge import sort_entities
 

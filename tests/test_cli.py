@@ -513,3 +513,38 @@ class TestRenumberGoldens:
         self._run(spark, ["--index-dir", idx, f"{self.REF}/input-change.osc",
                           "-o", out])
         assert open(out).read() == open(f"{self.REF}/{golden}").read()
+
+
+class TestCatGoldens:
+    """The committed cat matrix DIRECTLY through the CLI: XML output
+    preserves CONCATENATION order (cat is a streaming pass, not a sort),
+    and every input format converts to the same OPL bytes."""
+
+    REF = "/root/reference/test/cat"
+
+    @pytest.mark.parametrize("a,b,golden", [
+        ("input1.osm", "input2.osm", "output-cat12.osm"),
+        ("input2.osm", "input1.osm", "output-cat21.osm"),
+    ], ids=["cat12", "cat21"])
+    def test_cat_order(self, spark, tmp_path, a, b, golden):
+        out = str(tmp_path / "o.osm")
+        rc = main(["--generator", "test", "cat", f"{self.REF}/{a}",
+                   f"{self.REF}/{b}", "-o", out], spark=spark)
+        assert rc == 0
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()
+
+    @pytest.mark.parametrize("src", [
+        "input1.osm", "input1.osm.gz", "input1.osm.bz2",
+        "input1.osm.pbf", "output1.osm.opl",
+    ])
+    def test_cat_convert_to_opl(self, spark, tmp_path, src):
+        out = str(tmp_path / "o.opl")
+        rc = main(["--generator", "test", "cat", f"{self.REF}/{src}",
+                   "-o", out], spark=spark)
+        assert rc == 0
+        import pathlib
+
+        text = "".join(
+            p.read_text() for p in sorted(pathlib.Path(out).glob("part-*"))
+        )
+        assert text == open(f"{self.REF}/output1.osm.opl").read()
