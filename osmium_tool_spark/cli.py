@@ -286,6 +286,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list of point/linestring/polygon/multipolygon to keep")
     sp.add_argument("-E", "--stop-on-error", action="store_true",
                     help="exit 1 on geometry errors (missing nodes, short ways, incomplete relations)")
+    sp.add_argument("-x", "--format-option", action="append", default=[],
+                    help="output format options, e.g. print_record_separator=false")
     sp.add_argument("-c", "--config", dest="export_config", default=None,
                     help="export config JSON: linear_tags/area_tags rulesets, "
                          "attributes, include_tags/exclude_tags")
@@ -708,11 +710,42 @@ def run(args, spark: SparkSession) -> int:
                 props_col = "props"
             else:
                 f = with_attributes(f, ents, args.attributes.split(","))
+        # the attribute-props join can scramble feature order; restore the
+        # canonical (type, id, point<linestring<polygon) output order the
+        # goldens are written in
+        from pyspark.sql import functions as SF
+
+        frank = (
+            SF.when(SF.col("ftype") == "point", 0)
+            .when(SF.col("ftype") == "linestring", 1)
+            .when(SF.col("ftype") == "polygon", 2)
+            .otherwise(3)
+        )
+        # areas come LAST: the reference's area assembler is a second
+        # pass, so polygon/multipolygon features follow all points and
+        # linestrings (way-all.txt: every LINESTRING before any
+        # MULTIPOLYGON); within each class, canonical (type, id) order
+        # (relation-area completion order is assembler-internal — the
+        # one place our order may differ, see TestExportCliGoldens)
+        is_area = (frank >= 2).cast("int")
+        f = f.orderBy(is_area, "type", "id", frank)
+        # reference default emits NO id member; ids appear only with -u
+        # (test/export/output.geojson vs output-uid.geojsonseq)
+        wid = args.unique_id is not None
         if args.output_format == "geojson":
-            write_geojson(f, args.output, props_col=props_col, unique_id=args.unique_id)
+            write_geojson(f, args.output, with_id=wid, props_col=props_col,
+                          unique_id=args.unique_id)
         else:
             if args.output_format == "geojsonseq":
-                out = to_geojsonseq(f, props_col=props_col, unique_id=args.unique_id)
+                # reference default: RFC 7464 RS-framed records; -x
+                # print_record_separator=false turns it off
+                fmt_opts = dict(
+                    kv.split("=", 1) for kv in args.format_option if "=" in kv
+                )
+                rs = fmt_opts.get("print_record_separator", "true") != "false"
+                out = to_geojsonseq(f, with_id=wid, props_col=props_col,
+                                    unique_id=args.unique_id,
+                                    record_separator=rs)
             elif args.output_format == "text":
                 out = to_text(f, keep_untagged=args.keep_untagged)
             else:

@@ -615,11 +615,15 @@ def to_geojsonseq(
     with_id: bool = True,
     unique_id: str | None = None,
     props_col: str | None = None,
+    record_separator: bool = False,
 ) -> DataFrame:
     """One GeoJSON Feature per row (geojsonseq format,
-    export_format_json.cpp with RS-free framing). `props_col` overrides
-    the default tags-map properties with a prebuilt JSON-string column
-    (attributes_props_json).
+    export_format_json.cpp). ``record_separator`` prepends the RFC 7464
+    RS byte (0x1E) to every record — the REFERENCE'S DEFAULT for
+    geojsonseq (its goldens without `-x print_record_separator=false`
+    all carry it); the library default stays RS-free framing.
+    `props_col` overrides the default tags-map properties with a
+    prebuilt JSON-string column (attributes_props_json).
 
     `unique_id` mirrors the reference's -u option: None (default — no id
     in the reference; here controlled by `with_id` emitting the numeric
@@ -663,9 +667,10 @@ def to_geojsonseq(
         idpart = F.concat(F.lit('"id":'), F.col("id").cast("string"), F.lit(","))
     else:
         idpart = F.lit("")
+    rs = F.lit("\x1e") if record_separator else F.lit("")
     return feats.select(
         F.concat(
-            F.lit('{"type":"Feature",'), idpart,
+            rs, F.lit('{"type":"Feature",'), idpart,
             F.lit('"geometry":'), F.col("geometry"),
             F.lit(',"properties":'), props, F.lit("}"),
         ).alias("feature")

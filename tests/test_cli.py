@@ -548,3 +548,118 @@ class TestCatGoldens:
             p.read_text() for p in sorted(pathlib.Path(out).glob("part-*"))
         )
         assert text == open(f"{self.REF}/output1.osm.opl").read()
+
+
+class TestExportCliGoldens:
+    """The committed export matrix DIRECTLY through the CLI
+    (test/export/CMakeLists.txt): RFC 7464 RS framing is the geojsonseq
+    default (-x print_record_separator=false turns it off), no id member
+    without -u, areas after all non-area features, and the full
+    linear/area config matrix byte-for-byte."""
+
+    REF = "/root/reference/test/export"
+
+    def _run(self, spark, args, out):
+        rc = main(["export", *args, "-o", out], spark=spark)
+        assert rc == 0
+
+    def _parts(self, out):
+        import pathlib
+
+        return "".join(p.read_text() for p in sorted(pathlib.Path(out).glob("part-*")))
+
+    def test_geojson_default(self, spark, tmp_path):
+        out = str(tmp_path / "o.geojson")
+        self._run(spark, ["-f", "geojson", f"{self.REF}/input.osm"], out)
+        assert open(out).read() == open(f"{self.REF}/output.geojson").read()
+
+    def test_geojsonseq_rs_default_and_off(self, spark, tmp_path):
+        out = str(tmp_path / "rs")
+        self._run(spark, ["-f", "geojsonseq", "-u", "type_id", f"{self.REF}/input.osm"], out)
+        assert self._parts(out) == open(f"{self.REF}/output-uid.geojsonseq").read()
+        out2 = str(tmp_path / "nors")
+        self._run(spark, ["-f", "geojsonseq", "-x", "print_record_separator=false",
+                          f"{self.REF}/input.osm"], out2)
+        assert self._parts(out2) == open(f"{self.REF}/output.geojsonseq").read()
+
+    def test_geojsonseq_counter(self, spark, tmp_path):
+        out = str(tmp_path / "cnt")
+        self._run(spark, ["-f", "geojsonseq", "-u", "counter", f"{self.REF}/input.osm"], out)
+        assert self._parts(out) == open(f"{self.REF}/output-cnt.geojsonseq").read()
+
+    ATTRS = "type,id,version,changeset,timestamp,uid,user,way_nodes"
+
+    @pytest.mark.parametrize("src,golden", [
+        ("input.osm", "output-attr.geojson"),
+        ("input-chars.osm", "output-chars.geojson"),
+    ], ids=["attr", "chars"])
+    def test_geojson_attributes(self, spark, tmp_path, src, golden):
+        out = str(tmp_path / "o.geojson")
+        self._run(spark, ["-f", "geojson", "-n", "-a", self.ATTRS,
+                          f"{self.REF}/{src}"], out)
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()
+
+    @pytest.mark.parametrize("src,golden", [
+        ("input-missing-node.osm", "output-missing-node.geojson"),
+        ("input-single-node-way.osm", "output-empty.geojson"),
+        ("input-incomplete-relation.osm", "output-incomplete-relation.geojson"),
+    ], ids=["missing-node", "single-node-way", "invalid-area"])
+    def test_geojson_degenerate_inputs(self, spark, tmp_path, src, golden):
+        out = str(tmp_path / "o.geojson")
+        self._run(spark, ["-f", "geojson", f"{self.REF}/{src}"], out)
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()
+
+    def test_pg(self, spark, tmp_path):
+        out = str(tmp_path / "pg")
+        self._run(spark, ["-f", "pg", f"{self.REF}/input.osm"], out)
+        assert self._parts(out) == open(f"{self.REF}/output.pg").read()
+
+    def test_mp_same_features_any_order(self, spark, tmp_path):
+        """Relation-area emission order is libosmium-assembler-internal
+        (completion order); we emit canonical order — the FEATURES are
+        byte-identical, the sequence differs. Documented deviation."""
+        out = str(tmp_path / "mp.geojson")
+        self._run(spark, ["-f", "geojson", "-u", "type_id", f"{self.REF}/input-mp.osm"], out)
+        # comma framing depends on position in the FeatureCollection —
+        # strip it before the order-insensitive compare
+        got = sorted(line.rstrip(",") for line in open(out).read().splitlines())
+        want = sorted(
+            line.rstrip(",")
+            for line in open(f"{self.REF}/output-mp.geojson").read().splitlines()
+        )
+        assert got == want
+
+    def test_text_attributes_way_all(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        self._run(spark, ["-E", "-f", "text", "-a", "id", f"{self.REF}/way.osm"], out)
+        assert self._parts(out) == open(f"{self.REF}/way-all.txt").read()
+
+    CONFIGS = [
+        ("config-empty-empty.json", "way-all.txt", ["--keep-untagged"], "way-all-n.txt"),
+        ("config-null-null.json", "way-all.txt", None, None),
+        ("config-undefined.json", "way-all.txt", None, None),
+        ("config-tag-empty.json", "way-tag-empty.txt", None, None),
+        ("config-empty-tag.json", "way-empty-tag.txt", None, None),
+        ("config-tag-tag.json", "way-tag-tag.txt", None, None),
+        ("config-tagx-empty.json", "way-tagx-empty.txt", None, None),
+        ("config-empty-tagx.json", "way-empty-tagx.txt", None, None),
+        ("config-tagx-tagx.json", "way-tagx-tagx.txt", None, None),
+        ("config-true-true.json", "way-all.txt", None, None),
+        ("config-false-false.json", "way-none.txt", None, None),
+        ("config-null-tag.json", "way-null-tag.txt", None, None),
+        ("config-tag-null.json", "way-tag-null.txt", None, None),
+    ]
+
+    @pytest.mark.parametrize("cfg,golden,extra,extra_golden", CONFIGS,
+                             ids=[c[0].replace("config-", "").replace(".json", "")
+                                  for c in CONFIGS])
+    def test_config_matrix(self, spark, tmp_path, cfg, golden, extra, extra_golden):
+        out = str(tmp_path / "c")
+        self._run(spark, ["-E", "-f", "text", "-c", f"{self.REF}/{cfg}",
+                          f"{self.REF}/way.osm"], out)
+        assert self._parts(out) == open(f"{self.REF}/{golden}").read()
+        if extra:
+            out2 = str(tmp_path / "c2")
+            self._run(spark, ["-E", "-f", "text", *extra, "-c",
+                              f"{self.REF}/{cfg}", f"{self.REF}/way.osm"], out2)
+            assert self._parts(out2) == open(f"{self.REF}/{extra_golden}").read()
