@@ -135,7 +135,9 @@ def test_cli_export_geojsonseq(spark, input_dir, tmp_path):
     rc = main(["export", input_dir, "-f", "geojsonseq", "-o", out], spark=spark)
     assert rc == 0
     lines = spark.read.text(out).collect()
-    feats = [json.loads(r.value) for r in lines]
+    # reference default: every record starts with the RFC 7464 RS byte
+    assert all(r.value.startswith("\x1e") for r in lines)
+    feats = [json.loads(r.value.lstrip("\x1e")) for r in lines]
     assert all(f["type"] == "Feature" for f in feats)
 
 
