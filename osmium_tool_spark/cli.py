@@ -60,6 +60,7 @@ def _read(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 _GENERATOR = ["osmium_tool_spark/0.1.0"]  # mutable: set by --generator
+_OUTPUT_HEADER: dict = {}  # mutable: set by --output-header KEY=VALUE
 
 
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
@@ -90,6 +91,7 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
             canonical_sort(df) if sort else df, out,
             with_visible=out.endswith(".osh"),
             generator=_GENERATOR[0],
+            upload_false=_OUTPUT_HEADER.get("xml_josm_upload") == "false",
         )
     elif fmt == "parquet":
         from .sinks.writer import write_sorted
@@ -150,6 +152,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="osmium_tool_spark")
     p.add_argument("--generator", default="osmium_tool_spark/0.1.0",
                    help="generator string written into output headers")
+    p.add_argument("--output-header", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="set an output header option (e.g. xml_josm_upload=false)")
     sub = p.add_subparsers(dest="command", required=True)
 
     def io(sp, n_inputs="+"):
@@ -297,6 +302,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
     sp.add_argument("-i", "--ignore-missing-nodes", action="store_true")
+    sp.add_argument("--keep-member-nodes", action="store_true")
 
     sp = io(sub.add_parser("changeset-filter"), n_inputs=1)
     sp.add_argument("--open", dest="open_", action="store_true", default=None)
@@ -341,6 +347,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(args, spark: SparkSession) -> int:
     _GENERATOR[0] = getattr(args, "generator", _GENERATOR[0])
+    _OUTPUT_HEADER.clear()
+    for kv in getattr(args, "output_header", []) or []:
+        k, _, v = kv.partition("=")
+        _OUTPUT_HEADER[k] = v
     from . import operators  # noqa: F401
 
     cmd = args.command
@@ -754,12 +764,25 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "add-locations-to-ways":
         from .operators.locations import add_locations_to_ways
 
+        from pyspark.sql import functions as F
+
+        ents = _read(spark, args.input)
+        xml_out = args.output.endswith((".osm", ".osh"))
+        if xml_out:
+            # the reference streams: output preserves input order
+            # (golden output-n.osm keeps the trailing negative-id node
+            # last) — stamp document order and restore it after the join
+            ents = ents.withColumn("__seq", F.monotonically_increasing_id())
         out = add_locations_to_ways(
-            _read(spark, args.input),
+            ents,
             ignore_missing_nodes=args.ignore_missing_nodes,
             keep_untagged_nodes=args.keep_untagged_nodes,
-        )
-        _write(out.drop("missing_locations"), args.output)
+            keep_member_nodes=args.keep_member_nodes,
+        ).drop("missing_locations")
+        if xml_out:
+            _write(out.orderBy("__seq").drop("__seq"), args.output, sort=False)
+        else:
+            _write(out, args.output)
     elif cmd == "changeset-filter":
         from .operators.changesets import changeset_filter
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import NODE, WAY
+from ..schema import NODE, RELATION, WAY
 
 
 def create_locations_index(entities: DataFrame, path: str, buckets: int = 64) -> None:
@@ -47,11 +47,16 @@ def add_locations_to_ways(
     entities: DataFrame,
     ignore_missing_nodes: bool = False,
     keep_untagged_nodes: bool = False,
+    keep_member_nodes: bool = False,
 ) -> DataFrame:
     """Attach per-ref locations to ways (`locations` column parallel to
     `refs`). Untagged nodes are dropped from the output unless
     keep_untagged_nodes (their job — providing locations — is done;
-    command_add_locations_to_ways.cpp:140-160)."""
+    command_add_locations_to_ways.cpp:140-160). keep_member_nodes also
+    keeps untagged nodes referenced from a relation (find_member_nodes,
+    command_add_locations_to_ways.cpp:162-185) — a relations→members
+    explode + distinct semi-join instead of the reference's in-RAM sorted
+    id vector, so the member set never funnels through the driver."""
     from .export import locations_join
 
     nodes = entities.filter(F.col("type") == NODE)
@@ -75,9 +80,27 @@ def add_locations_to_ways(
     )
     ways_out = wc.withColumn("locations", locs).drop("coords")
 
-    nodes_out = nodes if keep_untagged_nodes else nodes.filter(
-        F.size(F.map_keys("tags")) > 0
-    )
+    if keep_untagged_nodes:
+        nodes_out = nodes
+    else:
+        tagged = F.size(F.map_keys("tags")) > 0
+        nodes_out = nodes.filter(tagged)
+        if keep_member_nodes:
+            # positive_ref/positive_id matching per the reference
+            member_ids = (
+                entities.filter(F.col("type") == RELATION)
+                .select(F.explode("members").alias("m"))
+                .filter(F.col("m.mtype") == NODE)
+                .select(F.abs(F.col("m.ref")).alias("__pid"))
+                .distinct()
+            )
+            untagged_members = (
+                nodes.filter(~tagged)
+                .withColumn("__pid", F.abs(F.col("id")))
+                .join(member_ids, "__pid", "left_semi")
+                .drop("__pid")
+            )
+            nodes_out = nodes_out.unionByName(untagged_members)
     nodes_out = nodes_out.withColumn(
         "locations", F.lit(None).cast("array<struct<lon:long,lat:long>>")
     )

@@ -665,3 +665,31 @@ class TestExportCliGoldens:
             self._run(spark, ["-E", "-f", "text", *extra, "-c",
                               f"{self.REF}/{cfg}", f"{self.REF}/way.osm"], out2)
             assert self._parts(out2) == open(f"{self.REF}/{extra_golden}").read()
+
+
+class TestAddLocationsToWaysGoldens:
+    """The committed add-locations-to-ways matrix run DIRECTLY through the
+    CLI (test/add-locations-to-ways/CMakeLists.txt): default drops untagged
+    nodes, -n keeps all, --keep-member-nodes keeps untagged relation-member
+    nodes (command_add_locations_to_ways.cpp:145-160)."""
+
+    REF = "/root/reference/test/add-locations-to-ways"
+
+    CASES = [
+        ("taggednodes", [], "input.osm", "output.osm"),
+        ("allnodes", ["-n"], "input.osm", "output-n.osm"),
+        ("membernodes", ["--keep-member-nodes"], "input-rel.osm",
+         "output-rel.osm"),
+    ]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+    def test_add_locations_golden(self, spark, tmp_path, case):
+        name, opts, inp, golden = case
+        out = str(tmp_path / "out.osm")
+        rc = main(
+            ["--generator", "test", "--output-header", "xml_josm_upload=false",
+             "add-locations-to-ways", *opts, f"{self.REF}/{inp}", "-o", out],
+            spark=spark,
+        )
+        assert rc == 0
+        assert open(out).read() == open(f"{self.REF}/{golden}").read()
