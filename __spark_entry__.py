@@ -1347,8 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
-        "locations_index": q_locations_index,
+        "bernoulli_sample": q_bernoulli_sample,
         # -- tail (51+): long-stable siblings past the driver window --
+        "locations_index": q_locations_index,
         "validate_order": q_validate_order,
         "add_locations": q_add_locations,
         "derive_changes": q_derive_changes,
@@ -1370,7 +1371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "text_tokens": q_text_tokens,
         "text_token_stats": q_text_token_stats,
-        "bernoulli_sample": q_bernoulli_sample,
     }
 
 
