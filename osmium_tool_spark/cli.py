@@ -63,8 +63,53 @@ _GENERATOR = ["osmium_tool_spark/0.1.0"]  # mutable: set by --generator
 _OUTPUT_HEADER: dict = {}  # mutable: set by --output-header KEY=VALUE
 
 
+def _xml_boxes(paths: list[str]) -> list | None:
+    """Union of the input XML headers' bounding boxes, as the single
+    extended box the reference propagates (command_sort.cpp:112-153:
+    Box::extend over every input header, one add_box on output)."""
+    import math
+
+    from .sources.osmxml import read_osm_xml_header
+
+    box = [math.inf, math.inf, -math.inf, -math.inf]
+    found = False
+    for pth in paths:
+        if not pth.endswith((".osm", ".osh", ".osc", ".xml", ".osm.gz",
+                             ".osm.bz2", ".osh.gz", ".osh.bz2")):
+            continue
+        try:
+            hdr = read_osm_xml_header(pth)
+        except Exception:
+            continue
+        for b in hdr["header"]["boxes"]:
+            found = True
+            box[0] = min(box[0], b[0])
+            box[1] = min(box[1], b[1])
+            box[2] = max(box[2], b[2])
+            box[3] = max(box[3], b[3])
+    return [box] if found else None
+
+
+def _xml_in_opts(paths: list[str]) -> dict:
+    """First XML input's header options — the commands that construct
+    their output header from reader.header() (getid/removeid/getparents/
+    tags-filter/time-filter/cat-single, e.g. command_getid.cpp:346)
+    propagate these; --output-header overrides win."""
+    from .sources.osmxml import read_osm_xml_header
+
+    p = paths[0] if paths else ""
+    if p.endswith((".osm", ".osh", ".osc", ".xml", ".osm.gz", ".osm.bz2",
+                   ".osh.gz", ".osh.bz2")):
+        try:
+            return dict(read_osm_xml_header(p)["header"]["option"])
+        except Exception:
+            return {}
+    return {}
+
+
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
-           sort: bool = True) -> None:
+           sort: bool = True, boxes: list | None = None,
+           in_opts: dict | None = None) -> None:
     if out.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
@@ -87,11 +132,13 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml
 
+        merged = {**(in_opts or {}), **_OUTPUT_HEADER}
         write_osm_xml(
             canonical_sort(df) if sort else df, out,
             with_visible=out.endswith(".osh"),
             generator=_GENERATOR[0],
-            upload_false=_OUTPUT_HEADER.get("xml_josm_upload") == "false",
+            upload_false=merged.get("xml_josm_upload") == "false",
+            boxes=boxes,
         )
     elif fmt == "parquet":
         from .sinks.writer import write_sorted
@@ -100,6 +147,18 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
         write_sorted(df, out, header={"generator": _GENERATOR[0], **(header or {})})
     else:  # text formats (export serializations)
         df.coalesce(1).write.mode("overwrite").text(out)
+
+
+def _timestamp(arg: str) -> int:
+    """Epoch-microseconds from either a raw integer or the reference's
+    ISO form 2015-01-01T01:00:00Z (osmium-time-filter.md TIME args)."""
+    try:
+        return int(arg)
+    except ValueError:
+        import calendar
+        import time as _t
+
+        return calendar.timegm(_t.strptime(arg, "%Y-%m-%dT%H:%M:%SZ")) * 1_000_000
 
 
 def _types(arg: str | None) -> list[int] | None:
@@ -170,7 +229,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-s", "--strategy", default="simple", choices=["simple", "multipass"],
                     help="accepted for reference compatibility; Spark's external "
                          "sort subsumes both (spills instead of re-reading)")
-    io(sub.add_parser("merge", help="sorted union, identical objects once"))
+    sp = io(sub.add_parser("merge", help="sorted union, identical objects once"))
+    sp.add_argument("-H", "--with-history", action="store_true",
+                    help="history inputs expected (reference: suppresses the "
+                         "multi-version warning; merge semantics unchanged)")
     sp = io(sub.add_parser("merge-changes"))
     sp.add_argument("--simplify", action="store_true")
 
@@ -219,7 +281,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", "--object-type", default=None,
                     help="renumber only these types, e.g. n or n,w")
 
-    sp = io(sub.add_parser("check-refs"), n_inputs=1)
+    sp = sub.add_parser("check-refs")
+    sp.add_argument("input", nargs=1)
+    sp.add_argument("-o", "--output", default=None,
+                    help="optional parquet dir for the violation rows "
+                         "(the reference is a pure checker)")
     sp.add_argument("-r", "--check-relations", action="store_true")
 
     sp = sub.add_parser("fileinfo")
@@ -242,8 +308,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-s", "--sort", default="count-desc")
 
     sp = io(sub.add_parser("time-filter"), n_inputs=1)
-    sp.add_argument("time_from", type=int)
-    sp.add_argument("time_to", type=int, nargs="?", default=None)
+    sp.add_argument("time_from", type=_timestamp, nargs="?", default=None)
+    sp.add_argument("time_to", type=_timestamp, nargs="?", default=None)
 
     sp = sub.add_parser("apply-changes")
     sp.add_argument("input", nargs=1)
@@ -366,7 +432,8 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "sort":
         from .operators.sort_merge import sort_entities
 
-        _write(sort_entities(_read(spark, args.input)), args.output)
+        _write(sort_entities(_read(spark, args.input)), args.output,
+               boxes=_xml_boxes(args.input))
     elif cmd == "merge":
         from .operators.sort_merge import merge
 
@@ -410,7 +477,7 @@ def run(args, spark: SparkSession) -> int:
             omit_referenced=args.omit_referenced,
             remove_tags=args.remove_tags,
         )
-        _write(out, args.output)
+        _write(out, args.output, in_opts=_xml_in_opts(args.input))
     elif cmd in ("getid", "removeid", "getparents"):
         from .operators.idops import (
             getid,
@@ -444,9 +511,10 @@ def run(args, spark: SparkSession) -> int:
                 )
                 return 2
         ents = _read(spark, args.input)
+        in_opts = _xml_in_opts(args.input)
         if cmd == "getid":
             out = getid(ents, id_sel, recursive=args.add_referenced)
-            _write(out, args.output)
+            _write(out, args.output, in_opts=in_opts)
             if args.with_history:
                 # reference: history mode never reports missing ids
                 # (command_getid.cpp:379,396 m_work_with_history)
@@ -461,7 +529,7 @@ def run(args, spark: SparkSession) -> int:
             out = removeid(ents, id_sel)
         else:
             out = getparents(ents, ids, add_self=args.add_self)
-        _write(out, args.output)
+        _write(out, args.output, in_opts=in_opts)
     elif cmd == "renumber":
         from .operators.idops import renumber
         from .schema import NODE, RELATION, WAY
@@ -496,11 +564,23 @@ def run(args, spark: SparkSession) -> int:
         else:
             _write(out, args.output)
     elif cmd == "check-refs":
-        from .operators.idops import check_refs
+        from pyspark.sql import functions as F
 
-        out = check_refs(_read(spark, args.input), check_relations=args.check_relations)
+        from .operators.idops import check_refs
+        from .operators.sort_merge import validate_order
+
+        ents = _read(spark, args.input)
+        # the reference runs CheckOrder on every object
+        # (command_check_refs.cpp:188,200,223) — out-of-order input is a
+        # fatal error before any ref counting
+        seq = ents.withColumn("seq", F.monotonically_increasing_id())
+        if validate_order(seq).limit(1).count():
+            print("check-refs: input file is not ordered", file=sys.stderr)
+            return 2
+        out = check_refs(ents, check_relations=args.check_relations)
         n = out.count()
-        out.write.mode("overwrite").parquet(args.output)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
         return 1 if n else 0  # reference exit code semantics
     elif cmd == "fileinfo":
         from .operators.aggregates import (
@@ -572,9 +652,14 @@ def run(args, spark: SparkSession) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
     elif cmd == "time-filter":
+        import time as _t
+
         from .operators.changes import replication_header, time_filter
         from .sinks.writer import read_header
 
+        if args.time_from is None:
+            # no TIME argument = snapshot at now (osmium-time-filter.md)
+            args.time_from = int(_t.time()) * 1_000_000
         try:
             in_hdr = read_header(args.input[0])
         except (OSError, ValueError):
@@ -584,6 +669,7 @@ def run(args, spark: SparkSession) -> int:
             time_filter(_read(spark, args.input), args.time_from, args.time_to),
             args.output,
             header=hdr or None,
+            in_opts=_xml_in_opts(args.input),
         )
     elif cmd == "apply-changes":
         from .operators.changes import apply_changes

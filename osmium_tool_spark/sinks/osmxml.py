@@ -89,19 +89,33 @@ def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) 
     return pad + "".join(parts) + ">\n" + "\n".join(children) + f"\n{pad}</{tag}>"
 
 
+def _deg(v: float) -> str:
+    s = f"{v:.7f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
 def write_osm_xml(
     entities: DataFrame,
     path: str,
     generator: str = "test",
     with_visible: bool = False,
     upload_false: bool = False,
+    boxes: list | None = None,
 ) -> None:
     """Stream the frame to one .osm/.osh XML file in its CURRENT order
-    (callers sort first — the reference writes in stream order too)."""
+    (callers sort first — the reference writes in stream order too).
+    boxes: header bounding boxes [minlon, minlat, maxlon, maxlat] in
+    degrees (golden test/sort/output-bounds.osm prints minlat first,
+    location-trimmed)."""
     hdr_opts = ' upload="false"' if upload_false else ""
     with open(path, "w") as f:
         f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
         f.write(f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n')
+        for b in boxes or []:
+            f.write(
+                f'  <bounds minlat="{_deg(b[1])}" minlon="{_deg(b[0])}"'
+                f' maxlat="{_deg(b[3])}" maxlon="{_deg(b[2])}"/>\n'
+            )
         for row in _entries_iter(entities):
             f.write(serialize_osm_xml_row(row, with_visible))
             f.write("\n")

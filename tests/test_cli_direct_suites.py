@@ -1,0 +1,292 @@
+"""The remaining reference CLI suites run DIRECTLY through the CLI with
+byte parity against the committed goldens — the exact invocations of
+test/{sort,merge,merge-changes,getid,removeid,getparents,time-filter,
+tags-filter,check-refs}/CMakeLists.txt (the reference writes to stdout;
+we write the same bytes to -o)."""
+
+import pathlib
+
+import pytest
+
+from osmium_tool_spark.cli import main
+
+REF = "/root/reference/test"
+UPLOAD = ["--output-header", "xml_josm_upload=false"]
+
+
+def run_golden(spark, tmp_path, argv, golden, rc_want=0, outname="out.osm"):
+    out = str(tmp_path / outname)
+    rc = main(["--generator", "test", *argv, "-o", out], spark=spark)
+    assert rc == rc_want, f"exit {rc} != {rc_want}"
+    assert open(out).read() == open(golden).read()
+
+
+class TestSortCliGoldens:
+    """check_sort1/check_sort2: both strategies, 9 committed outputs
+    (multipass accepted as a compat flag — one external sort covers it)."""
+
+    CASES = [
+        (["sort/input-simple1.osm", "sort/input-simple2.osm"], "output-simple.osm", "out.osm"),
+        (["sort/input-bounds1.osm", "sort/input-bounds2.osm"], "output-bounds.osm", "out.osm"),
+        (["sort/input-history1.osm", "sort/input-history2.osm"], "output-history.osm", "out.osm"),
+        (["sort/input-neg.osm"], "output-neg.osm", "out.osm"),
+        (["sort/input-change.osc"], "output-change.osc", "out.osc"),
+        (["sort/input-simple1-only-version.osm", "sort/input-simple2.osm"],
+         "output-simple-1-only-version.osm", "out.osm"),
+        (["sort/input-simple-onefile.osm"], "output-simple-onefile.osm", "out.osm"),
+        (["sort/input-history-partially-only-version.osm"],
+         "output-history-partially-only-version.osm", "out.osm"),
+        (["sort/input-history-only-version.osm"],
+         "output-history-only-version.osm", "out.osm"),
+    ]
+
+    @pytest.mark.parametrize("inputs,golden,outname", CASES,
+                             ids=[c[1] for c in CASES])
+    @pytest.mark.parametrize("strategy", ["simple", "multipass"])
+    def test_sort(self, spark, tmp_path, inputs, golden, outname, strategy):
+        run_golden(spark, tmp_path,
+                   ["sort", "-s", strategy, *[f"{REF}/{i}" for i in inputs]],
+                   f"{REF}/sort/{golden}", outname=outname)
+
+
+class TestMergeCliGoldens:
+    """check_merge1/2/3 + the --with-history same-ids case."""
+
+    CASES = [
+        (["input1.osm"], [], "output1.osm"),
+        (["input1.osm", "input2.osm"], [], "output2.osm"),
+        (["input2.osm", "input1.osm"], [], "output2.osm"),
+        (["input1.osm", "input2.osm", "input3.osm"], [], "output3.osm"),
+        (["input1-only-version.osm", "input2-only-version.osm"], [],
+         "output2-12-only-version.osm"),
+        (["input2-only-version.osm", "input1-only-version.osm"], [],
+         "output2-12-only-version.osm"),
+        (["same-ids.osm", "empty.osm"], ["--with-history"], "output-same-ids.osm"),
+    ]
+
+    @pytest.mark.parametrize("inputs,opts,golden", CASES,
+                             ids=["-".join(i.split(".")[0] for i in c[0]) for c in CASES])
+    def test_merge(self, spark, tmp_path, inputs, opts, golden):
+        run_golden(spark, tmp_path,
+                   ["merge", *opts, *[f"{REF}/merge/{i}" for i in inputs]],
+                   f"{REF}/merge/{golden}")
+
+
+class TestMergeChangesCliGoldens:
+    """check_merge_changes: the full committed 8-case matrix."""
+
+    CASES = [
+        ("", "change1.osc", "change2.osc", "merged.osc"),
+        ("--simplify", "change1.osc", "change2.osc", "simplified.osc"),
+        ("", "change1-only-version.osc", "change2-only-version.osc",
+         "merged-both-only-version.osc"),
+        ("--simplify", "change1-only-version.osc", "change2-only-version.osc",
+         "simplified-both-only-version.osc"),
+        ("", "change1-only-version.osc", "change2.osc",
+         "merged-first-only-version.osc"),
+        ("--simplify", "change1-only-version.osc", "change2.osc",
+         "simplified-first-only-version.osc"),
+        ("", "change1.osc", "change2-only-version.osc",
+         "merged-second-only-version.osc"),
+        ("--simplify", "change1.osc", "change2-only-version.osc",
+         "simplified-second-only-version.osc"),
+    ]
+
+    @pytest.mark.parametrize("opts,in1,in2,golden", CASES,
+                             ids=[c[3].replace(".osc", "") for c in CASES])
+    def test_merge_changes(self, spark, tmp_path, opts, in1, in2, golden):
+        argv = ["merge-changes"]
+        if opts:
+            argv.append(opts)
+        argv += [f"{REF}/merge-changes/{in1}", f"{REF}/merge-changes/{in2}"]
+        run_golden(spark, tmp_path, argv, f"{REF}/merge-changes/{golden}",
+                   outname="out.osc")
+
+
+class TestGetidCliGoldens:
+    """check_getid / check_getid_file / check_getid_r(_fail): inline and
+    id-file selection, recursive closure via -I and -i, missing-id exit 1
+    with the empty output still written, the cyclic relation loop."""
+
+    def test_inline_ids(self, spark, tmp_path):
+        run_golden(spark, tmp_path,
+                   [*UPLOAD, "getid", f"{REF}/getid/input.osm", "n11,n12", "w21"],
+                   f"{REF}/getid/output.osm")
+
+    def test_id_file(self, spark, tmp_path):
+        run_golden(spark, tmp_path,
+                   [*UPLOAD, "getid", "-i", f"{REF}/getid/idfile",
+                    f"{REF}/getid/input.osm"],
+                   f"{REF}/getid/output-file.osm")
+
+    R_CASES = [
+        ("source", "in10", "out10"),
+        ("source", "in21", "out21"),
+        ("source", "in30", "out30"),
+        ("source", "in31", "out31"),
+        ("source", "in32", "out32"),
+        ("source-no-rr", "in10", "out10"),
+        ("source-no-rr", "in21", "out21"),
+        ("source-no-rr", "in30", "out30"),
+        ("source-no-rr", "in32", "out32"),
+        ("relloop", "relloop", "relloop-out"),
+    ]
+
+    @pytest.mark.parametrize("source,inp,golden", R_CASES,
+                             ids=[f"{c[0]}-{c[1]}" for c in R_CASES])
+    @pytest.mark.parametrize("mode", ["-I", "-i"])
+    def test_recursive(self, spark, tmp_path, source, inp, golden, mode):
+        suffix = ".osm" if mode == "-I" else ".id"
+        run_golden(spark, tmp_path,
+                   ["getid", "-r", f"{REF}/getid/{source}.osm",
+                    mode, f"{REF}/getid/{inp}{suffix}"],
+                   f"{REF}/getid/{golden}.osm")
+
+    @pytest.mark.parametrize("inp", ["in19", "in29", "in39"])
+    @pytest.mark.parametrize("mode", ["-I", "-i"])
+    def test_missing_exit1(self, spark, tmp_path, inp, mode):
+        suffix = ".osm" if mode == "-I" else ".id"
+        run_golden(spark, tmp_path,
+                   ["getid", "-r", f"{REF}/getid/source.osm",
+                    mode, f"{REF}/getid/{inp}{suffix}"],
+                   f"{REF}/getid/out-empty.osm", rc_want=1)
+
+
+class TestRemoveidCliGoldens:
+    CASES = [
+        (["n11,n12"], [], "output-n11n12.osm"),
+        (["10,w21"], [], "output-n10w21.osm"),
+        (["r30"], [], "output-r30.osm"),
+        ([], ["-i", f"{REF}/removeid/n12w20.ids"], "output-n12w20.osm"),
+    ]
+
+    @pytest.mark.parametrize("ids,opts,golden", CASES,
+                             ids=[c[2].replace("output-", "").replace(".osm", "")
+                                  for c in CASES])
+    def test_removeid(self, spark, tmp_path, ids, opts, golden):
+        run_golden(spark, tmp_path,
+                   [*UPLOAD, "removeid", *opts, f"{REF}/removeid/input.osm", *ids],
+                   f"{REF}/removeid/{golden}")
+
+
+class TestGetparentsCliGoldens:
+    CASES = [
+        ("n10", False, "out-n10.osm"),
+        ("n12", False, "out-n12.osm"),
+        ("w20", False, "out-w20.osm"),
+        ("n10", True, "out-n10-s.osm"),
+        ("n12", True, "out-n12-s.osm"),
+        ("w20", True, "out-w20-s.osm"),
+    ]
+
+    @pytest.mark.parametrize("ids,add_self,golden", CASES,
+                             ids=[c[2].replace("out-", "").replace(".osm", "")
+                                  for c in CASES])
+    def test_getparents(self, spark, tmp_path, ids, add_self, golden):
+        argv = [*UPLOAD, "getparents"]
+        if add_self:
+            argv.append("--add-self")
+        argv += [f"{REF}/getparents/input.osm", ids]
+        run_golden(spark, tmp_path, argv, f"{REF}/getparents/{golden}")
+
+
+class TestTimeFilterCliGoldens:
+    """check_time_filter: the full snapshot + range boundary sweep, ISO
+    TIME arguments straight from the CMake matrix."""
+
+    CASES = [
+        ("osm", None, None, "last"),
+        ("osm", "2015-01-01T01:00:00Z", None, "ts1"),
+        ("osm", "2015-01-01T01:01:00Z", None, "ts1"),
+        ("osm", "2015-01-01T02:00:00Z", None, "ts2"),
+        ("osm", "2015-01-01T02:01:00Z", None, "ts2"),
+        ("osm", "2015-01-01T03:00:00Z", None, "ts3"),
+        ("osm", "2015-01-01T03:01:00Z", None, "ts3"),
+        ("osh", "2015-01-01T00:00:00Z", "2015-01-01T05:00:00Z", "range-0-5"),
+        ("osh", "2015-01-01T01:00:00Z", "2015-01-01T02:00:00Z", "range-1-2"),
+        ("osh", "2015-01-01T01:01:00Z", "2015-01-01T02:01:00Z", "range-1a-2a"),
+        ("osh", "2015-01-01T02:00:00Z", "2015-01-01T03:00:00Z", "range-2-3"),
+        ("osh", "2015-01-01T02:00:00Z", "2015-01-01T03:01:00Z", "range-2-3a"),
+        ("osh", "2015-01-01T02:00:00Z", "2015-01-01T04:00:00Z", "range-2-4"),
+    ]
+
+    @pytest.mark.parametrize("fmt,t1,t2,name", CASES,
+                             ids=[f"{c[3]}-{c[1] or 'now'}" for c in CASES])
+    def test_time_filter(self, spark, tmp_path, fmt, t1, t2, name):
+        argv = [*UPLOAD, "time-filter", f"{REF}/time-filter/input.osh"]
+        if t1:
+            argv.append(t1)
+        if t2:
+            argv.append(t2)
+        run_golden(spark, tmp_path, argv,
+                   f"{REF}/time-filter/output-{name}.{fmt}",
+                   outname=f"out.{fmt}")
+
+
+class TestTagsFilterCliGoldens:
+    """check_tags_filter: the full committed 17-case flag × expression
+    matrix."""
+
+    CASES = [
+        ("node", [], "input.osm", ["n/amenity"], "output-amenity.osm"),
+        ("node-R", ["-R"], "input.osm", ["n/amenity"], "output-amenity.osm"),
+        ("highway-R", ["-R"], "input.osm", ["w/highway"], "output-highway-R.osm"),
+        ("note-R", ["-R"], "input.osm", ["note"], "output-note-R.osm"),
+        ("note-iR", ["-i", "-R"], "input.osm", ["note"], "output-note-iR.osm"),
+        ("highway", [], "input.osm", ["w/highway"], "output-highway.osm"),
+        ("highway-i", ["-i"], "input.osm", ["w/highway"], "output-highway-i.osm"),
+        ("highway-n-i", ["-i"], "input-nodes.osm", ["w/highway"],
+         "output-nodes-highway-i.osm"),
+        ("note-rel", [], "input.osm", ["r/note"], "output-note-rel.osm"),
+        ("highway-t", ["-t"], "input.osm", ["w/highway"], "output-highway-t.osm"),
+        ("highway-it", ["-i", "-t"], "input.osm", ["w/highway"],
+         "output-highway-it.osm"),
+        ("note-rel-t", ["-t"], "input.osm", ["r/note"], "output-note-rel-t.osm"),
+        ("site-1", [], "input-site.osm", ["r/site=1"], "output-site-1.osm"),
+        ("site-2", [], "input-site.osm", ["r/site=2"], "output-site-2.osm"),
+        ("site-R", ["-R"], "input-site.osm", ["r/site=2"], "output-site-R.osm"),
+        ("site-R-all", ["-R"], "input-site.osm", ["r/site"], "output-site-R-all.osm"),
+        ("site-t", ["-t"], "input-site.osm", ["r/site"], "output-site-t.osm"),
+    ]
+
+    @pytest.mark.parametrize("name,flags,inp,exprs,golden", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_tags_filter(self, spark, tmp_path, name, flags, inp, exprs, golden):
+        run_golden(spark, tmp_path,
+                   [*UPLOAD, "tags-filter", *flags,
+                    f"{REF}/tags-filter/{inp}", *exprs],
+                   f"{REF}/tags-filter/{golden}")
+
+
+class TestCheckRefsCliExitCodes:
+    """check-refs exit-code matrix incl. the order/ suite: WILL_FAIL cases
+    must exit nonzero (the reference runs CheckOrder per object —
+    command_check_refs.cpp:188,200,223)."""
+
+    OK = [
+        ("check-refs/okay.osm", []),
+        ("check-refs/okay.osm", ["-r"]),
+        ("check-refs/way-okay.osm", []),
+        ("check-refs/okay-r-in-r.osm", ["-r"]),
+    ]
+    FAIL = [
+        ("check-refs/fail-n-in-w.osm", []),
+        ("check-refs/way-okay.osm", ["-r"]),
+        ("check-refs/fail-n-in-r.osm", ["-r"]),
+        ("check-refs/fail-w-in-r.osm", ["-r"]),
+        ("check-refs/fail-r-in-r-1.osm", ["-r"]),
+        ("check-refs/fail-r-in-r-2.osm", ["-r"]),
+        ("order/fail-order-n.osm", []),
+        ("order/fail-order-w.osm", []),
+        ("order/fail-order-r.osm", ["-r"]),
+        ("order/fail-order-wn.osm", []),
+        ("order/fail-order-rw.osm", []),
+    ]
+
+    @pytest.mark.parametrize("inp,opts", OK, ids=[f"ok-{c[0].split('/')[1]}{'-r' if c[1] else ''}" for c in OK])
+    def test_okay(self, spark, inp, opts):
+        assert main(["check-refs", *opts, f"{REF}/{inp}"], spark=spark) == 0
+
+    @pytest.mark.parametrize("inp,opts", FAIL, ids=[f"fail-{c[0].split('/')[1]}{'-r' if c[1] else ''}" for c in FAIL])
+    def test_fail(self, spark, inp, opts):
+        assert main(["check-refs", *opts, f"{REF}/{inp}"], spark=spark) != 0
