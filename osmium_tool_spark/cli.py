@@ -109,7 +109,7 @@ def _xml_in_opts(paths: list[str]) -> dict:
 
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
            sort: bool = True, boxes: list | None = None,
-           in_opts: dict | None = None) -> None:
+           in_opts: dict | None = None, propagate_opts: bool = True) -> None:
     if out.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
@@ -132,7 +132,16 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml
 
-        merged = {**(in_opts or {}), **_OUTPUT_HEADER}
+        merged = dict(in_opts or {}) if propagate_opts else {}
+        for k, v in _OUTPUT_HEADER.items():
+            if v is None:  # OPTION! -> copy from input header
+                iv = (in_opts or {}).get(k)
+                if iv is not None:
+                    merged[k] = iv
+                else:
+                    merged.pop(k, None)
+            else:
+                merged[k] = v
         write_osm_xml(
             canonical_sort(df) if sort else df, out,
             with_visible=out.endswith(".osh"),
@@ -219,6 +228,12 @@ def build_parser() -> argparse.ArgumentParser:
     def io(sp, n_inputs="+"):
         sp.add_argument("input", nargs=n_inputs)
         sp.add_argument("-o", "--output", required=True)
+        # the reference accepts these after the command word too; SUPPRESS
+        # keeps the pre-command value when not given (argparse subparser
+        # defaults would clobber it otherwise)
+        sp.add_argument("--output-header", action="append", dest="output_header",
+                        default=argparse.SUPPRESS, metavar="KEY=VALUE")
+        sp.add_argument("--generator", dest="generator", default=argparse.SUPPRESS)
         return sp
 
     sp = io(sub.add_parser("cat", help="concatenate inputs, optional type filter"))
@@ -237,9 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--simplify", action="store_true")
 
     sp = io(sub.add_parser("extract"), n_inputs=1)
-    sp.add_argument("--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP degrees")
-    sp.add_argument("--polygon", default=None, help=".poly or .geojson file")
-    sp.add_argument("--config", default=None, help="multi-extract JSON config")
+    sp.add_argument("-b", "--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP degrees")
+    sp.add_argument("-p", "--polygon", default=None, help=".poly or .geojson file")
+    sp.add_argument("-c", "--config", default=None, help="multi-extract JSON config")
     sp.add_argument("-s", "--strategy", default="complete_ways",
                     choices=["simple", "complete_ways", "smart", "complete_ways_with_history"])
     sp.add_argument("-S", "--option", action="append", default=[],
@@ -416,7 +431,12 @@ def run(args, spark: SparkSession) -> int:
     _OUTPUT_HEADER.clear()
     for kv in getattr(args, "output_header", []) or []:
         k, _, v = kv.partition("=")
-        _OUTPUT_HEADER[k] = v
+        if not _ and k.endswith("!"):
+            # OPTION! = take the value from the input file header
+            # (osmium-output-headers.md:11-13)
+            _OUTPUT_HEADER[k[:-1]] = None
+        else:
+            _OUTPUT_HEADER[k] = v
     from . import operators  # noqa: F401
 
     cmd = args.command
@@ -454,7 +474,12 @@ def run(args, spark: SparkSession) -> int:
             _parse_extracts(args),
             strategy=args.strategy,
             relations=opts.get("relations", "true") != "false",
-            smart_types=(opts["types"].split(",") if "types" in opts else None),
+            # types=any/true/empty -> no type restriction
+            # (strategy_smart.cpp:75-78)
+            smart_types=(
+                ([] if opts["types"] in ("any", "true", "") else opts["types"].split(","))
+                if "types" in opts else None
+            ),
             complete_partial_relations_pct=(
                 int(opts["complete-partial-relations"])
                 if "complete-partial-relations" in opts
@@ -466,7 +491,10 @@ def run(args, spark: SparkSession) -> int:
             from .operators.sort_merge import cat
 
             out = cat([out], clean_attrs=args.clean)
-        _write(out, args.output)
+        # extract builds a FRESH output header (command_extract.cpp:633-641);
+        # input options reach it only via --output-header=OPTION!
+        _write(out, args.output, in_opts=_xml_in_opts(args.input),
+               propagate_opts=False)
     elif cmd == "tags-filter":
         from .operators.tags_filter import tags_filter
 

@@ -45,9 +45,12 @@ def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) 
     cpad = " " * (indent + 2)
     tag = TYPE_NAMES[r["type"]]
     parts = [f'<{tag} id="{r["id"]}"']
-    if r.get("version") is not None:
+    # 0 = unset for version/timestamp/changeset (libosmium convention;
+    # --clean zeroes attributes and the reference XML omits them —
+    # golden test/extract/output-clean.osm)
+    if r.get("version"):
         parts.append(f' version="{r["version"]}"')
-    if r.get("ts") is not None:
+    if r.get("ts"):
         parts.append(f' timestamp="{_ts(r["ts"])}"')
     # anonymous objects (uid 0 / empty user — PBF's encoding for unset)
     # omit both attributes, like the reference XML writer (no golden file
@@ -56,7 +59,7 @@ def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) 
         parts.append(f' uid="{r["uid"]}"')
     if r.get("user"):
         parts.append(f" user={_attr(r['user'])}")
-    if r.get("changeset") is not None:
+    if r.get("changeset"):
         parts.append(f' changeset="{r["changeset"]}"')
     if with_visible:
         parts.append(f' visible="{"true" if r.get("visible", True) else "false"}"')

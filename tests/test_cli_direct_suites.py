@@ -290,3 +290,97 @@ class TestCheckRefsCliExitCodes:
     @pytest.mark.parametrize("inp,opts", FAIL, ids=[f"fail-{c[0].split('/')[1]}{'-r' if c[1] else ''}" for c in FAIL])
     def test_fail(self, spark, inp, opts):
         assert main(["check-refs", *opts, f"{REF}/{inp}"], spark=spark) != 0
+
+
+class TestExtractCliGoldens:
+    """The committed extract matrix run DIRECTLY through the CLI
+    (test/extract/CMakeLists.txt): bbox/strategy/clean over 32-bit and
+    64-bit id inputs, the config-file path, --output-header=OPTION!
+    input-copy semantics, and the antimeridian OPL matrix."""
+
+    REF = "/root/reference/test/extract"
+
+    XML_CASES = [
+        ("clean", "input1.osm", "output-clean.osm",
+         ["--clean", "version", "--clean", "uid", "-b", "0,0,1.5,10"]),
+        ("simple", "input1.osm", "output-simple.osm",
+         ["-s", "simple", "--output-header", "xml_josm_upload!", "-b", "0,0,1.5,10"]),
+        ("complete_ways", "input1.osm", "output-complete-ways.osm",
+         ["-s", "complete_ways", "-b", "0,0,1.5,10"]),
+        ("complete_ways_norels", "input1.osm", "output-complete-ways-norels.osm",
+         ["-s", "complete_ways", "-S", "relations=false", "-b", "0,0,1.5,10"]),
+        ("smart_default", "input1.osm", "output-smart.osm",
+         ["-s", "smart", "-b", "0,0,1.5,10"]),
+        ("smart_mp", "input1.osm", "output-smart.osm",
+         ["-s", "smart", "-S", "types=multipolygon", "-b", "0,0,1.5,10"]),
+        ("smart_any", "input1.osm", "output-smart.osm",
+         ["-s", "smart", "-S", "types=any", "-b", "0,0,1.5,10"]),
+        ("smart_nonmp", "input1.osm", "output-smart-nonmp.osm",
+         ["-s", "smart", "-S", "types=x", "-b", "0,0,1.5,10"]),
+        ("clean64", "input64.osm", "output-clean64.osm",
+         ["--clean", "version", "--clean", "uid", "-b", "0,0,1.5,10"]),
+        ("simple64", "input64.osm", "output-simple64.osm",
+         ["-s", "simple", "--output-header", "xml_josm_upload!", "-b", "0,0,1.5,10"]),
+        ("complete_ways64", "input64.osm", "output-complete-ways64.osm",
+         ["-s", "complete_ways", "-b", "0,0,1.5,10"]),
+        ("complete_ways_norels64", "input64.osm", "output-complete-ways-norels64.osm",
+         ["-s", "complete_ways", "-S", "relations=false", "-b", "0,0,1.5,10"]),
+        ("smart_default64", "input64.osm", "output-smart64.osm",
+         ["-s", "smart", "-b", "0,0,1.5,10"]),
+        ("smart_mp64", "input64.osm", "output-smart64.osm",
+         ["-s", "smart", "-S", "types=multipolygon", "-b", "0,0,1.5,10"]),
+        ("smart_any64", "input64.osm", "output-smart64.osm",
+         ["-s", "smart", "-S", "types=any", "-b", "0,0,1.5,10"]),
+        ("smart_nonmp64", "input64.osm", "output-smart-nonmp64.osm",
+         ["-s", "smart", "-S", "types=x", "-b", "0,0,1.5,10"]),
+        ("cfg_simple", "input1.osm", "output-simple.osm",
+         ["-s", "simple", "--output-header", "xml_josm_upload=false",
+          "-c", f"{REF}/config.json"]),
+        ("way_starts_outside", "input-way-starts-outside.osm",
+         "output-simple-way-starts-outside.osm",
+         ["-s", "simple", "-b", "0,0,1.5,10"]),
+    ]
+
+    @pytest.mark.parametrize("name,inp,golden,opts", XML_CASES,
+                             ids=[c[0] for c in XML_CASES])
+    def test_extract_xml(self, spark, tmp_path, name, inp, golden, opts):
+        run_golden(spark, tmp_path,
+                   ["extract", *opts, f"{self.REF}/{inp}"],
+                   f"{self.REF}/{golden}")
+
+    OPL_CASES = [
+        ("am-east-bbox", "antimeridian.opl", "output-antimeridian-east.opl",
+         ["--bbox=160,60,180,80"]),
+        ("am-west-bbox", "antimeridian.opl", "output-antimeridian-west.opl",
+         ["--bbox=-180,60,-160,80"]),
+        ("am-east-poly", "antimeridian.opl", "output-antimeridian-east.opl",
+         ["--polygon=" + f"{REF}/polygon-russia-east.geojson"]),
+        ("am-west-poly", "antimeridian.opl", "output-antimeridian-west.opl",
+         ["--polygon=" + f"{REF}/polygon-russia-west.geojson"]),
+        ("am-both-poly", "antimeridian.opl", "output-antimeridian-both.opl",
+         ["--polygon=" + f"{REF}/polygon-russia-all.geojson"]),
+        ("am-reverse-poly", "antimeridian.opl", "output-antimeridian-both.opl",
+         ["--polygon=" + f"{REF}/polygon-russia-reverse.geojson"]),
+        ("alaska-east-json", "w42394837.osm", "w42394837.opl",
+         ["--polygon=" + f"{REF}/polygon-us-alaska.geojson"]),
+        ("alaska-west-json", "w46113981.osm", "w46113981.opl",
+         ["--polygon=" + f"{REF}/polygon-us-alaska.geojson"]),
+        ("alaska-east-poly", "w42394837.osm", "w42394837.opl",
+         ["--polygon=" + f"{REF}/polygon-us-alaska.poly"]),
+        ("alaska-west-poly", "w46113981.osm", "w46113981.opl",
+         ["--polygon=" + f"{REF}/polygon-us-alaska.poly"]),
+        ("alaska-east-nofeature", "w42394837.osm", "w42394837.opl",
+         ["--polygon=" + f"{REF}/polygon-us-alaska-no-feature.geojson"]),
+    ]
+
+    @pytest.mark.parametrize("name,inp,golden,opts", OPL_CASES,
+                             ids=[c[0] for c in OPL_CASES])
+    def test_extract_opl(self, spark, tmp_path, name, inp, golden, opts):
+        out = str(tmp_path / "out.opl")
+        rc = main(["--generator", "test", "extract", *opts,
+                   f"{self.REF}/{inp}", "-o", out], spark=spark)
+        assert rc == 0
+        got = "".join(p.read_text()
+                      for p in sorted(pathlib.Path(out).glob("part-*"))) \
+            if pathlib.Path(out).is_dir() else open(out).read()
+        assert got == open(f"{self.REF}/{golden}").read()
