@@ -385,17 +385,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-i", "--ignore-missing-nodes", action="store_true")
     sp.add_argument("--keep-member-nodes", action="store_true")
 
+    # short flags per command_changeset_filter.cpp:50-61 — NOTE -b is
+    # BEFORE and -B is bbox here, unlike extract's -b
     sp = io(sub.add_parser("changeset-filter"), n_inputs=1)
     sp.add_argument("--open", dest="open_", action="store_true", default=None)
     sp.add_argument("--closed", dest="closed", action="store_true", default=None)
-    sp.add_argument("--with-changes", action="store_true", default=None)
+    sp.add_argument("-c", "--with-changes", action="store_true", default=None)
+    sp.add_argument("-C", "--without-changes", action="store_true", default=None)
     sp.add_argument("-d", "--with-discussion", dest="with_discussion", action="store_true", default=None)
     sp.add_argument("-D", "--without-discussion", dest="without_discussion", action="store_true", default=None)
-    sp.add_argument("--uid", type=int, default=None)
-    sp.add_argument("--user", default=None)
-    sp.add_argument("--after", type=int, default=None)
-    sp.add_argument("--before", type=int, default=None)
-    sp.add_argument("-b", "--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP fixed-point")
+    sp.add_argument("-U", "--uid", type=int, default=None)
+    sp.add_argument("-u", "--user", default=None)
+    sp.add_argument("-a", "--after", default=None,
+                    help="ISO yyyy-mm-ddThh:mm:ssZ or epoch-micros")
+    sp.add_argument("-b", "--before", default=None,
+                    help="ISO yyyy-mm-ddThh:mm:ssZ or epoch-micros")
+    sp.add_argument("-B", "--bbox", default=None,
+                    help="LEFT,BOTTOM,RIGHT,TOP degrees (or fixed-point ints)")
+    sp.add_argument("-f", "--output-format", dest="output_format", default=None,
+                    choices=["osm", "xml", "parquet"])
 
     sp = sub.add_parser("show")
     sp.add_argument("input", nargs=1)
@@ -900,21 +908,62 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "changeset-filter":
         from .operators.changesets import changeset_filter
 
+        def cs_time(v):
+            # ISO like the reference (command_changeset_filter.cpp:125-141)
+            # or epoch-micros for programmatic use
+            if v is None:
+                return None
+            try:
+                return int(v)
+            except ValueError:
+                import calendar as _cal
+                import time as _t
+
+                return _cal.timegm(_t.strptime(v, "%Y-%m-%dT%H:%M:%SZ")) * 1_000_000
+
+        def cs_bbox(v):
+            # degrees (reference parse_bbox) scaled to fixed-point; values
+            # beyond any valid degree are taken as already-scaled ints
+            if v is None:
+                return None
+            from .schema import COORD_SCALE
+
+            parts = [float(x) for x in v.split(",")]
+            if len(parts) != 4:
+                raise ValueError("--bbox needs LEFT,BOTTOM,RIGHT,TOP")
+            if all(abs(p) <= 360 for p in parts):
+                return tuple(int(round(p * COORD_SCALE)) for p in parts)
+            return tuple(int(p) for p in parts)
+
         open_ = True if args.open_ else (False if args.closed else None)
-        bbox = tuple(int(x) for x in args.bbox.split(",")) if args.bbox else None
-        discussion = True if args.with_discussion else (False if args.without_discussion else None)
+        changes = True if args.with_changes else (
+            False if args.without_changes else None)
+        discussion = True if args.with_discussion else (
+            False if args.without_discussion else None)
+        src = args.input[0]
+        if src.endswith((".osm", ".xml", ".osm.gz", ".osm.bz2")):
+            from .sources.osmxml import read_changesets_xml
+
+            cs = read_changesets_xml(spark, src)
+        else:
+            cs = _read(spark, args.input)
         out = changeset_filter(
-            _read(spark, args.input),
+            cs,
             open_=open_,
-            with_changes=args.with_changes,
+            with_changes=changes,
             with_discussion=discussion,
             uid=args.uid,
             user=args.user,
-            after=args.after,
-            before=args.before,
-            bbox=bbox,
+            after=cs_time(args.after),
+            before=cs_time(args.before),
+            bbox=cs_bbox(args.bbox),
         )
-        out.write.mode("overwrite").parquet(args.output)
+        if args.output_format in ("osm", "xml") or args.output.endswith(".osm"):
+            from .sinks.osmxml import write_changesets_xml
+
+            write_changesets_xml(out, args.output, generator=_GENERATOR[0])
+        else:
+            out.write.mode("overwrite").parquet(args.output)
     elif cmd == "show":
         from .functions.sortkeys import canonical_sort
         from .schema import NAME_TO_TYPE

@@ -139,6 +139,63 @@ def _entries_iter(entities: DataFrame):
         yield r
 
 
+def serialize_changeset_row(r: dict) -> str:
+    """One <changeset> element, byte-equal to the reference's changeset
+    XML writer (golden test/changeset-filter/output1-*.osm): 1-space
+    indent, attribute order id/created_at/closed_at/open/user/uid/
+    bbox(min_lat,min_lon,max_lat,max_lon)/num_changes/comments_count;
+    closed_at omitted while open, bbox omitted when unset, coordinates
+    trailing-zero-trimmed like node lat/lon."""
+    parts = [f' <changeset id="{r["id"]}"']
+    if r.get("created_at") is not None:
+        parts.append(f' created_at="{_ts(r["created_at"])}"')
+    if not r.get("open") and r.get("closed_at") is not None:
+        parts.append(f' closed_at="{_ts(r["closed_at"])}"')
+    parts.append(f' open="{"true" if r.get("open") else "false"}"')
+    if r.get("user"):
+        parts.append(f" user={_attr(r['user'])}")
+    if r.get("uid") is not None:
+        parts.append(f' uid="{r["uid"]}"')
+    if r.get("min_lon") is not None and r.get("min_lat") is not None:
+        parts.append(
+            f' min_lat="{_coord(r["min_lat"])}" min_lon="{_coord(r["min_lon"])}"'
+            f' max_lat="{_coord(r["max_lat"])}" max_lon="{_coord(r["max_lon"])}"'
+        )
+    parts.append(f' num_changes="{r.get("num_changes") or 0}"')
+    parts.append(f' comments_count="{r.get("num_comments") or 0}"')
+    tags = r.get("tags") or []  # array<struct<k,v>> — document order
+    if not tags:
+        parts.append("/>")
+        return "".join(parts)
+    parts.append(">\n")
+    for t in tags:
+        parts.append(f"  <tag k={_attr(t['k'])} v={_attr(t['v'])}/>\n")
+    parts.append(" </changeset>")
+    return "".join(parts)
+
+
+def write_changesets_xml(
+    changesets: DataFrame, path: str, generator: str = "test"
+) -> None:
+    """Stream a changeset frame (sources/osmxml.CHANGESET_SCHEMA) to one
+    XML file, id-ordered (the reference streams input order; every
+    committed fixture is id-ordered, so the id sort is the same order
+    made deterministic)."""
+    from pyspark.sql import functions as F
+
+    if "tags" not in changesets.columns:
+        changesets = changesets.withColumn(
+            "tags", F.lit(None).cast("array<struct<k:string,v:string>>")
+        )
+    with open(path, "w") as f:
+        f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
+        f.write(f'<osm version="0.6" generator={_attr(generator)}>\n')
+        for row in changesets.orderBy("id").toLocalIterator():
+            f.write(serialize_changeset_row(row.asDict(recursive=True)))
+            f.write("\n")
+        f.write("</osm>\n")
+
+
 def write_osm_change(
     entities: DataFrame, path: str, generator: str = "test"
 ) -> None:

@@ -341,7 +341,9 @@ def read_osm_xml(
 CHANGESET_SCHEMA = (
     "id long, created_at long, closed_at long, open boolean, uid int, "
     "user string, num_changes long, num_comments long, "
-    "min_lon long, min_lat long, max_lon long, max_lat long"
+    "min_lon long, min_lat long, max_lon long, max_lat long, "
+    "tags array<struct<k:string,v:string>>"  # array, not map: preserves
+    # document tag order through createDataFrame (maps may re-bucket)
 )
 
 
@@ -381,6 +383,7 @@ def read_changesets_xml(spark: SparkSession, path: str) -> DataFrame:
                 "min_lat": coord("min_lat"),
                 "max_lon": coord("max_lon"),
                 "max_lat": coord("max_lat"),
+                "tags": [(t.get("k"), t.get("v")) for t in el if t.tag == "tag"],
             }
         )
     return spark.createDataFrame(rows, CHANGESET_SCHEMA)

@@ -384,3 +384,65 @@ class TestExtractCliGoldens:
                       for p in sorted(pathlib.Path(out).glob("part-*"))) \
             if pathlib.Path(out).is_dir() else open(out).read()
         assert got == open(f"{self.REF}/{golden}").read()
+
+
+class TestChangesetFilterCliGoldens:
+    """The full committed changeset-filter matrix run DIRECTLY through
+    the CLI (test/changeset-filter/CMakeLists.txt, 51 cases): predicate
+    flags, the 15+15 after/before boundary sweeps over both inputs, and
+    bbox overlap — XML changesets in, byte-golden XML changesets out."""
+
+    REF = "/root/reference/test/changeset-filter"
+
+    CASES = [
+        ("no-option", [], "input1.osm", "output1-all.osm"),
+        ("with-discussion", ["--with-discussion"], "input1.osm", "output-empty.osm"),
+        ("without-discussion", ["--without-discussion"], "input1.osm", "output1-all.osm"),
+        ("with-changes", ["--with-changes"], "input1.osm", "output1-first.osm"),
+        ("without-changes", ["--without-changes"], "input1.osm", "output1-second.osm"),
+        ("open", ["--open"], "input1.osm", "output-empty.osm"),
+        ("closed", ["--closed"], "input1.osm", "output1-all.osm"),
+        ("user", ["--user=Elbert"], "input1.osm", "output1-first.osm"),
+        ("uid", ["--uid=1233268"], "input1.osm", "output1-second.osm"),
+        ("e-open", ["--open"], "input-open.osm", "output-open.osm"),
+        ("e-closed", ["--closed"], "input-open.osm", "output-empty.osm"),
+    ] + [
+        (f"after{i:02d}", [f"--after=2013-03-22T{t}Z"], "input1.osm", out)
+        for i, (t, out) in enumerate([
+            ("02:08:50", "output1-all.osm"), ("02:08:54", "output1-all.osm"),
+            ("02:08:55", "output1-all.osm"), ("02:08:56", "output1-all.osm"),
+            ("02:08:57", "output1-all.osm"), ("02:08:58", "output1-all.osm"),
+            ("02:08:59", "output1-second.osm"), ("02:09:00", "output1-second.osm"),
+            ("02:09:10", "output1-second.osm"), ("02:09:11", "output1-second.osm"),
+            ("02:09:12", "output1-second.osm"), ("03:09:10", "output1-second.osm"),
+            ("03:09:11", "output1-second.osm"), ("03:09:12", "output-empty.osm"),
+            ("03:09:20", "output-empty.osm"),
+        ], start=1)
+    ] + [
+        (f"e-after{i}", [f"--after=2013-03-22T04:20:2{s}Z"], "input-open.osm", "output-open.osm")
+        for i, s in enumerate([4, 5, 6], start=1)
+    ] + [
+        (f"before{i:02d}", [f"--before=2013-03-22T{t}Z"], "input1.osm", out)
+        for i, (t, out) in enumerate([
+            ("02:08:50", "output-empty.osm"), ("02:08:54", "output-empty.osm"),
+            ("02:08:55", "output1-first.osm"), ("02:08:56", "output1-first.osm"),
+            ("02:08:57", "output1-first.osm"), ("02:08:58", "output1-first.osm"),
+            ("02:08:59", "output1-first.osm"), ("02:09:00", "output1-first.osm"),
+            ("02:09:10", "output1-first.osm"), ("02:09:11", "output1-all.osm"),
+            ("02:09:12", "output1-all.osm"), ("03:09:10", "output1-all.osm"),
+            ("03:09:11", "output1-all.osm"), ("03:09:12", "output1-all.osm"),
+            ("03:09:20", "output1-all.osm"),
+        ], start=1)
+    ] + [
+        ("e-before1", ["--before=2013-03-22T04:20:24Z"], "input-open.osm", "output-empty.osm"),
+        ("e-before2", ["--before=2013-03-22T04:20:25Z"], "input-open.osm", "output-open.osm"),
+        ("e-before3", ["--before=2013-03-22T04:20:26Z"], "input-open.osm", "output-open.osm"),
+        ("bbox1", ["--bbox", "120,-11,121,-10"], "input1.osm", "output1-first.osm"),
+        ("bbox2", ["--bbox", "130,-31,131,-30"], "input1.osm", "output-empty.osm"),
+    ]
+
+    @pytest.mark.parametrize("name,opts,inp,golden", CASES, ids=[c[0] for c in CASES])
+    def test_changeset_filter(self, spark, tmp_path, name, opts, inp, golden):
+        run_golden(spark, tmp_path,
+                   ["changeset-filter", "-f", "osm", *opts, f"{self.REF}/{inp}"],
+                   f"{self.REF}/{golden}")
