@@ -1031,7 +1031,90 @@ def run(args, spark: SparkSession) -> int:
     return 0
 
 
+_HELP_DESCRIPTIONS = [
+    ("add-locations-to-ways", "Add node locations to ways"),
+    ("apply-changes", "Apply OSM change files to OSM data file"),
+    ("cat", "Concatenate OSM files and convert to different formats"),
+    ("changeset-filter", "Filter OSM changesets by different criteria"),
+    ("check-refs", "Check referential integrity of an OSM file"),
+    ("create-locations-index", "Create node locations index on disk"),
+    ("derive-changes", "Create OSM change files from two OSM data files"),
+    ("diff", "Display differences between OSM files"),
+    ("export", "Export OSM data"),
+    ("extract", "Create geographical extracts"),
+    ("fileinfo", "Show information about OSM file"),
+    ("getid", "Get objects with given ID from OSM file"),
+    ("getparents", "Get parents of objects from OSM file"),
+    ("help", "Show osmium help"),
+    ("merge", "Merge several sorted OSM files into one"),
+    ("merge-changes", "Merge several OSM change files into one"),
+    ("query-locations-index", "Query node locations index on disk"),
+    ("removeid", "Remove objects with given IDs from OSM file"),
+    ("renumber", "Renumber IDs in OSM file"),
+    ("show", "Show OSM file contents"),
+    ("sort", "Sort OSM data files"),
+    ("tags-count", "Count OSM tags"),
+    ("tags-filter", "Filter OSM data based on tags"),
+    ("time-filter", "Filter OSM data from a point in time or a time span"),
+    ("version", "Show version"),
+]
+
+
+def _top_help() -> str:
+    """Top-level help in the reference's shape (main.cpp / help1-4
+    golden regex '^Usage: .*COMMANDS:')."""
+    lines = ["Usage: osmium_tool_spark COMMAND [ARG...]",
+             "       osmium_tool_spark --version", "", "COMMANDS:"]
+    width = max(len(n) for n, _ in _HELP_DESCRIPTIONS) + 2
+    lines += [f"  {n:<{width}}{d}" for n, d in _HELP_DESCRIPTIONS]
+    lines += ["", "TOPICS:", "  file-formats     File formats", "",
+              "Use 'osmium_tool_spark help COMMAND' for detailed help on a command."]
+    return "\n".join(lines) + "\n"
+
+
+def _dispatch_toplevel(argv: list[str]) -> int | None:
+    """The reference's pre-command dispatch (src/main.cpp:71-113): no
+    args / -h / --help / help -> usage text, --version / version ->
+    version block, unknown command -> fatal (exit 2) with the canonical
+    message. Returns None when a real command should proceed."""
+    known = {n for n, _ in _HELP_DESCRIPTIONS}
+    if not argv:
+        print(_top_help(), end="")
+        return 0
+    head = argv[0]
+    if head in ("-h", "--help", "help"):
+        topic = argv[1] if len(argv) > 1 else None
+        if topic is None:
+            print(_top_help(), end="")
+            return 0
+        if topic in known and topic not in ("help", "version"):
+            try:
+                build_parser().parse_args([topic, "-h"])
+            except SystemExit:
+                pass
+            return 0
+        print(f"Unknown help topic '{topic}'.", file=sys.stderr)
+        return 2
+    if head in ("--version", "version"):
+        import pyspark
+
+        print(f"osmium_tool_spark version {_GENERATOR[0].rsplit('/', 1)[-1]}")
+        print(f"pyspark version {pyspark.__version__}")
+        print("Supported PBF compression types: none zlib")
+        return 0
+    if head.startswith("-") or head in known:
+        return None  # global flags / real command: argparse takes over
+    print(f"Unknown command or option '{head}'. "
+          "Try 'osmium_tool_spark help'.", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    rc = _dispatch_toplevel(argv)
+    if rc is not None:
+        return rc
     args = build_parser().parse_args(argv)
     own_session = spark is None
     if own_session:

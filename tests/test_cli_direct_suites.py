@@ -446,3 +446,43 @@ class TestChangesetFilterCliGoldens:
         run_golden(spark, tmp_path,
                    ["changeset-filter", "-f", "osm", *opts, f"{self.REF}/{inp}"],
                    f"{self.REF}/{golden}")
+
+
+class TestHelpAndMiscCli:
+    """test/help + test/misc CMakeLists matrices, prog-name adapted:
+    usage text shape, version output, unknown command/topic messages
+    and the reference's fatal exit code (main.cpp:71-113)."""
+
+    import re as _re
+
+    def test_help_noargs(self, capsys):
+        assert main([]) == 0
+        out = capsys.readouterr().out
+        assert self._re.match(r"^Usage: (?s:.)*COMMANDS:", out)
+
+    @pytest.mark.parametrize("argv", [["help"], ["--help"], ["-h"]],
+                             ids=["help", "--help", "-h"])
+    def test_help_forms(self, capsys, argv):
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert self._re.match(r"^Usage: (?s:.)*COMMANDS:", out)
+
+    def test_help_topic_command(self, capsys):
+        assert main(["help", "cat"]) == 0
+        assert "cat" in capsys.readouterr().out
+
+    def test_help_topic_unknown(self, capsys):
+        assert main(["help", "x"]) == 2
+        assert capsys.readouterr().err == "Unknown help topic 'x'.\n"
+
+    @pytest.mark.parametrize("argv", [["--version"], ["version"]],
+                             ids=["--version", "version"])
+    def test_version(self, capsys, argv):
+        assert main(argv) == 0
+        assert self._re.match(r"^osmium_tool_spark version \d",
+                              capsys.readouterr().out)
+
+    def test_unknown_command(self, capsys):
+        assert main(["x"]) == 2
+        assert capsys.readouterr().err == \
+            "Unknown command or option 'x'. Try 'osmium_tool_spark help'.\n"
