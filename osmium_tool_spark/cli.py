@@ -574,8 +574,21 @@ def run(args, spark: SparkSession) -> int:
         # (command_renumber.cpp:139-146)
         s = [int(x) or 1 for x in args.start_id.split(",")]
         s += [s[-1]] * (3 - len(s))
+        ents = _read(spark, args.input)
+        # the reference's renumber maps ids in stream order behind a
+        # CheckOrder pass (renumber-fail-order-* WILL_FAIL tests); our
+        # sorted-order mapping equals it ONLY for ordered input, so
+        # unordered input is the same fatal error
+        from pyspark.sql import functions as F
+
+        from .operators.sort_merge import validate_order
+
+        seq = ents.withColumn("seq", F.monotonically_increasing_id())
+        if validate_order(seq).limit(1).count():
+            print("renumber: input file is not ordered", file=sys.stderr)
+            return 1
         out = renumber(
-            _read(spark, args.input),
+            ents,
             {NODE: s[0], WAY: s[1], RELATION: s[2]},
             index_dir=args.index_dir,
             object_types=_types(args.object_type),

@@ -486,3 +486,18 @@ class TestHelpAndMiscCli:
         assert main(["x"]) == 2
         assert capsys.readouterr().err == \
             "Unknown command or option 'x'. Try 'osmium_tool_spark help'.\n"
+
+
+class TestRenumberFailOrderCli:
+    """renumber-fail-order-* (test/renumber/CMakeLists.txt:40-53,
+    WILL_FAIL): renumber's id mapping is stream-order-defined, so
+    unordered input is a fatal error, like the reference's CheckOrder."""
+
+    CASES = ["fail-order-n.osm", "fail-order-w.osm", "fail-order-r.osm",
+             "fail-order-wn.osm", "fail-order-rw.osm"]
+
+    @pytest.mark.parametrize("inp", CASES, ids=[c.split(".")[0] for c in CASES])
+    def test_fail(self, spark, tmp_path, inp):
+        out = str(tmp_path / "out.osm")
+        assert main(["renumber", f"{REF}/order/{inp}", "-o", out],
+                    spark=spark) != 0
