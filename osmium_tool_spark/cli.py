@@ -128,7 +128,7 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
 
         write_osm_change(canonical_sort(df) if sort else df, out,
                          generator=_GENERATOR[0])
-    elif out.endswith((".osm", ".osh")):
+    elif out.endswith((".osm", ".osh")) or fmt in ("osm", "xml", "osh"):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml
 
@@ -198,7 +198,36 @@ def _parse_extracts(args) -> list:
             rings = parse_poly(text)
         extracts.append(Extract.polygon(0, [np.asarray(r) for r in rings]))
     elif args.config:
+        import os as _os
+
         cfg = json.load(open(args.config))
+        cfg_dir = _os.path.dirname(_os.path.abspath(args.config))
+
+        def rings_from_file(spec):
+            # polygon/multipolygon as "file.poly" or
+            # {"file_name": ..., "file_type": ...}, relative paths
+            # resolved against the config file's directory
+            # (command_extract.cpp:185-277)
+            if isinstance(spec, dict):
+                fname = spec["file_name"]
+                ftype = spec.get("file_type")
+            else:
+                fname, ftype = spec, None
+            if not _os.path.isabs(fname):
+                fname = _os.path.join(cfg_dir, fname)
+            text = open(fname).read()
+            if ftype is None:
+                ftype = fname.rsplit(".", 1)[-1]
+            if ftype in ("geojson", "json"):
+                return parse_geojson(text)
+            if ftype in ("osm", "xml"):
+                return parse_osm_file(text, fmt="xml")
+            if ftype == "opl":
+                return parse_osm_file(text, fmt="opl")
+            if ftype == "poly":
+                return parse_poly(text)
+            raise ValueError(f"unknown polygon file type: {ftype}")
+
         for i, e in enumerate(cfg["extracts"]):
             if "bbox" in e:
                 b = e["bbox"]
@@ -208,12 +237,33 @@ def _parse_extracts(args) -> list:
                     )
                 else:
                     extracts.append(Extract.bbox(i, *b))
-            elif "polygon" in e:
-                rings = [np.array([[fp(x), fp(y)] for x, y in ring], dtype="int64") for ring in e["polygon"]]
+            elif "polygon" in e or "multipolygon" in e:
+                spec = e.get("polygon", e.get("multipolygon"))
+                if isinstance(spec, list):
+                    rings = [
+                        np.array([[fp(x), fp(y)] for x, y in ring], dtype="int64")
+                        for ring in (spec if isinstance(spec[0][0], (list, tuple)) else [spec])
+                    ]
+                else:
+                    rings = [np.asarray(r) for r in rings_from_file(spec)]
                 extracts.append(Extract.polygon(i, rings))
+            else:
+                raise ValueError(
+                    f"extract {i}: need bbox, polygon or multipolygon")
+        metas = [
+            {
+                "output": e.get("output"),
+                "output_format": e.get("output_format"),
+                "output_header": e.get("output_header") or {},
+                "description": e.get("description"),
+            }
+            for e in cfg["extracts"]
+        ]
+        directory = args.directory or cfg.get("directory") or cfg_dir
+        return extracts, metas, directory
     if not extracts:
         raise SystemExit("extract: need --bbox, --polygon or --config")
-    return extracts
+    return extracts, None, None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -251,14 +301,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("merge-changes"))
     sp.add_argument("--simplify", action="store_true")
 
-    sp = io(sub.add_parser("extract"), n_inputs=1)
+    sp = sub.add_parser("extract")
+    sp.add_argument("input", nargs=1)
+    # -o is optional here: config mode writes each extract's own
+    # "output" file (command_extract.cpp:356-401); -o overrides with a
+    # single unioned output
+    sp.add_argument("-o", "--output", default=None)
+    sp.add_argument("--output-header", action="append", dest="output_header",
+                    default=argparse.SUPPRESS, metavar="KEY=VALUE")
+    sp.add_argument("--generator", dest="generator", default=argparse.SUPPRESS)
     sp.add_argument("-b", "--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP degrees")
     sp.add_argument("-p", "--polygon", default=None, help=".poly or .geojson file")
     sp.add_argument("-c", "--config", default=None, help="multi-extract JSON config")
+    sp.add_argument("-d", "--directory", default=None,
+                    help="output directory for config-mode extracts")
     sp.add_argument("-s", "--strategy", default="complete_ways",
                     choices=["simple", "complete_ways", "smart", "complete_ways_with_history"])
     sp.add_argument("-S", "--option", action="append", default=[],
                     help="strategy options, e.g. relations=false, types=multipolygon")
+    sp.add_argument("-H", "--with-history", action="store_true",
+                    help="input/outputs are history files (complete_ways only)")
+    sp.add_argument("--set-bounds", action="store_true",
+                    help="write the extract bbox into the output header bounds")
     sp.add_argument("--clean", action="append", default=[],
                     help="zero out attributes on output (version/changeset/ts/uid/user)")
 
@@ -476,11 +540,20 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "extract":
         from .operators.extract import extract
 
+        strategy = args.strategy
+        if args.with_history:
+            # command_extract.cpp:424-439: only complete_ways supports
+            # history input
+            if strategy in ("simple", "smart"):
+                raise ValueError(
+                    f"The '{strategy}' strategy is not supported for history files.")
+            strategy = "complete_ways_with_history"
         opts = dict(o.split("=", 1) for o in args.option)
+        extracts, metas, directory = _parse_extracts(args)
         out = extract(
             _read(spark, args.input),
-            _parse_extracts(args),
-            strategy=args.strategy,
+            extracts,
+            strategy=strategy,
             relations=opts.get("relations", "true") != "false",
             # types=any/true/empty -> no type restriction
             # (strategy_smart.cpp:75-78)
@@ -494,15 +567,63 @@ def run(args, spark: SparkSession) -> int:
                 else None
             ),
         )
-        out = out.drop("extract_id")
-        if args.clean:
+
+        def clean(df):
+            if not args.clean:
+                return df
             from .operators.sort_merge import cat
 
-            out = cat([out], clean_attrs=args.clean)
+            return cat([df], clean_attrs=args.clean)
+
+        def bounds(ex):
+            from .schema import COORD_SCALE
+
+            if args.set_bounds:
+                return [[c / COORD_SCALE
+                         for c in (ex.minx, ex.miny, ex.maxx, ex.maxy)]]
+            return None
+
         # extract builds a FRESH output header (command_extract.cpp:633-641);
         # input options reach it only via --output-header=OPTION!
-        _write(out, args.output, in_opts=_xml_in_opts(args.input),
-               propagate_opts=False)
+        if args.output is not None:
+            _write(clean(out.drop("extract_id")), args.output,
+                   in_opts=_xml_in_opts(args.input), propagate_opts=False,
+                   boxes=bounds(extracts[0]) if len(extracts) == 1 else None)
+        elif metas is not None:
+            # config mode: each extract writes its own "output" file in
+            # one pass over the (cached) assignment
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            out = out.cache()
+            try:
+                for ex, meta in zip(extracts, metas):
+                    if not meta["output"] or meta["output"] == "-":
+                        raise ValueError(
+                            "config extract without an output file needs -o")
+                    dst = meta["output"]
+                    if not _os.path.isabs(dst):
+                        dst = _os.path.join(directory, dst)
+                    part = clean(
+                        out.filter(F.col("extract_id") == ex.extract_id)
+                        .drop("extract_id"))
+                    saved = dict(_OUTPUT_HEADER)
+                    try:
+                        for k, v in (meta["output_header"] or {}).items():
+                            # JSON null = copy from input header (the
+                            # config-file spelling of OPTION!)
+                            _OUTPUT_HEADER[k] = None if v is None else str(v)
+                        _write(part, dst, fmt=meta["output_format"] or "parquet",
+                               in_opts=_xml_in_opts(args.input),
+                               propagate_opts=False, boxes=bounds(ex))
+                    finally:
+                        _OUTPUT_HEADER.clear()
+                        _OUTPUT_HEADER.update(saved)
+            finally:
+                out.unpersist()
+        else:
+            raise ValueError("extract without --config needs -o/--output")
     elif cmd == "tags-filter":
         from .operators.tags_filter import tags_filter
 

@@ -501,3 +501,68 @@ class TestRenumberFailOrderCli:
         out = str(tmp_path / "out.osm")
         assert main(["renumber", f"{REF}/order/{inp}", "-o", out],
                     spark=spark) != 0
+
+
+class TestExtractConfigMode:
+    """Config-file multi-extract semantics (command_extract.cpp:322-413):
+    per-extract output files written in one pass, file-referenced
+    polygons resolved against the config directory, output_header null =
+    copy-from-input, -H strategy gating, --set-bounds header."""
+
+    REF = "/root/reference/test/extract"
+
+    def test_multi_output_per_extract(self, spark, tmp_path):
+        import json as _json
+
+        cfg = {
+            "directory": str(tmp_path),
+            "extracts": [
+                {"output": "a.osm", "output_format": "osm",
+                 "bbox": [0, 0, 1.5, 10],
+                 "output_header": {"xml_josm_upload": None}},
+                {"output": "b.osm",
+                 "polygon": f"{self.REF}/polygon-us-alaska.geojson"},
+            ],
+        }
+        cfgp = tmp_path / "cfg.json"
+        cfgp.write_text(_json.dumps(cfg))
+        rc = main(["--generator", "test", "extract", "-s", "simple",
+                   "-c", str(cfgp), f"{self.REF}/input1.osm"], spark=spark)
+        assert rc == 0
+        # extract 0 == the committed simple golden (null header value
+        # copied upload=false from the input, like OPTION!)
+        assert (tmp_path / "a.osm").read_text() == \
+            open(f"{self.REF}/output-simple.osm").read()
+        # extract 1: Alaska polygon matches nothing in input1
+        assert "<node" not in (tmp_path / "b.osm").read_text()
+
+    def test_config_relative_polygon_path(self, spark, tmp_path):
+        import json as _json
+        import shutil
+
+        shutil.copy(f"{self.REF}/polygon-us-alaska.poly", tmp_path / "ak.poly")
+        cfg = {"extracts": [{"output": "c.osm", "polygon": "ak.poly"}]}
+        (tmp_path / "cfg.json").write_text(_json.dumps(cfg))
+        rc = main(["extract", "-s", "simple", "-c", str(tmp_path / "cfg.json"),
+                   f"{self.REF}/input1.osm"], spark=spark)
+        assert rc == 0 and (tmp_path / "c.osm").exists()
+
+    @pytest.mark.parametrize("strategy", ["simple", "smart"])
+    def test_with_history_rejects_nonhistory_strategy(self, spark, tmp_path, strategy):
+        rc = main(["extract", "-H", "-s", strategy, "-b", "0,0,1.5,10",
+                   f"{self.REF}/input1.osm", "-o", str(tmp_path / "h.osm")],
+                  spark=spark)
+        assert rc == 2
+
+    def test_set_bounds_header(self, spark, tmp_path):
+        out = tmp_path / "sb.osm"
+        rc = main(["--generator", "test", "extract", "--set-bounds",
+                   "-s", "simple", "-b", "0,0,1.5,10",
+                   f"{self.REF}/input1.osm", "-o", str(out)], spark=spark)
+        assert rc == 0
+        assert '<bounds minlat="0" minlon="0" maxlat="10" maxlon="1.5"/>' \
+            in out.read_text()
+
+    def test_no_config_no_output_errors(self, spark, tmp_path):
+        assert main(["extract", "-b", "0,0,1,1",
+                     f"{self.REF}/input1.osm"], spark=spark) == 2
