@@ -61,9 +61,10 @@ def _fields(buf: bytes):
         yield tag, wt, val
 
 
-# Blob compression fields by protobuf tag (fileformat.proto). Only raw
-# (1) and zlib (3) are implemented; the reference throws on codecs it
-# was not built with, and so do we rather than silently skipping blobs.
+# Blob compression fields by protobuf tag (fileformat.proto). raw (1),
+# zlib (3), lzma (4) and bzip2 (5) are implemented (the latter two via
+# stdlib); the reference throws on codecs it was not built with, and so
+# do we for lz4/zstd rather than silently skipping blobs.
 _BLOB_CODECS = {1: "raw", 3: "zlib", 4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
 
 # HeaderBlock required_features the reader actually honors
@@ -75,9 +76,11 @@ def decompress_blob(blob: bytes) -> bytes:
     """Decode one Blob message -> uncompressed payload bytes.
 
     Raises ValueError on compression codecs this reader does not
-    implement (lzma/bzip2/lz4/zstd) instead of returning nothing —
-    a valid .osm.pbf must never silently read as empty.
+    implement (lz4/zstd — not in the stdlib) instead of returning
+    nothing — a valid .osm.pbf must never silently read as empty.
     """
+    import bz2
+    import lzma
     import zlib
 
     seen: list[str] = []
@@ -86,11 +89,15 @@ def decompress_blob(blob: bytes) -> bytes:
             return val
         if tag == 3:
             return zlib.decompress(val)
+        if tag == 4:
+            return lzma.decompress(val)
+        if tag == 5:
+            return bz2.decompress(val)
         if tag in _BLOB_CODECS:
             seen.append(_BLOB_CODECS[tag])
     raise ValueError(
         "unsupported PBF blob compression "
-        f"{seen or ['<no data field>']}; only raw and zlib are supported"
+        f"{seen or ['<no data field>']}; raw/zlib/lzma/bzip2 are supported"
     )
 
 
@@ -393,7 +400,10 @@ def _make_blob_decoder(path: str):
         for pdf in batches:
             all_rows = []
             with open(path, "rb") as f:
-                codecs = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
+                import bz2 as _bz2
+                import lzma as _lzma
+
+                codecs = {6: "lz4", 7: "zstd"}
                 for off, size in zip(pdf["offset"], pdf["size"]):
                     f.seek(int(off))
                     blob = f.read(int(size))
@@ -404,13 +414,17 @@ def _make_blob_decoder(path: str):
                             raw = val
                         elif tag == 3:
                             raw = zlib.decompress(val)
+                        elif tag == 4:
+                            raw = _lzma.decompress(val)
+                        elif tag == 5:
+                            raw = _bz2.decompress(val)
                         elif tag in codecs:
                             seen.append(codecs[tag])
                     if raw is None:
                         raise ValueError(
                             "unsupported PBF blob compression "
-                            f"{seen or ['<no data field>']}; only raw and "
-                            "zlib are supported"
+                            f"{seen or ['<no data field>']}; raw/zlib/lzma/"
+                            "bzip2 are supported"
                         )
                     all_rows.extend(parse_block(raw))
             yield pd.DataFrame(all_rows, columns=cols)

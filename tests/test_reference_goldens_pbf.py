@@ -229,3 +229,78 @@ class TestPbfWriter:
         back = read_osm_pbf(spark, out)
         assert back.count() == n
         assert back.agg(F.sum("id")).collect()[0][0] == n * (n + 1) // 2
+
+
+class TestBlobCodecs:
+    """Blob codec matrix (fileformat.proto tags): lzma (4) and bzip2 (5)
+    decode via the stdlib; lz4/zstd (6/7) raise the reference-style
+    unsupported-compression error instead of reading as empty."""
+
+    SRC = "/root/reference/test/formats/f1.osm.pbf"
+
+    @staticmethod
+    def _recompress(src_path, dst_path, tag, compress):
+        """Rewrite every Blob's zlib_data/raw payload under another
+        codec tag, preserving the BlobHeader framing."""
+        import struct
+        import zlib as _z
+
+        from osmium_tool_spark.sources.pbf import _fields, decompress_blob
+
+        with open(src_path, "rb") as f, open(dst_path, "wb") as out:
+            while True:
+                hdr_len_raw = f.read(4)
+                if len(hdr_len_raw) < 4:
+                    break
+                (hdr_len,) = struct.unpack(">I", hdr_len_raw)
+                hdr = f.read(hdr_len)
+                datasize = None
+                for t, wt, val in _fields(hdr):
+                    if t == 3:
+                        datasize = val
+                blob = f.read(datasize)
+                raw = decompress_blob(blob)
+                comp = compress(raw)
+                # Blob: raw_size (tag 2, varint) + payload (tag, bytes)
+                def varint(n):
+                    b = b""
+                    while True:
+                        lo, n = n & 0x7F, n >> 7
+                        b += bytes([lo | (0x80 if n else 0)])
+                        if not n:
+                            return b
+                new_blob = (bytes([2 << 3]) + varint(len(raw))
+                            + bytes([(tag << 3) | 2]) + varint(len(comp)) + comp)
+                # BlobHeader datasize (tag 3) must be rewritten
+                new_hdr = b""
+                for t, wt, val in _fields(hdr):
+                    if t == 3:
+                        new_hdr += bytes([3 << 3]) + varint(len(new_blob))
+                    elif wt == 2:
+                        new_hdr += bytes([(t << 3) | 2]) + varint(len(val)) + val
+                    else:
+                        new_hdr += bytes([t << 3]) + varint(val)
+                out.write(struct.pack(">I", len(new_hdr)))
+                out.write(new_hdr)
+                out.write(new_blob)
+
+    @pytest.mark.parametrize("tag,mod", [(4, "lzma"), (5, "bz2")])
+    def test_lzma_bzip2_blobs_decode(self, spark, tmp_path, tag, mod):
+        import importlib
+
+        from osmium_tool_spark.sources.pbf import read_osm_pbf
+
+        m = importlib.import_module(mod)
+        dst = str(tmp_path / f"f1-{mod}.osm.pbf")
+        self._recompress(self.SRC, dst, tag, m.compress)
+        got = read_osm_pbf(spark, dst).orderBy("type", "id").collect()
+        want = read_osm_pbf(spark, self.SRC).orderBy("type", "id").collect()
+        assert got == want and len(got) > 0
+
+    def test_unsupported_codec_raises(self, spark, tmp_path):
+        from osmium_tool_spark.sources.pbf import read_osm_pbf
+
+        dst = str(tmp_path / "f1-zstd.osm.pbf")
+        self._recompress(self.SRC, dst, 7, lambda b: b)  # fake zstd
+        with pytest.raises(Exception, match="unsupported PBF blob compression"):
+            read_osm_pbf(spark, dst).collect()
