@@ -1232,7 +1232,7 @@ def _dispatch_toplevel(argv: list[str]) -> int | None:
     if head in ("--version", "version"):
         import pyspark
 
-        print(f"osmium_tool_spark version {_GENERATOR[0].rsplit('/', 1)[-1]}")
+        print("osmium_tool_spark version 0.1.0")
         print(f"pyspark version {pyspark.__version__}")
         print("Supported PBF compression types: none zlib")
         return 0
