@@ -1234,7 +1234,7 @@ def _dispatch_toplevel(argv: list[str]) -> int | None:
 
         print("osmium_tool_spark version 0.1.0")
         print(f"pyspark version {pyspark.__version__}")
-        print("Supported PBF compression types: none zlib")
+        print("Supported PBF compression types: none zlib lzma bzip2")
         return 0
     if head.startswith("-") or head in known:
         return None  # global flags / real command: argparse takes over
