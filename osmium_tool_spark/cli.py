@@ -382,9 +382,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = io(sub.add_parser("tags-count"), n_inputs=1)
     sp.add_argument("expressions", nargs="*")
-    sp.add_argument("--min-count", type=int, default=None)
-    sp.add_argument("--max-count", type=int, default=None)
-    sp.add_argument("-s", "--sort", default="count-desc")
+    sp.add_argument("-e", "--expressions", dest="expressions_file", default=None,
+                    help="read tag expressions from file ('#' comments)")
+    sp.add_argument("-m", "--min-count", type=int, default=None)
+    sp.add_argument("-M", "--max-count", type=int, default=None)
+    sp.add_argument("-s", "--sort", default="count-desc",
+                    choices=["count-asc", "count-desc", "name-asc", "name-desc"])
+    sp.add_argument("-t", "--object-type", action="append", default=None)
 
     sp = io(sub.add_parser("time-filter"), n_inputs=1)
     sp.add_argument("time_from", type=_timestamp, nargs="?", default=None)
@@ -812,10 +816,23 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "tags-count":
         from .operators.aggregates import tags_count
 
+        exprs = list(args.expressions or [])
+        if args.expressions_file:
+            # '#' starts a comment, blank lines skipped, CR trimmed
+            # (command_tags_count.cpp:52-70)
+            for line in open(args.expressions_file):
+                line = line.split("#", 1)[0].rstrip("\r\n")
+                if line:
+                    exprs.append(line)
+        ents = _read(spark, args.input)
+        if args.object_type:
+            types = _types(",".join(args.object_type))
+            if types is not None:
+                ents = ents.filter(ents["type"].isin(types))
         out = tags_count(
-            _read(spark, args.input),
-            expressions=args.expressions or None,
-            count_values=any("=" in e for e in (args.expressions or [])),
+            ents,
+            expressions=exprs or None,
+            count_values=any("=" in e for e in exprs),
             min_count=args.min_count,
             max_count=args.max_count,
             sort_order=args.sort,

@@ -566,3 +566,23 @@ class TestExtractConfigMode:
     def test_no_config_no_output_errors(self, spark, tmp_path):
         assert main(["extract", "-b", "0,0,1,1",
                      f"{self.REF}/input1.osm"], spark=spark) == 2
+
+
+class TestTagsCountCliOptions:
+    """tags-count option surface (command_tags_count.cpp:116-131):
+    -e expressions file ('#' comments), -t object-type restriction,
+    -m/-M bounds, -s orders."""
+
+    def test_expressions_file_and_type(self, spark, tmp_path):
+        ef = tmp_path / "exprs.txt"
+        ef.write_text("# only highways\nhighway\n\namenity  # inline comment\n")
+        out = str(tmp_path / "tc")
+        rc = main(["tags-count", "-e", str(ef), "-t", "way", "-m", "1",
+                   "-s", "name-asc", f"{REF}/tags-filter/input.osm",
+                   "-o", out], spark=spark)
+        assert rc == 0
+        rows = spark.read.parquet(out).collect()
+        assert all(r["key"] in ("highway", "amenity") for r in rows)
+        # ways only: node amenity tags must not be counted
+        names = [r["key"] for r in rows]
+        assert names == sorted(names)
