@@ -327,7 +327,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="zero out attributes on output (version/changeset/ts/uid/user)")
 
     sp = io(sub.add_parser("tags-filter"), n_inputs=1)
-    sp.add_argument("expressions", nargs="+")
+    sp.add_argument("expressions", nargs="*")
+    sp.add_argument("-e", "--expressions", dest="expressions_file", default=None,
+                    help="read filter expressions from file ('#' comments)")
     sp.add_argument("-i", "--invert-match", action="store_true")
     sp.add_argument("-R", "--omit-referenced", action="store_true")
     sp.add_argument("-t", "--remove-tags", action="store_true")
@@ -631,9 +633,20 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "tags-filter":
         from .operators.tags_filter import tags_filter
 
+        exprs = list(args.expressions or [])
+        if args.expressions_file:
+            # same file rules as tags-count: '#' comments, blank lines
+            # skipped, CR trimmed (command_tags_filter.cpp:66-84)
+            for line in open(args.expressions_file):
+                line = line.split("#", 1)[0].rstrip("\n").rstrip("\r")
+                if line:
+                    exprs.append(line)
+        if not exprs:
+            raise ValueError("tags-filter needs at least one expression "
+                             "(positional or -e/--expressions file)")
         out = tags_filter(
             _read(spark, args.input),
-            args.expressions,
+            exprs,
             invert=args.invert_match,
             omit_referenced=args.omit_referenced,
             remove_tags=args.remove_tags,

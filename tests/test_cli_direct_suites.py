@@ -586,3 +586,24 @@ class TestTagsCountCliOptions:
         # ways only: node amenity tags must not be counted
         names = [r["key"] for r in rows]
         assert names == sorted(names)
+
+
+class TestTagsFilterExpressionsFile:
+    """-e/--expressions file (command_tags_filter.cpp:66-84): '#'
+    comments, blank lines, CR trimming — file-sourced expressions equal
+    the same expressions given positionally."""
+
+    def test_file_equals_positional(self, spark, tmp_path):
+        ef = tmp_path / "f.txt"
+        ef.write_text("# ways with highway\nw/highway\n")
+        out1, out2 = str(tmp_path / "a.osm"), str(tmp_path / "b.osm")
+        base = ["--generator", "test", *UPLOAD, "tags-filter",
+                f"{REF}/tags-filter/input.osm"]
+        assert main([*base, "w/highway", "-o", out1], spark=spark) == 0
+        assert main([*base, "-e", str(ef), "-o", out2], spark=spark) == 0
+        golden = open(f"{REF}/tags-filter/output-highway.osm").read()
+        assert open(out1).read() == golden == open(out2).read()
+
+    def test_no_expressions_errors(self, spark, tmp_path):
+        assert main(["tags-filter", f"{REF}/tags-filter/input.osm",
+                     "-o", str(tmp_path / "x.osm")], spark=spark) == 2
