@@ -289,6 +289,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("cat", help="concatenate inputs, optional type filter"))
     sp.add_argument("-t", "--object-type", default=None)
     sp.add_argument("--clean", action="append", default=[])
+    sp.add_argument("--buffer-data", action="store_true",
+                    help="reference compat flag (Spark caches/spills on its own)")
 
     sp = io(sub.add_parser("sort", help="canonical (type,id,version) sort"))
     sp.add_argument("-s", "--strategy", default="simple", choices=["simple", "multipass"],
@@ -343,6 +345,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="read ids from file (one per line, ' '/'#' start comments)")
     sp.add_argument("-I", "--id-osm-file", action="append", default=[],
                     help="take all (type,id) present in an OSM file (.opl or parquet)")
+    sp.add_argument("--default-type", default="node",
+                    help="type for unprefixed ids (node/way/relation)")
+    sp.add_argument("-t", "--remove-tags", action="store_true",
+                    help="remove tags from objects not explicitly requested")
 
     sp = io(sub.add_parser("removeid"), n_inputs=1)
     sp.add_argument("ids", nargs="*")
@@ -350,14 +356,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="read ids from file (one per line, ' '/'#' start comments)")
     sp.add_argument("-I", "--id-osm-file", action="append", default=[],
                     help="take all (type,id) present in an OSM file (.opl or parquet)")
+    sp.add_argument("--default-type", default="node",
+                    help="type for unprefixed ids (node/way/relation)")
 
     sp = io(sub.add_parser("getparents"), n_inputs=1)
-    sp.add_argument("ids", nargs="+")
+    sp.add_argument("ids", nargs="*")
     sp.add_argument("--add-self", action="store_true")
+    sp.add_argument("-i", "--id-file", action="append", default=[],
+                    help="read ids from file (one per line, ' '/'#' start comments)")
+    sp.add_argument("-I", "--id-osm-file", action="append", default=[],
+                    help="take all (type,id) present in an OSM file (.opl or parquet)")
+    sp.add_argument("--default-type", default="node",
+                    help="type for unprefixed ids (node/way/relation)")
 
     sp = io(sub.add_parser("renumber"), n_inputs=1)
     sp.add_argument("--start-id", default="1,1,1")
-    sp.add_argument("--index-dir", default=None,
+    sp.add_argument("--index-dir", "--index-directory", dest="index_dir", default=None,
                     help="persist/reload the id mapping (later batches keep prior assignments)")
     sp.add_argument("-t", "--object-type", default=None,
                     help="renumber only these types, e.g. n or n,w")
@@ -368,6 +382,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional parquet dir for the violation rows "
                          "(the reference is a pure checker)")
     sp.add_argument("-r", "--check-relations", action="store_true")
+    sp.add_argument("-i", "--show-ids", action="store_true",
+                    help="print ids of missing objects")
 
     sp = sub.add_parser("fileinfo")
     sp.add_argument("input", nargs=1)
@@ -412,6 +428,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--output", required=True)
     sp.add_argument("--increment-version", action="store_true")
     sp.add_argument("--keep-details", action="store_true")
+    sp.add_argument("--update-timestamp", action="store_true",
+                    help="set timestamp of deleted objects to current time")
 
     sp = sub.add_parser("diff")
     sp.add_argument("left")
@@ -429,6 +447,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="columns excluded from the content compare (e.g. changeset, uid, user, ts)")
     sp.add_argument("--ignore-uid", action="store_true",
                     help="reference flag: uid differences do not count")
+    sp.add_argument("--ignore-changeset", action="store_true",
+                    help="reference flag: changeset differences do not count")
+    sp.add_argument("--ignore-user", action="store_true",
+                    help="reference flag: user differences do not count")
+    sp.add_argument("-t", "--object-type", action="append", default=None,
+                    help="compare only objects of these types")
 
     sp = io(sub.add_parser("export"), n_inputs=1)
     sp.add_argument("-f", "--output-format", default="geojson",
@@ -447,7 +471,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-c", "--config", dest="export_config", default=None,
                     help="export config JSON: linear_tags/area_tags rulesets, "
                          "attributes, include_tags/exclude_tags")
-    sp.add_argument("-u", "--unique-id", default=None, choices=["type_id", "counter"],
+    sp.add_argument("-u", "--unique-id", "--add-unique-id", dest="unique_id",
+                    default=None, choices=["type_id", "counter"],
                     help="feature id mode: type char + id (areas use the 2*id(+1) convention) or a running counter")
 
     sp = io(sub.add_parser("add-locations-to-ways"), n_inputs=1)
@@ -495,11 +520,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("create-locations-index")
     sp.add_argument("input", nargs=1)
-    sp.add_argument("-i", "--index-path", required=True)
+    sp.add_argument("-i", "--index-path", "--index-file", dest="index_path",
+                    required=True)
+    sp.add_argument("-u", "--update", action="store_true",
+                    help="update an existing index with this input")
 
     sp = sub.add_parser("query-locations-index")
-    sp.add_argument("-i", "--index-path", required=True)
+    sp.add_argument("-i", "--index-path", "--index-file", dest="index_path",
+                    required=True)
     sp.add_argument("ids", nargs="*")
+    sp.add_argument("-n", "--node-id", action="append", default=[],
+                    help="node id to look up (same as positional ids)")
+    sp.add_argument("--dump", action="store_true",
+                    help="dump all (id, lon, lat) to stdout")
 
     return p
 
@@ -664,10 +697,17 @@ def run(args, spark: SparkSession) -> int:
             removeid,
         )
 
-        ids = parse_id_list(args.ids)
+        # --default-type: type for unprefixed ids
+        # (command_getid.cpp:57,108-110)
+        from .schema import NAME_TO_TYPE
+
+        dt = NAME_TO_TYPE[
+            {"n": "node", "w": "way", "r": "relation"}.get(
+                args.default_type, args.default_type)]
+        ids = parse_id_list(args.ids, default_type=dt)
         if cmd in ("getid", "removeid"):
             sets = [ids]
-            sets += [read_id_file(p) for p in args.id_file]
+            sets += [read_id_file(p, default_type=dt) for p in args.id_file]
             ids = merge_id_sets(*sets)
             # --id-osm-file id sets can be planet-scale: keep them as a
             # DataFrame and semi-join (no driver collect)
@@ -688,6 +728,29 @@ def run(args, spark: SparkSession) -> int:
         in_opts = _xml_in_opts(args.input)
         if cmd == "getid":
             out = getid(ents, id_sel, recursive=args.add_referenced)
+            if args.remove_tags:
+                # blank tags on objects pulled in only via -r closure
+                # (command_getid.cpp:62,112-115)
+                from pyspark.sql import functions as F
+
+                if not args.add_referenced:
+                    print("Warning! Without -r/--add-referenced use of "
+                          "-t/--remove-tags isn't doing anything.",
+                          file=sys.stderr)
+                else:
+                    req = id_sel.withColumn("__req", F.lit(True))
+                    out = (
+                        out.join(req, on=["type", "id"], how="left")
+                        .withColumn(
+                            "tags",
+                            F.when(F.col("__req").isNotNull(), F.col("tags"))
+                            .otherwise(F.expr("map()")),
+                        )
+                        .drop("__req")
+                    )
+                    from .functions.sortkeys import canonical_sort
+
+                    out = canonical_sort(out)
             _write(out, args.output, in_opts=in_opts)
             if args.with_history:
                 # reference: history mode never reports missing ids
@@ -702,6 +765,19 @@ def run(args, spark: SparkSession) -> int:
         elif cmd == "removeid":
             out = removeid(ents, id_sel)
         else:
+            from .operators.idops import ids_from_osm_file
+
+            sets = [ids]
+            sets += [read_id_file(p, default_type=dt) for p in args.id_file]
+            sets += [ids_from_osm_file(spark, p) for p in args.id_osm_file]
+            ids = merge_id_sets(*sets)
+            if not any(ids.values()):
+                print(
+                    "Please specify IDs on the command line or with "
+                    "--id-file/--id-osm-file",
+                    file=sys.stderr,
+                )
+                return 2
             out = getparents(ents, ids, add_self=args.add_self)
         _write(out, args.output, in_opts=in_opts)
     elif cmd == "renumber":
@@ -766,6 +842,13 @@ def run(args, spark: SparkSession) -> int:
             return 2
         out = check_refs(ents, check_relations=args.check_relations)
         n = out.count()
+        if args.show_ids and n:
+            # one line per missing object, like the RefCheckHandler's
+            # show_ids output (command_check_refs.cpp:132-170)
+            tn = {0: "n", 1: "w", 2: "r"}
+            for r in out.orderBy("src_type", "src_id", "ref_id").collect():
+                print(f"{tn.get(r['ref_type'], '?')}{r['ref_id']} "
+                      f"in {tn.get(r['src_type'], '?')}{r['src_id']}")
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         return 1 if n else 0  # reference exit code semantics
@@ -899,11 +982,16 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "derive-changes":
         from .operators.changes import derive_changes
 
+        import time as _t
+
         out = derive_changes(
             _read_one(spark, args.old),
             _read_one(spark, args.new),
             increment_version=args.increment_version,
             keep_details=args.keep_details,
+            update_timestamp=(
+                int(_t.time()) * 1_000_000 if args.update_timestamp else None
+            ),
         )
         _write(out.drop("change_op"), args.output)
     elif cmd == "diff":
@@ -911,8 +999,15 @@ def run(args, spark: SparkSession) -> int:
 
         if args.quiet and (args.output or args.suppress_common):
             raise SystemExit("diff: do not use --quiet with output options")
-        ignore = set(args.ignore) | ({"uid"} if args.ignore_uid else set())
+        ignore = set(args.ignore) | ({"uid"} if args.ignore_uid else set()) \
+            | ({"changeset"} if args.ignore_changeset else set()) \
+            | ({"user"} if args.ignore_user else set())
         ldf, rdf = _read_one(spark, args.left), _read_one(spark, args.right)
+        if args.object_type:
+            types = _types(",".join(args.object_type))
+            if types is not None:
+                ldf = ldf.filter(ldf["type"].isin(types))
+                rdf = rdf.filter(rdf["type"].isin(types))
         out = diff(ldf, rdf, ignore=ignore)
         counts = diff_summary(out).collect()[0]
         if not args.quiet:
@@ -1183,11 +1278,39 @@ def run(args, spark: SparkSession) -> int:
     elif cmd == "create-locations-index":
         from .operators.locations import create_locations_index
 
-        create_locations_index(_read(spark, args.input), args.index_path)
+        ents = _read(spark, args.input)
+        if args.update:
+            # --update merges the new nodes over the existing index
+            # (command_create_locations_index.cpp update mode): new
+            # locations win per id
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            if _os.path.exists(args.index_path):
+                from .schema import NODE
+
+                old = spark.read.parquet(args.index_path)
+                new = ents.filter(F.col("type") == NODE).select("id", "lon", "lat")
+                merged = old.join(new.select("id"), on="id", how="left_anti") \
+                    .unionByName(new)
+                # re-derive an entity-shaped frame for the writer
+                merged = merged.withColumn("type", F.lit(NODE))
+                # write to a temp then swap (same dir read+write is unsafe)
+                tmp = args.index_path + ".tmp"
+                create_locations_index(merged, tmp)
+                import shutil as _sh
+
+                _sh.rmtree(args.index_path)
+                _os.rename(tmp, args.index_path)
+                return 0
+        create_locations_index(ents, args.index_path)
     elif cmd == "query-locations-index":
         from .operators.locations import query_locations_index
 
-        ids = [int(i) for i in args.ids] or None
+        ids = [int(i) for i in (list(args.ids) + list(args.node_id))] or None
+        if args.dump:
+            ids = None
         for r in query_locations_index(spark, args.index_path, ids).collect():
             print(f"{r.id} {r.lon} {r.lat}")
     else:  # pragma: no cover

@@ -607,3 +607,91 @@ class TestTagsFilterExpressionsFile:
     def test_no_expressions_errors(self, spark, tmp_path):
         assert main(["tags-filter", f"{REF}/tags-filter/input.osm",
                      "-o", str(tmp_path / "x.osm")], spark=spark) == 2
+
+
+class TestSmallOptionParity:
+    """Round-3 option-surface sweep: --default-type, getid -t,
+    getparents id files, diff --ignore-changeset/--ignore-user/-t,
+    derive-changes --update-timestamp, check-refs --show-ids,
+    query-locations-index -n/--dump, create-locations-index --update."""
+
+    def test_default_type_way(self, spark, tmp_path):
+        out = str(tmp_path / "o.opl")
+        rc = main(["getid", "--default-type", "way", f"{REF}/getid/input.osm",
+                   "20", "-o", out], spark=spark)
+        assert rc == 0
+        text = open(out).read() if not pathlib.Path(out).is_dir() else "".join(
+            p.read_text() for p in sorted(pathlib.Path(out).glob("part-*")))
+        assert text.startswith("w20 ")
+
+    def test_getid_remove_tags(self, spark, tmp_path):
+        out = str(tmp_path / "o.opl")
+        rc = main(["getid", "-r", "-t", f"{REF}/getid/input.osm",
+                   "w21", "r30", "-o", out], spark=spark)
+        assert rc == 0
+        text = open(out).read() if not pathlib.Path(out).is_dir() else "".join(
+            p.read_text() for p in sorted(pathlib.Path(out).glob("part-*")))
+        lines = text.splitlines()
+        # requested w21 keeps xyz=abc; pulled-in w20 loses foo=bar
+        for ln in lines:
+            fields = ln.split(" ")
+            tag_field = next(f for f in fields if f.startswith("T"))
+            if ln.startswith("w21"):
+                assert tag_field == "Txyz=abc"
+            else:
+                assert tag_field == "T", ln
+
+    def test_getparents_id_file(self, spark, tmp_path):
+        idf = tmp_path / "ids.txt"
+        idf.write_text("n10\n")
+        out1, out2 = str(tmp_path / "a.osm"), str(tmp_path / "b.osm")
+        argv = ["--generator", "test", *UPLOAD, "getparents",
+                f"{REF}/getparents/input.osm"]
+        assert main([*argv, "n10", "-o", out1], spark=spark) == 0
+        assert main([*argv, "-i", str(idf), "-o", out2], spark=spark) == 0
+        assert open(out1).read() == open(out2).read()
+
+    def test_diff_ignore_user_changeset(self, spark, tmp_path):
+        # inputs differing only in uid/user/changeset compare equal
+        # when all three are ignored
+        rc = main(["diff", "-q", "--ignore-uid", "--ignore-user",
+                   "--ignore-changeset",
+                   f"{REF}/diff/input1.osm", f"{REF}/diff/input2.osm"],
+                  spark=spark)
+        assert rc in (0, 1)  # just exercises the flags end-to-end
+
+    def test_derive_changes_update_timestamp(self, spark, tmp_path):
+        import time as _t
+
+        out = str(tmp_path / "ch.osc")
+        rc = main(["--generator", "test", "derive-changes", "--update-timestamp",
+                   f"{REF}/derive-changes/input1.osm",
+                   f"{REF}/derive-changes/input2.osm", "-o", out], spark=spark)
+        assert rc == 0
+        xml = open(out).read()
+        year = _t.strftime("%Y", _t.gmtime())
+        assert "<delete>" in xml and f'timestamp="{year}-' in xml
+
+    def test_check_refs_show_ids(self, spark, capsys):
+        rc = main(["check-refs", "-i", f"{REF}/check-refs/fail-n-in-w.osm"],
+                  spark=spark)
+        assert rc == 1
+        outp = capsys.readouterr().out
+        assert "in w" in outp
+
+    def test_locations_index_node_id_dump_update(self, spark, tmp_path, capsys):
+        idx = str(tmp_path / "idx")
+        src = f"{REF}/getid/input.osm"
+        assert main(["create-locations-index", src, "-i", idx], spark=spark) == 0
+        assert main(["query-locations-index", "-i", idx, "-n", "10"],
+                    spark=spark) == 0
+        assert capsys.readouterr().out.startswith("10 ")
+        assert main(["query-locations-index", "-i", idx, "--dump"],
+                    spark=spark) == 0
+        assert len(capsys.readouterr().out.splitlines()) > 1
+        # --update with the same input is a no-op merge
+        assert main(["create-locations-index", "-u", src, "-i", idx],
+                    spark=spark) == 0
+        assert main(["query-locations-index", "-i", idx, "-n", "10"],
+                    spark=spark) == 0
+        assert capsys.readouterr().out.startswith("10 ")
