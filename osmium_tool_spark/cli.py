@@ -375,6 +375,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="persist/reload the id mapping (later batches keep prior assignments)")
     sp.add_argument("-t", "--object-type", default=None,
                     help="renumber only these types, e.g. n or n,w")
+    sp.add_argument("--show-index", default=None, metavar="TYPE",
+                    help="print the stored id mapping for node/way/relation and exit")
 
     sp = sub.add_parser("check-refs")
     sp.add_argument("input", nargs=1)
@@ -397,6 +399,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-g", "--get", default=None, metavar="VARIABLE",
                     help="print one variable (dotted path, e.g. data.count.nodes)")
     sp.add_argument("-G", "--show-variables", action="store_true")
+    sp.add_argument("-t", "--object-type", action="append", default=None,
+                    help="report only objects of these types")
 
     sp = io(sub.add_parser("tags-count"), n_inputs=1)
     sp.add_argument("expressions", nargs="*")
@@ -466,6 +470,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list of point/linestring/polygon/multipolygon to keep")
     sp.add_argument("-E", "--stop-on-error", action="store_true",
                     help="exit 1 on geometry errors (missing nodes, short ways, incomplete relations)")
+    sp.add_argument("-e", "--show-errors", action="store_true",
+                    help="print geometry errors, keep going")
+    sp.add_argument("--index-type", default=None,
+                    help="reference compat flag (location joins replace the in-memory index)")
     sp.add_argument("-x", "--format-option", action="append", default=[],
                     help="output format options, e.g. print_record_separator=false")
     sp.add_argument("-c", "--config", dest="export_config", default=None,
@@ -479,6 +487,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-n", "--keep-untagged-nodes", action="store_true")
     sp.add_argument("-i", "--ignore-missing-nodes", action="store_true")
     sp.add_argument("--keep-member-nodes", action="store_true")
+    sp.add_argument("--index-type", "--index-type-neg", dest="index_type",
+                    default=None,
+                    help="reference compat flag (location joins replace the in-memory index)")
 
     # short flags per command_changeset_filter.cpp:50-61 — NOTE -b is
     # BEFORE and -B is bbox here, unlike extract's -b
@@ -864,6 +875,12 @@ def run(args, spark: SparkSession) -> int:
             print("fileinfo: --get cannot be used with --json", file=sys.stderr)
             return 2
         ents = _read(spark, args.input)
+        if args.object_type:
+            # -t restricts every reported count/CRC to the given types
+            # (command_fileinfo.cpp:671,699)
+            ft = _types(",".join(args.object_type))
+            if ft is not None:
+                ents = ents.filter(ents["type"].isin(ft))
         if args.get or args.show_variables:
             from pyspark.sql import functions as SF
 
@@ -1056,11 +1073,16 @@ def run(args, spark: SparkSession) -> int:
         )
 
         ents = _read(spark, args.input)
-        if args.stop_on_error:
+        if args.stop_on_error or args.show_errors:
             from .operators.export import export_errors
 
             errs = export_errors(ents).collect()
-            if errs:
+            if errs and args.show_errors:
+                # -e prints every error and keeps going
+                # (command_export.cpp:269)
+                for e in errs:
+                    print(f"export error: {e.reason} ({'nwr'[e.type]}{e.id})")
+            if errs and args.stop_on_error:
                 for e in errs[:20]:
                     print(f"export error: {e.reason} ({'nwr'[e.type]}{e.id})", file=sys.stderr)
                 return 1
@@ -1389,11 +1411,82 @@ def _dispatch_toplevel(argv: list[str]) -> int | None:
         print(f"pyspark version {pyspark.__version__}")
         print("Supported PBF compression types: none zlib lzma bzip2")
         return 0
+    if head == "export" and ("-C" in argv or "--print-default-config" in argv):
+        # byte-for-byte the reference's default config
+        # (command_export.cpp:296-316)
+        print("""{
+    "attributes": {
+        "type":      false,
+        "id":        false,
+        "version":   false,
+        "changeset": false,
+        "timestamp": false,
+        "uid":       false,
+        "user":      false,
+        "way_nodes": false
+    },
+    "format_options": {
+    },
+    "linear_tags":  true,
+    "area_tags":    true,
+    "exclude_tags": [],
+    "include_tags": []
+}""")
+        return 0
+    if head in ("export", "add-locations-to-ways", "create-locations-index",
+                "renumber") and ("-I" in argv or "--show-index-types" in argv):
+        # this engine's available location-index layouts (the reference
+        # lists libosmium map types here)
+        print("parquet_range")
+        print("none")
+        return 0
     if head.startswith("-") or head in known:
         return None  # global flags / real command: argparse takes over
     print(f"Unknown command or option '{head}'. "
           "Try 'osmium_tool_spark help'.", file=sys.stderr)
     return 2
+
+
+def _renumber_show_index(argv: list[str], spark: SparkSession | None) -> int:
+    """`renumber --show-index=TYPE --index-dir=DIR` prints the stored
+    old->new mapping and exits, no input/output needed
+    (command_renumber.cpp:165-188,218-220)."""
+    def flagval(names):
+        for i, a in enumerate(argv):
+            for n in names:
+                if a == n and i + 1 < len(argv):
+                    return argv[i + 1]
+                if a.startswith(n + "="):
+                    return a.split("=", 1)[1]
+        return None
+
+    tname = flagval(["--show-index"])
+    if tname not in ("node", "way", "relation"):
+        print("Invalid value for --show-index option. "
+              "Allowed are 'node', 'way', or 'relation'", file=sys.stderr)
+        return 2
+    idx_dir = flagval(["--index-dir", "--index-directory"])
+    if not idx_dir:
+        print("renumber --show-index needs --index-dir", file=sys.stderr)
+        return 2
+    own = spark is None
+    if own:
+        from .session import get_spark
+
+        spark = get_spark("osmium-renumber")
+    try:
+        t = NAME_TO_TYPE[tname]
+        for r in (
+            spark.read.parquet(idx_dir)
+            .filter(f"type = {t}")
+            .orderBy("id")
+            .collect()
+        ):
+            print(f"{r['id']} -> {r['new_id']}")
+        return 0
+    finally:
+        if own:
+            spark.stop()
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
@@ -1402,6 +1495,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     rc = _dispatch_toplevel(argv)
     if rc is not None:
         return rc
+    if argv and argv[0] == "renumber" and any(
+        a == "--show-index" or a.startswith("--show-index=") for a in argv
+    ):
+        return _renumber_show_index(argv, spark)
     args = build_parser().parse_args(argv)
     own_session = spark is None
     if own_session:

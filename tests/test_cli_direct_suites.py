@@ -695,3 +695,40 @@ class TestSmallOptionParity:
         assert main(["query-locations-index", "-i", idx, "-n", "10"],
                     spark=spark) == 0
         assert capsys.readouterr().out.startswith("10 ")
+
+
+class TestInfoFlags:
+    """-C/--print-default-config (byte parity with
+    command_export.cpp:296-316), -I/--show-index-types, fileinfo -t,
+    renumber --show-index."""
+
+    def test_print_default_config(self, capsys):
+        assert main(["export", "-C"]) == 0
+        out = capsys.readouterr().out
+        assert out.startswith('{\n    "attributes"') and out.endswith("}\n")
+        assert '"way_nodes": false' in out
+
+    def test_show_index_types(self, capsys):
+        assert main(["add-locations-to-ways", "-I"]) == 0
+        assert "none" in capsys.readouterr().out
+
+    def test_fileinfo_object_type(self, spark, capsys):
+        rc = main(["fileinfo", "-g", "data.count.nodes", "-t", "way",
+                   f"{REF}/getid/input.osm"], spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out.strip() == "0"
+
+    def test_renumber_show_index(self, spark, tmp_path, capsys):
+        idx = str(tmp_path / "idx")
+        out = str(tmp_path / "o.osm")
+        rc = main(["--generator", "test", "renumber", "--index-dir", idx,
+                   f"{REF}/renumber/input-sorted.osm", "-o", out], spark=spark)
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(["renumber", f"--show-index=node", "--index-dir", idx],
+                  spark=spark)
+        assert rc == 0
+        lines = capsys.readouterr().out.splitlines()
+        assert lines and all(" -> " in ln for ln in lines)
+        assert main(["renumber", "--show-index=x", "--index-dir", idx],
+                    spark=spark) == 2
