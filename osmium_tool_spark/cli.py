@@ -425,6 +425,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--redact", action="store_true",
                     help="redact (patch) history: change objects replace "
                          "stored (type,id,version) objects")
+    sp.add_argument("--change-file-format", default=None,
+                    help="reference compat flag: change-file format is "
+                         "autodetected from the suffix here")
 
     sp = sub.add_parser("derive-changes")
     sp.add_argument("old")
