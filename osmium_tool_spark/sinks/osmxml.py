@@ -12,9 +12,16 @@
 Attribute order, 2/4-space indentation, compact coordinate trimming
 ('1', not '1.0000000'), and the trailing newline all match. `visible`
 is emitted only when requested (history files carry it, data files
-don't — man/osmium-file-formats.md). Serialization streams on the
-driver via toLocalIterator: XML is the reference's interchange format
-for fixture/config-scale data; the engine-scale sink is the sorted
+don't — man/osmium-file-formats.md).
+
+Scale shape (same as the PBF writer): serialization runs DISTRIBUTED —
+executors render Arrow batches to text chunks via a self-contained
+stdlib-only serializer (mapInArrow), and the driver streams the chunks
+to the single output file in partition order via toLocalIterator,
+never holding more than one batch. The global order is pinned by a
+monotonic row stamp, so whatever order the caller arranged (canonical
+sort, cat's concatenation order) survives the exchange. XML remains
+the interchange exit; the engine-scale table sink is the sorted
 parquet writer (sinks/writer.py)."""
 
 from __future__ import annotations
@@ -40,56 +47,85 @@ def _attr(v) -> str:
     return quoteattr(str(v))
 
 
-def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) -> str:
+def make_row_serializer(with_visible: bool = False, indent: int = 2):
+    """Row-dict -> XML element string. SELF-CONTAINED closure: captures
+    only plain data and imports only the stdlib, so the mapInArrow
+    executors never need the package on their sys.path (same rule as
+    the PBF block encoder, sinks/pbf.py:106)."""
+    type_names = dict(TYPE_NAMES)
+    node, way, relation = NODE, WAY, RELATION
+    coord_scale = COORD_SCALE
     pad = " " * indent
     cpad = " " * (indent + 2)
-    tag = TYPE_NAMES[r["type"]]
-    parts = [f'<{tag} id="{r["id"]}"']
-    # 0 = unset for version/timestamp/changeset (libosmium convention;
-    # --clean zeroes attributes and the reference XML omits them —
-    # golden test/extract/output-clean.osm)
-    if r.get("version"):
-        parts.append(f' version="{r["version"]}"')
-    if r.get("ts"):
-        parts.append(f' timestamp="{_ts(r["ts"])}"')
-    # anonymous objects (uid 0 / empty user — PBF's encoding for unset)
-    # omit both attributes, like the reference XML writer (no golden file
-    # ever prints uid="0" or user="")
-    if r.get("uid"):
-        parts.append(f' uid="{r["uid"]}"')
-    if r.get("user"):
-        parts.append(f" user={_attr(r['user'])}")
-    if r.get("changeset"):
-        parts.append(f' changeset="{r["changeset"]}"')
-    if with_visible:
-        parts.append(f' visible="{"true" if r.get("visible", True) else "false"}"')
-    if r["type"] == NODE and r.get("lat") is not None:
-        parts.append(f' lat="{_coord(r["lat"])}" lon="{_coord(r["lon"])}"')
-    children = []
-    if r["type"] == WAY:
-        refs = list(r.get("refs") or [])
-        locs = list(r.get("locations") or [])
-        if locs and len(locs) == len(refs):
-            # locations-on-ways output: nd carries lat/lon
-            # (reference apply-changes/add-locations-to-ways goldens)
+
+    def _coord(v):
+        s = f"{v / coord_scale:.7f}".rstrip("0").rstrip(".")
+        return s if s else "0"
+
+    def _ts(ts):
+        import time
+
+        return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(ts // 1_000_000))
+
+    def _attr(v):
+        from xml.sax.saxutils import quoteattr
+
+        return quoteattr(str(v))
+
+    def ser(r: dict) -> str:
+        tag = type_names[r["type"]]
+        parts = [f'<{tag} id="{r["id"]}"']
+        # 0 = unset for version/timestamp/changeset (libosmium convention;
+        # --clean zeroes attributes and the reference XML omits them —
+        # golden test/extract/output-clean.osm)
+        if r.get("version"):
+            parts.append(f' version="{r["version"]}"')
+        if r.get("ts"):
+            parts.append(f' timestamp="{_ts(r["ts"])}"')
+        # anonymous objects (uid 0 / empty user — PBF's encoding for
+        # unset) omit both attributes, like the reference XML writer
+        if r.get("uid"):
+            parts.append(f' uid="{r["uid"]}"')
+        if r.get("user"):
+            parts.append(f" user={_attr(r['user'])}")
+        if r.get("changeset"):
+            parts.append(f' changeset="{r["changeset"]}"')
+        if with_visible:
+            parts.append(f' visible="{"true" if r.get("visible", True) else "false"}"')
+        if r["type"] == node and r.get("lat") is not None:
+            parts.append(f' lat="{_coord(r["lat"])}" lon="{_coord(r["lon"])}"')
+        children = []
+        if r["type"] == way:
+            refs = list(r.get("refs") or [])
+            locs = list(r.get("locations") or [])
+            if locs and len(locs) == len(refs):
+                # locations-on-ways output: nd carries lat/lon
+                # (reference apply-changes/add-locations-to-ways goldens)
+                children += [
+                    f'{cpad}<nd ref="{ref}" lat="{_coord(lo["lat"])}" lon="{_coord(lo["lon"])}"/>'
+                    for ref, lo in zip(refs, locs)
+                ]
+            else:
+                children += [f'{cpad}<nd ref="{ref}"/>' for ref in refs]
+        elif r["type"] == relation:
             children += [
-                f'{cpad}<nd ref="{ref}" lat="{_coord(lo["lat"])}" lon="{_coord(lo["lon"])}"/>'
-                for ref, lo in zip(refs, locs)
+                f'{cpad}<member type="{type_names[m["mtype"]]}" ref="{m["ref"]}" '
+                f"role={_attr(m['role'] or '')}/>"
+                for m in (r.get("members") or [])
             ]
-        else:
-            children += [f'{cpad}<nd ref="{ref}"/>' for ref in refs]
-    elif r["type"] == RELATION:
         children += [
-            f'{cpad}<member type="{TYPE_NAMES[m["mtype"]]}" ref="{m["ref"]}" '
-            f"role={_attr(m['role'] or '')}/>"
-            for m in (r.get("members") or [])
+            f"{cpad}<tag k={_attr(k)} v={_attr(v)}/>"
+            for k, v in (r.get("tags") or {}).items()
         ]
-    children += [
-        f"{cpad}<tag k={_attr(k)} v={_attr(v)}/>" for k, v in (r.get("tags") or {}).items()
-    ]
-    if not children:
-        return pad + "".join(parts) + "/>"
-    return pad + "".join(parts) + ">\n" + "\n".join(children) + f"\n{pad}</{tag}>"
+        if not children:
+            return pad + "".join(parts) + "/>"
+        return pad + "".join(parts) + ">\n" + "\n".join(children) + f"\n{pad}</{tag}>"
+
+    return ser
+
+
+def serialize_osm_xml_row(r: dict, with_visible: bool = False, indent: int = 2) -> str:
+    return make_row_serializer(with_visible, indent)(r)
 
 
 def _deg(v: float) -> str:
@@ -109,7 +145,10 @@ def write_osm_xml(
     (callers sort first — the reference writes in stream order too).
     boxes: header bounding boxes [minlon, minlat, maxlon, maxlat] in
     degrees (golden test/sort/output-bounds.osm prints minlat first,
-    location-trimmed)."""
+    location-trimmed).
+
+    Executors serialize Arrow batches; the driver concatenates the text
+    chunks in order — one batch in driver memory at a time."""
     hdr_opts = ' upload="false"' if upload_false else ""
     with open(path, "w") as f:
         f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
@@ -119,10 +158,47 @@ def write_osm_xml(
                 f'  <bounds minlat="{_deg(b[1])}" minlon="{_deg(b[0])}"'
                 f' maxlat="{_deg(b[3])}" maxlon="{_deg(b[2])}"/>\n'
             )
-        for row in _entries_iter(entities):
-            f.write(serialize_osm_xml_row(row, with_visible))
-            f.write("\n")
+        for chunk in _serialized_chunks(entities, with_visible):
+            f.write(chunk)
         f.write("</osm>\n")
+
+
+def _serialized_chunks(entities: DataFrame, with_visible: bool = False,
+                       indent: int = 2, num_partitions: int | None = None):
+    """Distributed XML rendering: stamp the current global order with a
+    monotonic id, range-exchange on it (order-preserving by
+    construction), serialize each Arrow batch executor-side with the
+    self-contained row serializer, and yield the text chunks in
+    partition order."""
+    from pyspark.sql import functions as F
+
+    spark = entities.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    staged = (
+        entities.withColumn("__seq", F.monotonically_increasing_id())
+        .repartitionByRange(n, "__seq")
+        .sortWithinPartitions("__seq")
+        .withColumn("tags", F.map_entries("tags"))
+    )
+    ser = make_row_serializer(with_visible, indent)
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            rows = batch.to_pylist()
+            if not rows:
+                continue
+            parts = []
+            for r in rows:
+                r.pop("__seq", None)
+                r["tags"] = {e["key"]: e["value"] for e in (r.get("tags") or [])}
+                parts.append(ser(r))
+                parts.append("\n")
+            yield pa.RecordBatch.from_pydict({"chunk": ["".join(parts)]})
+
+    for row in staged.mapInArrow(encode, "chunk string").toLocalIterator():
+        yield row.chunk
 
 
 def _entries_iter(entities: DataFrame):
@@ -207,6 +283,7 @@ def write_osm_change(
         f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
         f.write(f'<osmChange version="0.6" generator={_attr(generator)}>\n')
         current = None
+        ser = make_row_serializer(indent=4)
         for r in _entries_iter(entities):
             action = (
                 "delete" if r.get("visible") is False
@@ -218,7 +295,7 @@ def write_osm_change(
                     f.write(f"  </{current}>\n")
                 f.write(f"  <{action}>\n")
                 current = action
-            f.write(serialize_osm_xml_row(r, indent=4))
+            f.write(ser(r))
             f.write("\n")
         if current is not None:
             f.write(f"  </{current}>\n")
