@@ -35,8 +35,12 @@ from ..schema import COORD_SCALE, NODE, RELATION, TYPE_NAMES, WAY
 
 
 def _coord(v: int) -> str:
-    s = f"{v / COORD_SCALE:.7f}".rstrip("0").rstrip(".")
-    return s if s else "0"
+    # exact integer fixed-point rendering (libosmium Location::as_string)
+    sign = "-" if v < 0 else ""
+    av = -v if v < 0 else v
+    ip, fp = divmod(av, COORD_SCALE)
+    frac = f"{fp:07d}".rstrip("0")
+    return f"{sign}{ip}.{frac}" if frac else f"{sign}{ip}"
 
 
 def _ts(ts) -> str:
@@ -59,8 +63,13 @@ def make_row_serializer(with_visible: bool = False, indent: int = 2):
     cpad = " " * (indent + 2)
 
     def _coord(v):
-        s = f"{v / coord_scale:.7f}".rstrip("0").rstrip(".")
-        return s if s else "0"
+        # exact integer fixed-point rendering (libosmium prints digit
+        # strings from the int32, never via float — Location::as_string)
+        sign = "-" if v < 0 else ""
+        av = -v if v < 0 else v
+        ip, fp = divmod(av, coord_scale)
+        frac = f"{fp:07d}".rstrip("0")
+        return f"{sign}{ip}.{frac}" if frac else f"{sign}{ip}"
 
     def _ts(ts):
         import time
@@ -147,29 +156,197 @@ def write_osm_xml(
     degrees (golden test/sort/output-bounds.osm prints minlat first,
     location-trimmed).
 
-    Executors serialize Arrow batches; the driver concatenates the text
-    chunks in order — one batch in driver memory at a time."""
+    Executors serialize Arrow batches and write text parts in ONE job;
+    the driver stream-concatenates the part files in partition order
+    (sequential disk copy, no row ever passes through driver memory)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
     hdr_opts = ' upload="false"' if upload_false else ""
-    with open(path, "w") as f:
-        f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
-        f.write(f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n')
-        for b in boxes or []:
-            f.write(
-                f'  <bounds minlat="{_deg(b[1])}" minlon="{_deg(b[0])}"'
-                f' maxlat="{_deg(b[3])}" maxlon="{_deg(b[2])}"/>\n'
-            )
-        for chunk in _serialized_chunks(entities, with_visible):
-            f.write(chunk)
-        f.write("</osm>\n")
+    tmp = tempfile.mkdtemp(prefix="osmxml-", dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        _write_serialized_parts(entities, os.path.join(tmp, "parts"), with_visible)
+        with open(path, "wb") as f:
+            f.write(b"<?xml version='1.0' encoding='UTF-8'?>\n")
+            f.write(f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n'.encode())
+            for b in boxes or []:
+                f.write(
+                    (f'  <bounds minlat="{_deg(b[1])}" minlon="{_deg(b[0])}"'
+                     f' maxlat="{_deg(b[3])}" maxlon="{_deg(b[2])}"/>\n').encode()
+                )
+            for part in sorted(glob.glob(os.path.join(tmp, "parts", "part-*"))):
+                with open(part, "rb") as pf:
+                    shutil.copyfileobj(pf, f)
+            f.write(b"</osm>\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _serialized_chunks(entities: DataFrame, with_visible: bool = False,
-                       indent: int = 2, num_partitions: int | None = None):
+def _quoteattr_col(c):
+    """Column replica of xml.sax.saxutils.quoteattr: entity-escape
+    & < > \\n \\r \\t, then pick the quote style ("..." normally, '...'
+    when the value holds a double quote, "..." + &quot; when it holds
+    both)."""
+    from pyspark.sql import functions as F
+
+    esc = c
+    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                 ("\n", "&#10;"), ("\r", "&#13;"), ("\t", "&#9;")]:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    has_dq = c.contains('"')
+    has_sq = c.contains("'")
+    return (
+        F.when(has_dq & has_sq,
+               F.concat(F.lit('"'), F.replace(esc, F.lit('"'), F.lit("&quot;")), F.lit('"')))
+        .when(has_dq, F.concat(F.lit("'"), esc, F.lit("'")))
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+
+
+def _coord_col(c):
+    """Column replica of _coord: exact fixed-point digits, trailing
+    zeros trimmed, no float anywhere."""
+    from pyspark.sql import functions as F
+
+    av = F.abs(c)
+    ip = (av / COORD_SCALE).cast("long")
+    fp = av % COORD_SCALE
+    frac = F.rtrim(F.lpad(fp.cast("string"), 7, "0"), F.lit("0"))
+    sign = F.when(c < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(
+        sign, ip.cast("string"),
+        F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+    )
+
+
+def _ts_col(c):
+    """Column replica of _ts: epoch-micros -> yyyy-MM-ddTHH:mm:ssZ in
+    UTC via pure integer civil-from-days math — independent of the
+    session time zone."""
+    from pyspark.sql import functions as F
+
+    secs = F.floor(c / 1_000_000).cast("long")
+    days = F.floor(secs / 86400).cast("long")
+    rem = (secs - days * 86400).cast("long")
+    # Howard Hinnant's civil_from_days (public-domain algorithm)
+    z = days + 719468
+    era = F.floor(z / 146097).cast("long")
+    doe = (z - era * 146097).cast("long")
+    yoe = F.floor((doe - F.floor(doe / 1460) + F.floor(doe / 36524)
+                   - F.floor(doe / 146096)) / 365).cast("long")
+    doy = (doe - (yoe * 365 + F.floor(yoe / 4) - F.floor(yoe / 100))).cast("long")
+    mp = F.floor((doy * 5 + 2) / 153).cast("long")
+    d = (doy - F.floor((mp * 153 + 2) / 5) + 1).cast("long")
+    m = F.when(mp < 10, mp + 3).otherwise(mp - 9)
+    y = (yoe + era * 400 + F.when(m <= 2, 1).otherwise(0)).cast("long")
+    two = lambda x: F.lpad(x.cast("string"), 2, "0")  # noqa: E731
+    return F.concat(
+        F.lpad(y.cast("string"), 4, "0"), F.lit("-"), two(m), F.lit("-"), two(d),
+        F.lit("T"), two(F.floor(rem / 3600)), F.lit(":"),
+        two(F.floor(rem / 60) % 60), F.lit(":"), two(rem % 60), F.lit("Z"),
+    )
+
+
+def xml_element_col(entities: DataFrame, with_visible: bool = False,
+                    indent: int = 2):
+    """The whole XML element as ONE Column expression — byte-equal to
+    make_row_serializer's output, but entirely JVM-side (whole-stage
+    codegen; the property test in test_reference_goldens_xml pins the
+    two serializers against each other)."""
+    from pyspark.sql import functions as F
+
+    pad = " " * indent
+    cpad = " " * (indent + 2)
+    tagname = (
+        F.when(F.col("type") == NODE, F.lit("node"))
+        .when(F.col("type") == WAY, F.lit("way"))
+        .otherwise(F.lit("relation"))
+    )
+    e = F.lit("")
+
+    def opt(cond, col):
+        return F.when(cond, col).otherwise(e)
+
+    head = F.concat(
+        F.lit(pad + "<"), tagname, F.lit(' id="'), F.col("id").cast("string"), F.lit('"'),
+        opt(F.col("version").isNotNull() & (F.col("version") != 0),
+            F.concat(F.lit(' version="'), F.col("version").cast("string"), F.lit('"'))),
+        opt(F.col("ts").isNotNull() & (F.col("ts") != 0),
+            F.concat(F.lit(' timestamp="'), _ts_col(F.col("ts")), F.lit('"'))),
+        opt(F.col("uid").isNotNull() & (F.col("uid") != 0),
+            F.concat(F.lit(' uid="'), F.col("uid").cast("string"), F.lit('"'))),
+        opt(F.col("user").isNotNull() & (F.col("user") != ""),
+            F.concat(F.lit(" user="), _quoteattr_col(F.col("user")))),
+        opt(F.col("changeset").isNotNull() & (F.col("changeset") != 0),
+            F.concat(F.lit(' changeset="'), F.col("changeset").cast("string"), F.lit('"'))),
+        (F.concat(F.lit(' visible="'),
+                  F.when(F.coalesce(F.col("visible"), F.lit(True)), F.lit("true"))
+                  .otherwise(F.lit("false")), F.lit('"'))
+         if with_visible else e),
+        opt((F.col("type") == NODE) & F.col("lat").isNotNull(),
+            F.concat(F.lit(' lat="'), _coord_col(F.col("lat")),
+                     F.lit('" lon="'), _coord_col(F.col("lon")), F.lit('"'))),
+    )
+    refs = F.coalesce(F.col("refs"), F.expr("array()").cast("array<long>"))
+    if "locations" in entities.columns:
+        locs = F.col("locations")
+        nd = F.when(
+            locs.isNotNull() & (F.size(locs) == F.size(refs)) & (F.size(locs) > 0),
+            F.zip_with(
+                refs, locs,
+                lambda r, lo: F.concat(
+                    F.lit(cpad + '<nd ref="'), r.cast("string"),
+                    F.lit('" lat="'), _coord_col(lo["lat"]),
+                    F.lit('" lon="'), _coord_col(lo["lon"]), F.lit('"/>')),
+            ),
+        ).otherwise(
+            F.transform(refs, lambda r: F.concat(
+                F.lit(cpad + '<nd ref="'), r.cast("string"), F.lit('"/>')))
+        )
+    else:
+        nd = F.transform(refs, lambda r: F.concat(
+            F.lit(cpad + '<nd ref="'), r.cast("string"), F.lit('"/>')))
+    nd = F.when(F.col("type") == WAY, nd).otherwise(F.expr("array()").cast("array<string>"))
+    mtype_name = {NODE: "node", WAY: "way", RELATION: "relation"}
+    members = F.when(
+        (F.col("type") == RELATION) & F.col("members").isNotNull(),
+        F.transform(
+            F.col("members"),
+            lambda m: F.concat(
+                F.lit(cpad + '<member type="'),
+                F.when(m["mtype"] == NODE, F.lit("node"))
+                .when(m["mtype"] == WAY, F.lit("way"))
+                .otherwise(F.lit("relation")),
+                F.lit('" ref="'), m["ref"].cast("string"), F.lit('" role='),
+                _quoteattr_col(F.coalesce(m["role"], F.lit(""))), F.lit("/>")),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    tags = F.transform(
+        F.map_entries(F.coalesce(F.col("tags"), F.expr("map()").cast("map<string,string>"))),
+        lambda t: F.concat(F.lit(cpad + "<tag k="), _quoteattr_col(t["key"]),
+                           F.lit(" v="), _quoteattr_col(t["value"]), F.lit("/>")),
+    )
+    children = F.concat(nd, members, tags)
+    return F.when(
+        F.size(children) == 0, F.concat(head, F.lit("/>"))
+    ).otherwise(
+        F.concat(head, F.lit(">\n"), F.array_join(children, "\n"),
+                 F.lit(f"\n{pad}</"), tagname, F.lit(">"))
+    )
+
+
+def _write_serialized_parts(entities: DataFrame, parts_dir: str,
+                            with_visible: bool = False, indent: int = 2,
+                            num_partitions: int | None = None) -> None:
     """Distributed XML rendering: stamp the current global order with a
     monotonic id, range-exchange on it (order-preserving by
-    construction), serialize each Arrow batch executor-side with the
-    self-contained row serializer, and yield the text chunks in
-    partition order."""
+    construction), render every element JVM-side (xml_element_col —
+    whole-stage codegen, zero Python), and write one text part per
+    partition (part file name order == partition order == row order).
+    Elements carry inner newlines; the text sink appends the final one
+    per row, so the concatenation is byte-exact."""
     from pyspark.sql import functions as F
 
     spark = entities.sparkSession
@@ -178,27 +355,10 @@ def _serialized_chunks(entities: DataFrame, with_visible: bool = False,
         entities.withColumn("__seq", F.monotonically_increasing_id())
         .repartitionByRange(n, "__seq")
         .sortWithinPartitions("__seq")
-        .withColumn("tags", F.map_entries("tags"))
     )
-    ser = make_row_serializer(with_visible, indent)
-
-    def encode(batches):
-        import pyarrow as pa
-
-        for batch in batches:
-            rows = batch.to_pylist()
-            if not rows:
-                continue
-            parts = []
-            for r in rows:
-                r.pop("__seq", None)
-                r["tags"] = {e["key"]: e["value"] for e in (r.get("tags") or [])}
-                parts.append(ser(r))
-                parts.append("\n")
-            yield pa.RecordBatch.from_pydict({"chunk": ["".join(parts)]})
-
-    for row in staged.mapInArrow(encode, "chunk string").toLocalIterator():
-        yield row.chunk
+    staged.select(
+        xml_element_col(staged, with_visible, indent).alias("value")
+    ).write.mode("overwrite").option("compression", "none").text(parts_dir)
 
 
 def _entries_iter(entities: DataFrame):

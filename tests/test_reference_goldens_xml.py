@@ -488,3 +488,49 @@ class TestDistributedXmlRead:
                     + "</osm>")
         with pytest.raises(ValueError, match="cannot be split"):
             read_osm_xml(spark, str(p), distributed_min_bytes=10)
+
+
+class TestJvmSerializerParity:
+    """xml_element_col (the JVM whole-stage-codegen XML renderer) must be
+    byte-equal to make_row_serializer (the Python oracle) over edge rows:
+    anonymous objects, zeroed --clean attrs, entity/quote escaping in
+    user/tag/role strings, negative/zero coordinates, empty role."""
+
+    def test_column_equals_python(self, spark):
+        from osmium_tool_spark.schema import NODE, RELATION, WAY
+        from osmium_tool_spark.sinks.osmxml import (
+            _entries_iter,
+            make_row_serializer,
+            xml_element_col,
+        )
+
+        rows = [
+            (NODE, 10, 1, True, 1, 1420074000000000, 1, "test", {"a": "b"},
+             15000000, 7000001, None, None),
+            (NODE, -3, 0, True, 0, 0, 0, "", {}, -1800000000, 900000000, None, None),
+            (NODE, 11, 2, False, 5, 1420074000000000, 9, 'we"ird\'nåme&<>',
+             {"k<": "v&\n", "tab\t": 'q"x'}, 0, -5, None, None),
+            (NODE, 12, 3, True, 2, 86399000000, 1, "t", {}, 1234567891, -999999999,
+             None, None),
+            (WAY, 20, 1, True, 1, 1420074000000000, 1, "test", {"x": "y"},
+             None, None, [10, 11, 12], None),
+            (WAY, 21, 1, True, 1, 1420074000000000, 1, "test", {}, None, None,
+             [], None),
+            (RELATION, 30, 1, True, 1, 1420074000000000, 1, "test", {}, None, None,
+             None, [{"mtype": NODE, "ref": 10, "role": "m'1\""},
+                    {"mtype": WAY, "ref": 20, "role": ""},
+                    {"mtype": RELATION, "ref": 31, "role": None}]),
+        ]
+        schema = (
+            "type int, id long, version int, visible boolean, changeset long, "
+            "ts long, uid int, user string, tags map<string,string>, lon long, "
+            "lat long, refs array<long>, "
+            "members array<struct<mtype:int,ref:long,role:string>>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        for wv in (False, True):
+            got = [r.value for r in
+                   df.select(xml_element_col(df, with_visible=wv).alias("value")).collect()]
+            ser = make_row_serializer(with_visible=wv)
+            want = [ser(r) for r in _entries_iter(df)]
+            assert got == want
