@@ -155,8 +155,12 @@ def _make_serializer(omit: frozenset = frozenset()):
         return "".join(f"%{ord(c):x}%" if c in esc_set else c for c in s)
 
     def fmt_coord(v) -> str:
-        s = f"{v / scale:.7f}".rstrip("0").rstrip(".")
-        return s if s else "0"
+        # exact integer fixed-point rendering (matches the XML writer)
+        sign = "-" if v < 0 else ""
+        av = -v if v < 0 else v
+        ip, fp = divmod(av, scale)
+        frac = f"{fp:07d}".rstrip("0")
+        return f"{sign}{ip}.{frac}" if frac else f"{sign}{ip}"
 
     def fmt_ts(ts) -> str:
         # entity ts is epoch micros; OPL serializes whole seconds
@@ -195,31 +199,103 @@ def _make_serializer(omit: frozenset = frozenset()):
     return serialize
 
 
-def to_opl_lines(entities: DataFrame) -> DataFrame:
-    """Serialize entities to OPL line strings (one `value` column), rows
-    in the input's order. Tag ORDER comes from a JVM-side map_entries
-    projection: collecting a Spark map into a Python dict does NOT
-    reliably preserve entry order, but the entries array does — and OPL
-    tag order is the reference's document order (golden f1.osm.opl)."""
+def _opl_escape_col(c):
+    """Column replica of the OPL escape: chars in ' ,=@%\\n\\t\\r' become
+    %<hex-codepoint>%. '%' is replaced first so later replacements'
+    markers are never re-escaped (same single-pass semantics as the
+    Python serializer)."""
     from pyspark.sql import functions as F
 
-    serialize = _make_serializer()
+    out = F.coalesce(c, F.lit(""))
+    for ch in "% ,=@\n\t\r":
+        out = F.replace(out, F.lit(ch), F.lit(f"%{ord(ch):x}%"))
+    return out
 
-    def ser_batches(batches):
-        import pandas as pd
 
-        for pdf in batches:
-            recs = pdf.to_dict("records")
-            for r in recs:
-                ents = r.pop("__tag_entries", None)
-                # pandas hands numpy arrays — no truthiness
-                ents = [] if ents is None else list(ents)
-                r["tags"] = {e["key"]: e["value"] for e in ents}
-            lines = [serialize(r) for r in recs]
-            yield pd.DataFrame({"value": lines})
+def opl_line_col(omit: frozenset = frozenset()):
+    """The whole OPL line as ONE Column expression — byte-equal to
+    _make_serializer's output but entirely JVM-side (whole-stage
+    codegen; pinned against the Python serializer by a property test)."""
+    from pyspark.sql import functions as F
 
-    staged = entities.withColumn("__tag_entries", F.map_entries("tags")).drop("tags")
-    return staged.mapInPandas(ser_batches, schema="value string")
+    from ..sinks.osmxml import _coord_col, _ts_col
+
+    tch = (
+        F.when(F.col("type") == 0, F.lit("n"))
+        .when(F.col("type") == 1, F.lit("w"))
+        .otherwise(F.lit("r"))
+    )
+    empty = F.lit("")
+
+    def field(prefix, col):
+        return F.concat(F.lit(" " + prefix), F.coalesce(col.cast("string"), empty))
+
+    parts = [F.concat(tch, F.col("id").cast("string"))]
+    parts.append(field("v", F.col("version")))
+    parts.append(F.concat(
+        F.lit(" d"),
+        F.when(F.col("visible").isNull() | F.col("visible"), F.lit("V")).otherwise(F.lit("D")),
+    ))
+    parts.append(field("c", F.col("changeset")))
+    parts.append(F.concat(
+        F.lit(" t"),
+        F.when(F.col("ts").isNotNull(), _ts_col(F.col("ts"))).otherwise(empty),
+    ))
+    if "uid" not in omit:
+        parts.append(field("i", F.col("uid")))
+    parts.append(F.concat(F.lit(" u"), _opl_escape_col(F.col("user"))))
+    parts.append(F.concat(
+        F.lit(" T"),
+        F.array_join(
+            F.transform(
+                F.map_entries(F.coalesce(F.col("tags"), F.expr("map()").cast("map<string,string>"))),
+                lambda t: F.concat(_opl_escape_col(t["key"]), F.lit("="), _opl_escape_col(t["value"])),
+            ),
+            ",",
+        ),
+    ))
+    geom = (
+        F.when(
+            (F.col("type") == 0) & F.col("lon").isNotNull(),
+            F.concat(F.lit(" x"), _coord_col(F.col("lon")),
+                     F.lit(" y"), _coord_col(F.col("lat"))),
+        )
+        .when(
+            F.col("type") == 1,
+            F.concat(F.lit(" N"), F.array_join(
+                F.transform(
+                    F.coalesce(F.col("refs"), F.expr("array()").cast("array<long>")),
+                    lambda r: F.concat(F.lit("n"), r.cast("string")),
+                ), ",")),
+        )
+        .when(
+            F.col("type") == 2,
+            F.concat(F.lit(" M"), F.array_join(
+                F.transform(
+                    F.coalesce(
+                        F.col("members"),
+                        F.expr("array()").cast("array<struct<mtype:int,ref:long,role:string>>"),
+                    ),
+                    lambda m: F.concat(
+                        F.when(m["mtype"] == 0, F.lit("n"))
+                        .when(m["mtype"] == 1, F.lit("w")).otherwise(F.lit("r")),
+                        m["ref"].cast("string"), F.lit("@"),
+                        _opl_escape_col(m["role"]),
+                    ),
+                ), ",")),
+        )
+        .otherwise(empty)
+    )
+    parts.append(geom)
+    return F.concat(*parts)
+
+
+def to_opl_lines(entities: DataFrame) -> DataFrame:
+    """Serialize entities to OPL line strings (one `value` column), rows
+    in the input's order — rendered entirely JVM-side (opl_line_col,
+    whole-stage codegen; tag order is map_entries document order like
+    the reference, golden f1.osm.opl)."""
+    return entities.select(opl_line_col().alias("value"))
 
 
 def write_opl(entities: DataFrame, path: str) -> None:

@@ -77,3 +77,45 @@ def test_opl_through_extract(spark, opl_path):
     got = {(r.type, r.id) for r in out.collect()}
     assert (NODE, 100) in got
     assert (WAY, 200) in got  # way touches marked node 100
+
+
+class TestJvmOplSerializerParity:
+    """opl_line_col (JVM codegen OPL renderer) byte-equal to
+    _make_serializer (the Python oracle) over edge rows: %-escaping in
+    user/tags/roles, anonymous/unset metadata, deleted objects,
+    negative/zero coordinates, empty refs/members."""
+
+    def test_column_equals_python(self, spark):
+        from osmium_tool_spark.sinks.osmxml import _entries_iter
+        from osmium_tool_spark.sources.opl import _make_serializer, opl_line_col
+
+        rows = [
+            (0, 10, 1, True, 1, 1420074000000000, 1, "test", {"a": "b"},
+             15000000, 7000001, None, None),
+            (0, -3, None, None, None, None, None, "", {}, -1800000000,
+             900000000, None, None),
+            (0, 11, 2, False, 5, 86399000000, 9, "we ird,n=me@x%",
+             {"k =": "v,@%\n"}, 0, -5, None, None),
+            (0, 12, 1, True, 1, 1420074000000000, 1, "t", {}, None, None,
+             None, None),
+            (1, 20, 1, True, 1, 1420074000000000, 1, "test", {"x": "y"},
+             None, None, [10, 11, 12], None),
+            (1, 21, 1, True, 1, 1420074000000000, 1, "test", {}, None, None,
+             [], None),
+            (2, 30, 1, True, 1, 1420074000000000, 1, "test", {}, None, None,
+             None, [{"mtype": 0, "ref": 10, "role": "a role,= @%"},
+                    {"mtype": 1, "ref": 20, "role": ""},
+                    {"mtype": 2, "ref": 31, "role": None}]),
+        ]
+        schema = (
+            "type int, id long, version int, visible boolean, changeset long, "
+            "ts long, uid int, user string, tags map<string,string>, lon long, "
+            "lat long, refs array<long>, "
+            "members array<struct<mtype:int,ref:long,role:string>>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        for omit in (frozenset(), frozenset({"uid"})):
+            got = [r.v for r in df.select(opl_line_col(omit).alias("v")).collect()]
+            ser = _make_serializer(omit)
+            want = [ser(r) for r in _entries_iter(df)]
+            assert got == want, f"omit={omit}"
