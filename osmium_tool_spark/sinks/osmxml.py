@@ -340,22 +340,27 @@ def xml_element_col(entities: DataFrame, with_visible: bool = False,
 def _write_serialized_parts(entities: DataFrame, parts_dir: str,
                             with_visible: bool = False, indent: int = 2,
                             num_partitions: int | None = None) -> None:
-    """Distributed XML rendering: stamp the current global order with a
-    monotonic id, range-exchange on it (order-preserving by
-    construction), render every element JVM-side (xml_element_col —
-    whole-stage codegen, zero Python), and write one text part per
-    partition (part file name order == partition order == row order).
+    """Distributed XML rendering: render every element JVM-side
+    (xml_element_col — whole-stage codegen, zero Python) and write one
+    text part per partition. Part file NAME order == partition order ==
+    the frame's current global order (the same contract the sink's old
+    toLocalIterator path used), so no exchange is needed at all — the
+    usual case (canonical_sort output) is already range-partitioned and
+    balanced. Only a single-partition frame is stamped with a monotonic
+    id and range-exchanged first, purely to parallelize rendering.
     Elements carry inner newlines; the text sink appends the final one
     per row, so the concatenation is byte-exact."""
     from pyspark.sql import functions as F
 
     spark = entities.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    staged = (
-        entities.withColumn("__seq", F.monotonically_increasing_id())
-        .repartitionByRange(n, "__seq")
-        .sortWithinPartitions("__seq")
-    )
+    staged = entities
+    if entities.rdd.getNumPartitions() <= 1:
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        staged = (
+            entities.withColumn("__seq", F.monotonically_increasing_id())
+            .repartitionByRange(n, "__seq")
+            .sortWithinPartitions("__seq")
+        )
     staged.select(
         xml_element_col(staged, with_visible, indent).alias("value")
     ).write.mode("overwrite").option("compression", "none").text(parts_dir)
