@@ -361,7 +361,27 @@ def write_osm_pbf(
         _make_block_encoder(with_history),
         schema=T.StructType([T.StructField("frame", T.BinaryType(), False)]),
     )
-    with open(path, "wb") as f:
-        f.write(_encode_header_blob(generator, with_history, bbox))
-        for row in frames.toLocalIterator():
-            f.write(row.frame)
+    # ONE job writes base64 text parts (toLocalIterator re-executes the
+    # whole upstream once per partition under AQE — measured 60x slower);
+    # the driver then decodes part files in name order = partition order
+    # = frame order. Spark's base64 emits no line wrapping, so each text
+    # line is exactly one framed blob.
+    import base64
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="osmpbf-", dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        frames.select(F.base64(F.col("frame")).alias("value")).write \
+            .mode("overwrite").option("compression", "none") \
+            .text(os.path.join(tmp, "parts"))
+        with open(path, "wb") as f:
+            f.write(_encode_header_blob(generator, with_history, bbox))
+            for part in sorted(glob.glob(os.path.join(tmp, "parts", "part-*"))):
+                with open(part, "rb") as pf:
+                    for line in pf:
+                        f.write(base64.b64decode(line))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
