@@ -14,13 +14,13 @@ Attribute order, 2/4-space indentation, compact coordinate trimming
 is emitted only when requested (history files carry it, data files
 don't — man/osmium-file-formats.md).
 
-Scale shape (same as the PBF writer): serialization runs DISTRIBUTED —
-executors render Arrow batches to text chunks via a self-contained
-stdlib-only serializer (mapInArrow), and the driver streams the chunks
-to the single output file in partition order via toLocalIterator,
-never holding more than one batch. The global order is pinned by a
-monotonic row stamp, so whatever order the caller arranged (canonical
-sort, cat's concatenation order) survives the exchange. XML remains
+Scale shape (same as the PBF writer): the whole element renders as ONE
+codegen'd Column expression (xml_element_col — zero Python anywhere),
+one job writes text parts, and the driver stream-concatenates the part
+files in name order (= partition order = the frame's current global
+order, the contract callers already arranged via canonical sort or
+cat's concatenation order). Single-partition frames are stamped and
+range-exchanged first, purely to parallelize rendering. XML remains
 the interchange exit; the engine-scale table sink is the sorted
 parquet writer (sinks/writer.py)."""
 

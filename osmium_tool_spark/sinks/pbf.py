@@ -8,9 +8,10 @@ shuffle, then each executor partition serializes its rows into framed
 [len][BlobHeader][Blob] chunks of <=8000 entities per PrimitiveBlock
 (osmium's block size) inside a mapInPandas closure — all encoding
 (string tables, delta/zigzag coding, zlib) is executor-side and scales
-with the data. The driver only relays the ready-made frames to the file
-in partition order via toLocalIterator (constant driver memory, no
-parsing), the same single-output-stream shape as the reference's writer
+with the data. One job writes the frames as base64 text parts; the
+driver decodes part files in name order (= partition order = frame
+order) into the single output stream — constant driver memory, no
+parsing, the same single-output-stream shape as the reference's writer
 thread. Nodes are written as DenseNodes (the required_features we
 declare), ways/relations as plain messages; metadata (Info/DenseInfo)
 is included only when present, matching the -nometadata variants.
