@@ -652,12 +652,22 @@ def run(args, spark: SparkSession) -> int:
             out = out.cache()
             try:
                 for ex, meta in zip(extracts, metas):
-                    if not meta["output"] or meta["output"] == "-":
+                    if not meta["output"]:
                         raise ValueError(
                             "config extract without an output file needs -o")
-                    dst = meta["output"]
-                    if not _os.path.isabs(dst):
-                        dst = _os.path.join(directory, dst)
+                    to_stdout = meta["output"] == "-"
+                    if to_stdout:
+                        # "output": "-" = stdout (the reference's own
+                        # test/extract/config.json); render to a temp
+                        # file in the configured format, then print
+                        import tempfile as _tf
+
+                        sfx = "." + (meta["output_format"] or "osm")
+                        dst = _tf.mktemp(suffix=sfx)
+                    else:
+                        dst = meta["output"]
+                        if not _os.path.isabs(dst):
+                            dst = _os.path.join(directory, dst)
                     part = clean(
                         out.filter(F.col("extract_id") == ex.extract_id)
                         .drop("extract_id"))
@@ -670,6 +680,9 @@ def run(args, spark: SparkSession) -> int:
                         _write(part, dst, fmt=meta["output_format"] or "parquet",
                                in_opts=_xml_in_opts(args.input),
                                propagate_opts=False, boxes=bounds(ex))
+                        if to_stdout:
+                            print(open(dst).read(), end="")
+                            _os.unlink(dst)
                     finally:
                         _OUTPUT_HEADER.clear()
                         _OUTPUT_HEADER.update(saved)

@@ -732,3 +732,17 @@ class TestInfoFlags:
         assert lines and all(" -> " in ln for ln in lines)
         assert main(["renumber", "--show-index=x", "--index-dir", idx],
                     spark=spark) == 2
+
+
+class TestExtractConfigStdout:
+    """The reference's own config.json uses "output": "-" (stdout):
+    running it byte-matches output-simple.osm on stdout."""
+
+    def test_reference_config_json(self, spark, capsys):
+        ref = "/root/reference/test/extract"
+        rc = main(["--generator", "test", "extract", "-s", "simple",
+                   "--output-header", "xml_josm_upload=false",
+                   "-c", f"{ref}/config.json", f"{ref}/input1.osm"],
+                  spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == open(f"{ref}/output-simple.osm").read()
