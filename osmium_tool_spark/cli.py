@@ -31,7 +31,7 @@ from .schema import NAME_TO_TYPE
 
 def _read_one(spark: SparkSession, path: str) -> DataFrame:
     # format autodetect by suffix (reference io.cpp:39-61 analog)
-    if path.endswith(".opl"):
+    if path.endswith((".opl", ".opl.gz", ".opl.bz2")):
         from .sources.opl import read_opl
 
         return read_opl(spark, path)
@@ -107,28 +107,46 @@ def _xml_in_opts(paths: list[str]) -> dict:
     return {}
 
 
+def _obase(out: str) -> str:
+    """Output path with any trailing compression suffix stripped — the
+    format dispatch looks at the format suffix underneath, matching the
+    reference's two-stage suffix rule (io.cpp:39-61: out.osm.gz is
+    XML + gzip)."""
+    from .sinks.textfile import split_compression
+
+    return split_compression(out)[0]
+
+
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
            sort: bool = True, boxes: list | None = None,
            in_opts: dict | None = None, propagate_opts: bool = True) -> None:
-    if out.endswith(".opl") or fmt == "opl":
+    from .sinks.textfile import split_compression
+
+    base, codec = split_compression(out)
+    if base.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
-        write_opl(df, out)
-    elif out.endswith(".pbf"):
+        write_opl(df, out, compression=codec)
+    elif base.endswith(".pbf"):
+        if codec:
+            raise SystemExit(
+                f"Unknown file format/suffix: {out} (PBF blobs carry their "
+                "own compression; .gz/.bz2 applies to text formats only)"
+            )
         from .sinks.pbf import write_osm_pbf
 
         # write_osm_pbf range-sorts internally; no pre-sort needed
         write_osm_pbf(
             df, out, generator=_GENERATOR[0],
-            with_history=out.endswith(".osh.pbf"),
+            with_history=base.endswith(".osh.pbf"),
         )
-    elif out.endswith(".osc"):
+    elif base.endswith(".osc"):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_change
 
         write_osm_change(canonical_sort(df) if sort else df, out,
-                         generator=_GENERATOR[0])
-    elif out.endswith((".osm", ".osh")) or fmt in ("osm", "xml", "osh"):
+                         generator=_GENERATOR[0], compression=codec)
+    elif base.endswith((".osm", ".osh")) or fmt in ("osm", "xml", "osh"):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml
 
@@ -144,12 +162,17 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
                 merged[k] = v
         write_osm_xml(
             canonical_sort(df) if sort else df, out,
-            with_visible=out.endswith(".osh"),
+            with_visible=base.endswith(".osh"),
             generator=_GENERATOR[0],
             upload_false=merged.get("xml_josm_upload") == "false",
             boxes=boxes,
+            compression=codec,
         )
     elif fmt == "parquet":
+        if codec:
+            # a compressed suffix on an unrecognized format must error,
+            # never silently fall through to a parquet directory
+            raise SystemExit(f"Unknown file format/suffix: {out}")
         from .sinks.writer import write_sorted
 
         # --generator must reach every sink, not just the XML ones
@@ -573,7 +596,8 @@ def run(args, spark: SparkSession) -> int:
         # cat is a streaming concatenation in the reference — XML output
         # preserves input order (golden output-cat21.osm); the parquet/OPL
         # sinks keep their documented sorted order contract
-        _write(out, args.output, sort=not args.output.endswith((".osm", ".osh", ".osc")))
+        _write(out, args.output,
+               sort=not _obase(args.output).endswith((".osm", ".osh", ".osc")))
     elif cmd == "sort":
         from .operators.sort_merge import sort_entities
 
@@ -837,19 +861,21 @@ def run(args, spark: SparkSession) -> int:
         # renumber COPIES the input header (command_renumber.cpp reader
         # header passthrough) — unlike apply-changes, whose goldens drop
         # the upload hint
-        if args.output.endswith((".osm", ".osh")) and args.input[0].endswith(
+        if _obase(args.output).endswith((".osm", ".osh")) and args.input[0].endswith(
             (".osm", ".osh", ".xml")
         ):
             from .functions.sortkeys import canonical_sort
             from .sinks.osmxml import write_osm_xml
+            from .sinks.textfile import split_compression
             from .sources.osmxml import read_osm_xml_header
 
             opts = read_osm_xml_header(args.input[0])["header"]["option"]
             write_osm_xml(
                 canonical_sort(out), args.output,
-                with_visible=args.output.endswith(".osh"),
+                with_visible=_obase(args.output).endswith(".osh"),
                 generator=_GENERATOR[0],
                 upload_false=opts.get("xml_josm_upload") == "false",
+                compression=split_compression(args.output)[1],
             )
         else:
             _write(out, args.output)
@@ -1186,7 +1212,7 @@ def run(args, spark: SparkSession) -> int:
         from pyspark.sql import functions as F
 
         ents = _read(spark, args.input)
-        xml_out = args.output.endswith((".osm", ".osh"))
+        xml_out = _obase(args.output).endswith((".osm", ".osh"))
         if xml_out:
             # the reference streams: output preserves input order
             # (golden output-n.osm keeps the trailing negative-id node
@@ -1255,10 +1281,12 @@ def run(args, spark: SparkSession) -> int:
             before=cs_time(args.before),
             bbox=cs_bbox(args.bbox),
         )
-        if args.output_format in ("osm", "xml") or args.output.endswith(".osm"):
+        if args.output_format in ("osm", "xml") or _obase(args.output).endswith(".osm"):
             from .sinks.osmxml import write_changesets_xml
+            from .sinks.textfile import split_compression
 
-            write_changesets_xml(out, args.output, generator=_GENERATOR[0])
+            write_changesets_xml(out, args.output, generator=_GENERATOR[0],
+                                 compression=split_compression(args.output)[1])
         else:
             out.write.mode("overwrite").parquet(args.output)
     elif cmd == "show":

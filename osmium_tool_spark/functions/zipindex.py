@@ -32,6 +32,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def stamp_order(
+    df: DataFrame, index_name: str = "__seq"
+) -> tuple[DataFrame, int]:
+    """Add a consecutive 1-based index in the frame's CURRENT global
+    order (partition order + within-partition order) WITHOUT reordering
+    it: steps 2-5 of dense_index with the range shuffle skipped. The
+    result is localCheckpointed (stamps pinned across jobs) and keeps
+    the input's partitioning, so part files written from it concatenate
+    in index order. Returns (stamped_df, total_row_count)."""
+    d = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = d.groupBy("__pid").agg(
+        F.count("*").alias("__cnt"), F.min("__mid").alias("__mn")
+    ).collect()
+    stats.sort(key=lambda r: r["__pid"])
+    acc = 0
+    rows = []
+    for r in stats:
+        rows.append((r["__pid"], acc - r["__mn"] + 1))
+        acc += r["__cnt"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(rows or [(0, 1)], "__pid int, __base long")
+    out = (
+        d.join(F.broadcast(off), on="__pid", how="left")
+        .withColumn(index_name, (F.col("__mid") + F.col("__base")).cast("long"))
+        .drop("__pid", "__mid", "__base")
+    )
+    return out, acc
+
+
 def dense_index(
     df: DataFrame,
     order_cols: list[Column],

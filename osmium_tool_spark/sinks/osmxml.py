@@ -149,37 +149,37 @@ def write_osm_xml(
     with_visible: bool = False,
     upload_false: bool = False,
     boxes: list | None = None,
+    compression: str | None = None,
 ) -> None:
     """Stream the frame to one .osm/.osh XML file in its CURRENT order
     (callers sort first — the reference writes in stream order too).
     boxes: header bounding boxes [minlon, minlat, maxlon, maxlat] in
     degrees (golden test/sort/output-bounds.osm prints minlat first,
-    location-trimmed).
+    location-trimmed). compression: 'gzip'/'bzip2' for .osm.gz/.osm.bz2
+    targets (reference suffix rules io.cpp:39-61) — parts are compressed
+    executor-side and concatenated as codec members (sinks/textfile.py).
 
     Executors serialize Arrow batches and write text parts in ONE job;
     the driver stream-concatenates the part files in partition order
     (sequential disk copy, no row ever passes through driver memory)."""
-    import glob
     import os
     import shutil
     import tempfile
 
+    from .textfile import concat_parts
+
     hdr_opts = ' upload="false"' if upload_false else ""
+    head = b"<?xml version='1.0' encoding='UTF-8'?>\n"
+    head += f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n'.encode()
+    for b in boxes or []:
+        head += (f'  <bounds minlat="{_deg(b[1])}" minlon="{_deg(b[0])}"'
+                 f' maxlat="{_deg(b[3])}" maxlon="{_deg(b[2])}"/>\n').encode()
     tmp = tempfile.mkdtemp(prefix="osmxml-", dir=os.path.dirname(os.path.abspath(path)) or ".")
     try:
-        _write_serialized_parts(entities, os.path.join(tmp, "parts"), with_visible)
-        with open(path, "wb") as f:
-            f.write(b"<?xml version='1.0' encoding='UTF-8'?>\n")
-            f.write(f'<osm version="0.6"{hdr_opts} generator={_attr(generator)}>\n'.encode())
-            for b in boxes or []:
-                f.write(
-                    (f'  <bounds minlat="{_deg(b[1])}" minlon="{_deg(b[0])}"'
-                     f' maxlat="{_deg(b[3])}" maxlon="{_deg(b[2])}"/>\n').encode()
-                )
-            for part in sorted(glob.glob(os.path.join(tmp, "parts", "part-*"))):
-                with open(part, "rb") as pf:
-                    shutil.copyfileobj(pf, f)
-            f.write(b"</osm>\n")
+        _write_serialized_parts(entities, os.path.join(tmp, "parts"),
+                                with_visible, codec=compression)
+        concat_parts(path, os.path.join(tmp, "parts"), compression,
+                     head=head, tail=b"</osm>\n")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -339,7 +339,8 @@ def xml_element_col(entities: DataFrame, with_visible: bool = False,
 
 def _write_serialized_parts(entities: DataFrame, parts_dir: str,
                             with_visible: bool = False, indent: int = 2,
-                            num_partitions: int | None = None) -> None:
+                            num_partitions: int | None = None,
+                            codec: str | None = None) -> None:
     """Distributed XML rendering: render every element JVM-side
     (xml_element_col — whole-stage codegen, zero Python) and write one
     text part per partition. Part file NAME order == partition order ==
@@ -361,9 +362,12 @@ def _write_serialized_parts(entities: DataFrame, parts_dir: str,
             .repartitionByRange(n, "__seq")
             .sortWithinPartitions("__seq")
         )
-    staged.select(
-        xml_element_col(staged, with_visible, indent).alias("value")
-    ).write.mode("overwrite").option("compression", "none").text(parts_dir)
+    from .textfile import write_parts
+
+    write_parts(
+        staged.select(xml_element_col(staged, with_visible, indent).alias("value")),
+        parts_dir, codec,
+    )
 
 
 def _entries_iter(entities: DataFrame):
@@ -415,53 +419,192 @@ def serialize_changeset_row(r: dict) -> str:
     return "".join(parts)
 
 
+def changeset_element_col():
+    """The whole <changeset> element as ONE Column expression — byte-
+    equal to serialize_changeset_row (pinned by a property test), but
+    entirely JVM-side like xml_element_col."""
+    from pyspark.sql import functions as F
+
+    e = F.lit("")
+
+    def opt(cond, col):
+        return F.when(cond, col).otherwise(e)
+
+    opn = F.coalesce(F.col("open"), F.lit(False))
+    head = F.concat(
+        F.lit(' <changeset id="'), F.col("id").cast("string"), F.lit('"'),
+        opt(F.col("created_at").isNotNull(),
+            F.concat(F.lit(' created_at="'), _ts_col(F.col("created_at")), F.lit('"'))),
+        opt((~opn) & F.col("closed_at").isNotNull(),
+            F.concat(F.lit(' closed_at="'), _ts_col(F.col("closed_at")), F.lit('"'))),
+        F.concat(F.lit(' open="'),
+                 F.when(opn, F.lit("true")).otherwise(F.lit("false")), F.lit('"')),
+        opt(F.col("user").isNotNull() & (F.col("user") != ""),
+            F.concat(F.lit(" user="), _quoteattr_col(F.col("user")))),
+        opt(F.col("uid").isNotNull(),
+            F.concat(F.lit(' uid="'), F.col("uid").cast("string"), F.lit('"'))),
+        opt(F.col("min_lon").isNotNull() & F.col("min_lat").isNotNull(),
+            F.concat(F.lit(' min_lat="'), _coord_col(F.col("min_lat")),
+                     F.lit('" min_lon="'), _coord_col(F.col("min_lon")),
+                     F.lit('" max_lat="'), _coord_col(F.col("max_lat")),
+                     F.lit('" max_lon="'), _coord_col(F.col("max_lon")), F.lit('"'))),
+        F.lit(' num_changes="'),
+        F.coalesce(F.col("num_changes"), F.lit(0)).cast("string"),
+        F.lit('" comments_count="'),
+        F.coalesce(F.col("num_comments"), F.lit(0)).cast("string"), F.lit('"'),
+    )
+    tags = F.coalesce(
+        F.col("tags"), F.expr("array()").cast("array<struct<k:string,v:string>>")
+    )
+    body = F.transform(
+        tags,
+        lambda t: F.concat(F.lit("  <tag k="), _quoteattr_col(t["k"]),
+                           F.lit(" v="), _quoteattr_col(t["v"]), F.lit("/>")),
+    )
+    return F.when(F.size(body) == 0, F.concat(head, F.lit("/>"))).otherwise(
+        F.concat(head, F.lit(">\n"), F.array_join(body, "\n"),
+                 F.lit("\n </changeset>"))
+    )
+
+
 def write_changesets_xml(
-    changesets: DataFrame, path: str, generator: str = "test"
+    changesets: DataFrame, path: str, generator: str = "test",
+    compression: str | None = None,
 ) -> None:
-    """Stream a changeset frame (sources/osmxml.CHANGESET_SCHEMA) to one
+    """Write a changeset frame (sources/osmxml.CHANGESET_SCHEMA) to one
     XML file, id-ordered (the reference streams input order; every
     committed fixture is id-ordered, so the id sort is the same order
-    made deterministic)."""
+    made deterministic).
+
+    Distributed shape: orderBy(id) range-partitions the frame; every
+    element renders JVM-side (changeset_element_col) into text parts in
+    ONE job, and the driver concatenates parts in partition order — no
+    toLocalIterator, no per-row Python."""
+    import os
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
+
+    from .textfile import concat_parts, write_parts
 
     if "tags" not in changesets.columns:
         changesets = changesets.withColumn(
             "tags", F.lit(None).cast("array<struct<k:string,v:string>>")
         )
-    with open(path, "w") as f:
-        f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
-        f.write(f'<osm version="0.6" generator={_attr(generator)}>\n')
-        for row in changesets.orderBy("id").toLocalIterator():
-            f.write(serialize_changeset_row(row.asDict(recursive=True)))
-            f.write("\n")
-        f.write("</osm>\n")
+    head = (b"<?xml version='1.0' encoding='UTF-8'?>\n"
+            + f'<osm version="0.6" generator={_attr(generator)}>\n'.encode())
+    tmp = tempfile.mkdtemp(prefix="osmcs-",
+                           dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        write_parts(
+            changesets.orderBy("id").select(changeset_element_col().alias("value")),
+            os.path.join(tmp, "parts"), compression,
+        )
+        concat_parts(path, os.path.join(tmp, "parts"), compression,
+                     head=head, tail=b"</osm>\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def change_action_col():
+    """Per-object osmChange action: visible=false -> delete, version 1 ->
+    create, else modify (the golden test/sort/output-change.osc
+    derivation), as a Column."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(F.col("visible").isNotNull() & (~F.col("visible")), F.lit("delete"))
+        .when(F.col("version") == 1, F.lit("create"))
+        .otherwise(F.lit("modify"))
+    )
 
 
 def write_osm_change(
-    entities: DataFrame, path: str, generator: str = "test"
+    entities: DataFrame, path: str, generator: str = "test",
+    compression: str | None = None, num_partitions: int | None = None,
 ) -> None:
-    """Stream the frame to one .osc osmChange file: per-object action is
-    visible=false -> delete, version 1 -> create, else modify (the golden
-    test/sort/output-change.osc derivation); consecutive objects with the
-    same action share a section."""
-    with open(path, "w") as f:
-        f.write("<?xml version='1.0' encoding='UTF-8'?>\n")
-        f.write(f'<osmChange version="0.6" generator={_attr(generator)}>\n')
-        current = None
-        ser = make_row_serializer(indent=4)
-        for r in _entries_iter(entities):
-            action = (
-                "delete" if r.get("visible") is False
-                else "create" if r.get("version") == 1
-                else "modify"
-            )
-            if action != current:
-                if current is not None:
-                    f.write(f"  </{current}>\n")
-                f.write(f"  <{action}>\n")
-                current = action
-            f.write(ser(r))
-            f.write("\n")
-        if current is not None:
-            f.write(f"  </{current}>\n")
-        f.write("</osmChange>\n")
+    """Write the frame as one .osc osmChange file in its CURRENT order;
+    consecutive objects with the same action share a <create>/<modify>/
+    <delete> section.
+
+    Distributed shape (no toLocalIterator — that path re-executes the
+    upstream once per partition under AQE, measured 6.8x pathological):
+      1. stamp_order gives every row a consecutive global index __seq in
+         the frame's current order (per-partition stamps + driver
+         prefix-sum, zero exchange);
+      2. the previous row's action (the ONLY cross-row dependency — it
+         decides section breaks) comes from lag() over bucket-local
+         windows (__b = (__seq-1) div rows_per_bucket; many parallel
+         window groups, never a single-partition window), with the
+         per-bucket boundary rows filled from a broadcast of the
+         bucket-last rows (n/bucket_size rows, tiny);
+      3. each row renders as [optional close+open section tags] +
+         element, entirely JVM-side (xml_element_col);
+      4. ONE job writes text parts in __seq range order; the driver
+         concatenates and appends the final section close.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.zipindex import stamp_order
+    from .textfile import concat_parts, write_parts
+
+    spark = entities.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    stamped, n = stamp_order(entities, "__seq")
+    head = (b"<?xml version='1.0' encoding='UTF-8'?>\n"
+            + f'<osmChange version="0.6" generator={_attr(generator)}>\n'.encode())
+    if n == 0:
+        with open(path, "wb") as f:
+            from .textfile import _encode_member
+
+            f.write(_encode_member(head + b"</osmChange>\n", compression))
+        return
+    pb = max(math.ceil(n / nparts), 1)
+    stamped = stamped.withColumn("__act", change_action_col())
+    # last row of each bucket, re-keyed to the NEXT bucket's first row
+    boundaries = (
+        stamped.filter((F.col("__seq") % pb) == 0)
+        .select((F.col("__seq") + 1).alias("__seq"), F.col("__act").alias("__prevb"))
+    )
+    w = Window.partitionBy("__b").orderBy("__seq")
+    staged = (
+        stamped.withColumn("__b", ((F.col("__seq") - 1) / pb).cast("long"))
+        .join(F.broadcast(boundaries), on="__seq", how="left")
+        .withColumn("__prev", F.coalesce(F.lag("__act").over(w), F.col("__prevb")))
+    )
+    section = F.when(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("__act")),
+        F.concat(
+            F.when(F.col("__prev").isNotNull(),
+                   F.concat(F.lit("  </"), F.col("__prev"), F.lit(">\n")))
+            .otherwise(F.lit("")),
+            F.lit("  <"), F.col("__act"), F.lit(">\n"),
+        ),
+    ).otherwise(F.lit(""))
+    value = F.concat(section, xml_element_col(staged, indent=4))
+    # the window's hash exchange on __b scrambles partition order; one
+    # balanced range exchange on __seq restores it for the parts write
+    ordered = (
+        staged.select(value.alias("value"), "__seq", "__act")
+        .repartitionByRange(nparts, "__seq")
+        .sortWithinPartitions("__seq")
+    )
+    last_act = (
+        stamped.filter(F.col("__seq") == n).select("__act").collect()[0][0]
+    )
+    tail = f"  </{last_act}>\n</osmChange>\n".encode()
+    tmp = tempfile.mkdtemp(prefix="osmosc-",
+                           dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        write_parts(ordered.select("value"), os.path.join(tmp, "parts"), compression)
+        concat_parts(path, os.path.join(tmp, "parts"), compression,
+                     head=head, tail=tail)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -298,8 +298,26 @@ def to_opl_lines(entities: DataFrame) -> DataFrame:
     return entities.select(opl_line_col().alias("value"))
 
 
-def write_opl(entities: DataFrame, path: str) -> None:
-    """Write entities as .opl text (canonical order restored first)."""
-    from ..functions.sortkeys import canonical_sort
+def write_opl(entities: DataFrame, path: str,
+              compression: str | None = None) -> None:
+    """Write entities as ONE .opl file (canonical order restored first —
+    the range sort also balances the render partitions). Executors
+    render lines JVM-side and write text parts in one job (compressed
+    executor-side for .opl.gz/.opl.bz2 targets); the driver concatenates
+    part files in partition order = canonical order (sinks/textfile.py),
+    matching the reference's single-file output (src/io.cpp:39-61)."""
+    import os
+    import shutil
+    import tempfile
 
-    to_opl_lines(canonical_sort(entities)).write.mode("overwrite").text(path)
+    from ..functions.sortkeys import canonical_sort
+    from ..sinks.textfile import concat_parts, write_parts
+
+    tmp = tempfile.mkdtemp(prefix="osmopl-",
+                           dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        write_parts(to_opl_lines(canonical_sort(entities)),
+                    os.path.join(tmp, "parts"), compression)
+        concat_parts(path, os.path.join(tmp, "parts"), compression)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -182,7 +182,7 @@ def test_cli_opl_input_output(spark, tmp_path):
     out = str(tmp_path / "out.opl")
     rc = main(["tags-filter", str(src), "n/amenity", "-R", "-o", out], spark=spark)
     assert rc == 0
-    text = "".join(p.read_text() for p in (tmp_path / "out.opl").glob("part-*"))
+    text = (tmp_path / "out.opl").read_text()  # single file (reference parity)
     assert text.startswith("n1 ") and "amenity=cafe" in text and "w9" not in text
 
 
@@ -544,12 +544,8 @@ class TestCatGoldens:
         rc = main(["--generator", "test", "cat", f"{self.REF}/{src}",
                    "-o", out], spark=spark)
         assert rc == 0
-        import pathlib
-
-        text = "".join(
-            p.read_text() for p in sorted(pathlib.Path(out).glob("part-*"))
-        )
-        assert text == open(f"{self.REF}/output1.osm.opl").read()
+        # single-file output (reference parity, src/io.cpp:39-61)
+        assert open(out).read() == open(f"{self.REF}/output1.osm.opl").read()
 
 
 class TestExportCliGoldens:
