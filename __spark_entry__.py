@@ -1669,8 +1669,9 @@ WITH {NODES_CTE}
 {union}
 """
 
-    # portable deterministic sample order: ((id % P + seed) * MIX) % P
-    samp_h = "((id % 1000000007) * 2654435761) % 1000000007"
+    # portable deterministic sample order (non-negative residue, mirrors
+    # operators/sample.sample_hash): (((id % P + P) % P) * MIX) % P
+    samp_h = "(((id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007"
     o["tile_sample"] = f"""
 WITH {NODES_CTE},
 cells AS (SELECT id, {_morton_sql(_ix_sql('lon'), _iy_sql('lat'))} AS cell FROM nodes),
@@ -1689,7 +1690,7 @@ FROM nodes
 WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}
 """
 
-    doc_h = "((doc_id % 1000000007) * 2654435761) % 1000000007"
+    doc_h = "(((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007"
     o["bernoulli_sample"] = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents

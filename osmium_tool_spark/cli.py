@@ -683,11 +683,13 @@ def run(args, spark: SparkSession) -> int:
                     if to_stdout:
                         # "output": "-" = stdout (the reference's own
                         # test/extract/config.json); render to a temp
-                        # file in the configured format, then print
+                        # file in the configured format, then stream the
+                        # BYTES to stdout (binary-safe for pbf; mkstemp,
+                        # not the race-prone mktemp)
                         import tempfile as _tf
 
                         sfx = "." + (meta["output_format"] or "osm")
-                        dst = _tf.mktemp(suffix=sfx)
+                        dst = _os.path.join(_tf.mkdtemp(), "out" + sfx)
                     else:
                         dst = meta["output"]
                         if not _os.path.isabs(dst):
@@ -705,8 +707,14 @@ def run(args, spark: SparkSession) -> int:
                                in_opts=_xml_in_opts(args.input),
                                propagate_opts=False, boxes=bounds(ex))
                         if to_stdout:
-                            print(open(dst).read(), end="")
-                            _os.unlink(dst)
+                            import shutil as _sh
+
+                            with open(dst, "rb") as _sf:
+                                sys.stdout.flush()
+                                _sh.copyfileobj(_sf, sys.stdout.buffer)
+                                sys.stdout.buffer.flush()
+                            _sh.rmtree(_os.path.dirname(dst),
+                                       ignore_errors=True)
                     finally:
                         _OUTPUT_HEADER.clear()
                         _OUTPUT_HEADER.update(saved)
@@ -1069,14 +1077,51 @@ def run(args, spark: SparkSession) -> int:
                 rdf = rdf.filter(rdf["type"].isin(types))
         out = diff(ldf, rdf, ignore=ignore)
         counts = diff_summary(out).collect()[0]
+        # output-metadata quirk (command_diff.cpp:149-157): the OPL line
+        # drops i for --ignore-uid, and BOTH c and u for
+        # --ignore-changeset; --ignore-user affects only the comparison
+        omit = set()
+        if "uid" in ignore:
+            omit.add("uid")
+        if "changeset" in ignore:
+            omit.update({"changeset", "user"})
         if not args.quiet:
-            if args.output is None and args.output_format == "opl":
+            if args.output_format == "opl" and args.output is not None:
+                # marked-OPL to a single file (the reference writes the
+                # selected format to -o; previously this silently wrote
+                # parquet) — rendered JVM-side, parts + driver concat
+                import os
+                import shutil
+                import tempfile
+
+                from pyspark.sql import functions as F
+
+                from .operators.changes import diff_marked
+                from .sinks.textfile import (concat_parts, split_compression,
+                                             write_parts)
+                from .sources.opl import opl_line_col
+
+                codec = split_compression(args.output)[1]
+                marked = diff_marked(ldf, rdf, ignore=ignore,
+                                     suppress_common=args.suppress_common)
+                value = F.concat(F.col("mark"),
+                                 opl_line_col(omit=frozenset(omit)))
+                tmp = tempfile.mkdtemp(
+                    prefix="osmdiff-",
+                    dir=os.path.dirname(os.path.abspath(args.output)) or ".")
+                try:
+                    write_parts(marked.select(value.alias("value")),
+                                os.path.join(tmp, "parts"), codec)
+                    concat_parts(args.output, os.path.join(tmp, "parts"), codec)
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+            elif args.output is None and args.output_format == "opl":
                 # stdout marked-OPL (diff -f opl; byte parity vs test/diff)
                 from .operators.changes import diff_marked
                 from .sinks.osmxml import _entries_iter
                 from .sources.opl import _make_serializer
 
-                ser = _make_serializer(omit=frozenset(ignore))
+                ser = _make_serializer(omit=frozenset(omit))
                 for row in _entries_iter(
                     diff_marked(ldf, rdf, ignore=ignore,
                                 suppress_common=args.suppress_common)

@@ -27,11 +27,17 @@ from .dedup import HASH_MOD, MIX
 
 
 def sample_hash(id_col: Column, seed: int = 0) -> Column:
-    """Portable deterministic shuffle order: ((id % P + seed) * MIX) % P.
+    """Portable deterministic shuffle order:
+    (((id % P + P) % P + seed) * MIX) % P.
 
+    The double-mod forces a NON-NEGATIVE residue (Spark's % keeps the
+    dividend's sign, so a plain `id % P` is negative for negative ids —
+    which made bernoulli_sample keep every negative-id row regardless of
+    rate; OSM fixtures do carry negative ids). DuckDB's % has the same
+    sign rule, so the oracle SQL mirrors the same expression.
     All intermediates stay under 2^63: (P + seed) * MIX < 9.2e18 for
     seed < P."""
-    return ((id_col % HASH_MOD + F.lit(seed)) * MIX) % HASH_MOD
+    return (((id_col % HASH_MOD + HASH_MOD) % HASH_MOD + F.lit(seed)) * MIX) % HASH_MOD
 
 
 def balanced_sample(

@@ -172,11 +172,13 @@ def _make_serializer(omit: frozenset = frozenset()):
         parts = [f"{type_ch[row['type']]}{row['id']}"]
         parts.append(f"v{row['version'] if row['version'] is not None else ''}")
         parts.append(f"d{'V' if row['visible'] or row['visible'] is None else 'D'}")
-        parts.append(f"c{row['changeset'] if row['changeset'] is not None else ''}")
+        if "changeset" not in omit:
+            parts.append(f"c{row['changeset'] if row['changeset'] is not None else ''}")
         parts.append(f"t{fmt_ts(row['ts'])}")
         if "uid" not in omit:
             parts.append(f"i{row['uid'] if row['uid'] is not None else ''}")
-        parts.append(f"u{escape(row['user'] or '')}")
+        if "user" not in omit:
+            parts.append(f"u{escape(row['user'] or '')}")
         tags = row["tags"] or {}
         parts.append("T" + ",".join(f"{escape(k)}={escape(v)}" for k, v in tags.items()))
         if row["type"] == 0:
@@ -236,14 +238,16 @@ def opl_line_col(omit: frozenset = frozenset()):
         F.lit(" d"),
         F.when(F.col("visible").isNull() | F.col("visible"), F.lit("V")).otherwise(F.lit("D")),
     ))
-    parts.append(field("c", F.col("changeset")))
+    if "changeset" not in omit:
+        parts.append(field("c", F.col("changeset")))
     parts.append(F.concat(
         F.lit(" t"),
         F.when(F.col("ts").isNotNull(), _ts_col(F.col("ts"))).otherwise(empty),
     ))
     if "uid" not in omit:
         parts.append(field("i", F.col("uid")))
-    parts.append(F.concat(F.lit(" u"), _opl_escape_col(F.col("user"))))
+    if "user" not in omit:
+        parts.append(F.concat(F.lit(" u"), _opl_escape_col(F.col("user"))))
     parts.append(F.concat(
         F.lit(" T"),
         F.array_join(
