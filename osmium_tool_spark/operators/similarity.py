@@ -52,23 +52,112 @@ def ann_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded).
 
-    Query set is broadcast (it is small relative to the corpus); the per-row
-    work is a codegen'd double fold over the vectors. Returns
-    (query_id, neighbor_id, cos, rank). Ties break by neighbor id."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    )
-    from pyspark.sql import Window
+    Scale shape (the `ann_topk_pq` recipe applied to exact search): the
+    query set is collected (small by contract — it was broadcast before)
+    and shipped as plain numpy inside a mapInPandas closure; every
+    corpus PARTITION reduces to its local top-k per query, so the only
+    shuffle is partitions x queries x k candidate rows — independent of
+    corpus size — and the global window merely merges those candidates.
+    The old shape windowed over corpus x queries scored rows.
 
+    Bit-exactness: scores must hash-match the DuckDB oracle, which
+    evaluates the same left-to-right IEEE fold as the `cosine` Column.
+    The kernel reproduces that exact sequence with a per-dimension
+    accumulation loop (acc += v_d * q_d in dimension order, float64),
+    so the numpy scores are BIT-IDENTICAL to the JVM fold — pinned by
+    tests/test_similarity_images.py::test_ann_topk_prereduce_bitexact.
+
+    Returns (query_id, neighbor_id, cos, rank). Ties break by neighbor
+    id."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        schema_empty = corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cos"), F.lit(1).alias("rank"),
+        ).schema
+        return corpus.sparkSession.createDataFrame([], schema_empty)
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def local_topk(batches):
+        # self-contained closure: executors only need numpy + pandas
+        import numpy as np
+        import pandas as pd
+
+        Q = q_mat  # (m, d) float64
+        m, d = Q.shape
+        # query norms: same fold order as functions `norm` (sum of x*x
+        # in dimension order, then sqrt)
+        qn = np.zeros(m)
+        for j in range(d):
+            qn += Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        best = [([], [], []) for _ in range(m)]  # per-query candidate pools
+
+        def reduce_pool(i):
+            ids_l, cos_l, _ = best[i]
+            ids_a = np.concatenate(ids_l) if ids_l else np.array([], dtype=object)
+            cos_a = np.concatenate(cos_l) if cos_l else np.array([])
+            if len(ids_a) > k:
+                order = np.lexsort((ids_a, -cos_a))[:k]
+                ids_a, cos_a = ids_a[order], cos_a[order]
+            return ids_a, cos_a
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf.iloc[:, 1]])
+            n = V.shape[0]
+            # dot + corpus norms with the fold's exact IEEE sequence:
+            # accumulate one dimension at a time, in order
+            dots = np.zeros((n, m))
+            cn = np.zeros(n)
+            for j in range(d):
+                col = V[:, j]
+                dots += col[:, None] * Q[None, :, j]
+                cn += col * col
+            cn = np.sqrt(cn)
+            cos = dots / (qn[None, :] * cn[:, None])
+            for i in range(m):
+                ci = cos[:, i]
+                keep = ids != q_ids[i]
+                cand_ids, cand_cos = ids[keep], ci[keep]
+                if len(cand_ids) > k:
+                    # local pre-top-k: (-cos, id) order, k survivors
+                    order = np.lexsort((cand_ids, -cand_cos))[:k]
+                    cand_ids, cand_cos = cand_ids[order], cand_cos[order]
+                best[i][0].append(cand_ids)
+                best[i][1].append(cand_cos)
+        out_q, out_n, out_c = [], [], []
+        for i in range(m):
+            ids_a, cos_a = reduce_pool(i)
+            out_q.extend([q_ids[i]] * len(ids_a))
+            out_n.extend(ids_a.tolist())
+            out_c.extend(cos_a.tolist())
+        if out_q:
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    cands = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        local_topk, schema=out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

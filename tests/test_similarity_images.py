@@ -241,3 +241,54 @@ def test_ivf_assign_probe_order(spark):
         for r in ivf_assign(df, cents, nprobe=1, out_col="cids").collect()
     }
     assert one[1] == [0] and one[2] == [2]
+
+
+def test_ann_topk_prereduce_bitexact(spark):
+    """The round-4 per-partition pre-top-k rework must return scores
+    BIT-IDENTICAL to the pure Column-fold formulation (that is what the
+    DuckDB oracle hashes): same rows, same ranks, cos equal to the last
+    bit."""
+    import struct
+
+    from pyspark.sql import Window
+
+    from osmium_tool_spark.operators.similarity import ann_topk, cosine
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .repartition(7)  # several partitions => the merge path is real
+    )
+    queries = corpus.filter(F.col("vec_id") % 97 == 0)
+    got = ann_topk(corpus, queries, k=5).collect()
+
+    # the pre-rework reference formulation, inline
+    q = F.broadcast(queries.select(F.col("vec_id").alias("query_id"),
+                                   F.col("embedding").alias("qv")))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    want = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    for g, x in zip(sorted(got, key=key), sorted(want, key=key)):
+        assert (g.query_id, g.neighbor_id, g.rank) == (
+            x.query_id, x.neighbor_id, x.rank)
+        # bit-for-bit double equality, not approx
+        assert struct.pack("<d", g.cos) == struct.pack("<d", x.cos), (g, x)
+
+
+def test_ann_topk_empty_query_set(spark):
+    from osmium_tool_spark.operators.similarity import ann_topk
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ann_topk(corpus, corpus.filter("vec_id < 0"), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
