@@ -107,12 +107,23 @@ def _make_encoders() -> dict:
 def _make_block_encoder(with_history: bool):
     """mapInPandas closure: rows (pre-sorted within partitions) ->
     framed OSMData blob chunks. Self-contained — executors only need
-    stdlib + pandas (the package is not on their sys.path)."""
+    stdlib + numpy + pandas (the package is not on their sys.path).
+
+    Round-4 rework: the varint/delta packing is numpy-vectorized — all
+    DenseNodes columns (id/lat/lon deltas, DenseInfo) and way/relation
+    ref lists encode as whole-array operations (zigzag, per-value byte
+    counts, scatter into one uint8 buffer), so per-row Python survives
+    only for tag string-table fills and way/relation message framing.
+    String-table fill ORDER differs from the old per-row encoder (node
+    runs intern all tags, then users) — still deterministic, and PBF
+    semantics don't depend on table order; the write->read->write
+    stability matrix pins it."""
 
     def encode(batches):
         import struct
         import zlib
 
+        import numpy as np
         import pandas as pd
 
         def varint(v):
@@ -128,20 +139,67 @@ def _make_block_encoder(with_history: bool):
                     out.append(b)
                     return bytes(out)
 
-        def svarint(v):
-            return varint((v << 1) ^ (v >> 63))
-
         def key(tag, wt):
             return varint((tag << 3) | wt)
 
         def ld(payload):
             return varint(len(payload)) + payload
 
-        def packed(tag, vals, signed=False):
-            if not vals:
+        U7 = np.uint64(7)
+        U0x7F = np.uint64(0x7F)
+
+        def to_u64(a):
+            # two's-complement reinterpretation == the 10-byte varint
+            # form the scalar encoder uses for negatives
+            a = np.asarray(a)
+            if a.dtype != np.int64:
+                a = a.astype(np.int64)
+            return a.view(np.uint64)
+
+        def zz(a):
+            # zigzag: (n << 1) ^ (n >> 63 arithmetic), in uint64 domain
+            a = np.asarray(a)
+            if a.dtype != np.int64:
+                a = a.astype(np.int64)
+            u = a.view(np.uint64)
+            sign = np.where(a < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+            return (u << np.uint64(1)) ^ sign
+
+        def varints_arr(u):
+            """uint64 array -> (varint-concatenated bytes, per-value
+            byte counts). Vectorized: a byte-count pass, then one
+            scatter pass per byte position (<=10)."""
+            n = len(u)
+            if n == 0:
+                return b"", np.zeros(0, dtype=np.int64)
+            nb = np.ones(n, dtype=np.int64)
+            v = u >> U7
+            while v.any():
+                nb += (v != 0)
+                v >>= U7
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(nb[:-1], out=starts[1:])
+            out = np.zeros(int(nb.sum()), dtype=np.uint8)
+            for i in range(int(nb.max())):
+                sel = nb > i
+                b = ((u[sel] >> np.uint64(7 * i)) & U0x7F).astype(np.uint8)
+                cont = ((nb[sel] - 1 > i).astype(np.uint8)) << np.uint8(7)
+                out[starts[sel] + i] = b | cont
+            return out.tobytes(), nb
+
+        def packed_arr(tag, arr, signed=False):
+            if len(arr) == 0:
                 return b""
-            body = b"".join(svarint(v) if signed else varint(v) for v in vals)
+            body, _ = varints_arr(zz(arr) if signed else to_u64(arr))
             return key(tag, 2) + ld(body)
+
+        def delta(a):
+            a = np.asarray(a, dtype=np.int64)
+            d = np.empty_like(a)
+            if len(a):
+                d[0] = a[0]
+                d[1:] = a[1:] - a[:-1]
+            return d
 
         UNDEF = 0x7FFFFFFF
 
@@ -150,6 +208,12 @@ def _make_block_encoder(with_history: bool):
 
         def aslist(v):  # pandas delivers arrays as np.ndarray (no bool())
             return [] if v is None or (isinstance(v, float) and v != v) else list(v)
+
+        def int_col(s, fill):
+            # nullable int column -> int64 with `fill` for nulls (Arrow
+            # nulls surface as float64 NaN; values stay exact <= 2^53)
+            arr = s.fillna(fill).to_numpy()
+            return arr if arr.dtype == np.int64 else arr.astype(np.int64)
 
         class Strings:
             def __init__(self):
@@ -185,111 +249,134 @@ def _make_block_encoder(with_history: bool):
             return key(4, 2) + ld(b"".join(parts))
 
         def tags_bytes(r, st):
-            out = b""
             ks, vs = [], []
             for e in aslist(r["tags"]):
                 ks.append(st.get(e["key"]))
                 vs.append(st.get(e["value"]))
-            out += packed(2, ks) + packed(3, vs)
-            return out
+            if not ks:
+                return b""
+            return (packed_arr(2, np.array(ks, dtype=np.int64))
+                    + packed_arr(3, np.array(vs, dtype=np.int64)))
 
-        def dense_group(rows, st):
-            ids, lats, lons, kv = [], [], [], []
-            versions, tss, css, uids, usids, vis = [], [], [], [], [], []
-            has_meta = any(not isnull(r["version"]) for r in rows)
-            pid = plat = plon = pts = pcs = puid = pus = 0
-            for r in rows:
-                rid = int(r["id"])
-                ids.append(rid - pid)
-                pid = rid
-                lat = UNDEF if isnull(r["lat"]) else int(r["lat"])
-                lon = UNDEF if isnull(r["lon"]) else int(r["lon"])
-                # granularity 100 nanodeg -> raw units == fixed 1e-7 units
-                lats.append(lat - plat)
-                lons.append(lon - plon)
-                plat, plon = lat, lon
-                for e in aslist(r["tags"]):
+        def dense_group(sub, st):
+            ids = int_col(sub["id"], 0)
+            lats = int_col(sub["lat"], UNDEF)
+            lons = int_col(sub["lon"], UNDEF)
+            kv = []
+            for t in sub["tags"]:
+                for e in aslist(t):
                     kv.append(st.get(e["key"]))
                     kv.append(st.get(e["value"]))
                 kv.append(0)
-                if has_meta:
-                    versions.append(
-                        int(r["version"]) if not isnull(r["version"]) else 0
-                    )
-                    ts = (
-                        int(r["ts"]) // 1_000_000 if not isnull(r["ts"]) else 0
-                    )
-                    tss.append(ts - pts)
-                    pts = ts
-                    cs = int(r["changeset"]) if not isnull(r["changeset"]) else 0
-                    css.append(cs - pcs)
-                    pcs = cs
-                    uid = int(r["uid"]) if not isnull(r["uid"]) else 0
-                    uids.append(uid - puid)
-                    puid = uid
-                    us = st.get(r["user"])
-                    usids.append(us - pus)
-                    pus = us
-                    vis.append(1 if r["visible"] else 0)
-            body = packed(1, ids, signed=True)
+            body = packed_arr(1, delta(ids), signed=True)
+            has_meta = bool(sub["version"].notna().any())
             if has_meta:
-                di = packed(1, versions)
-                di += packed(2, tss, signed=True)
-                di += packed(3, css, signed=True)
-                di += packed(4, uids, signed=True)
-                di += packed(5, usids, signed=True)
+                versions = int_col(sub["version"], 0)
+                tss = int_col(sub["ts"], 0) // 1_000_000
+                css = int_col(sub["changeset"], 0)
+                uids = int_col(sub["uid"], 0)
+                codes, uniques = pd.factorize(sub["user"])
+                # trailing st.get(None) doubles as the code==-1 target
+                lut = np.array([st.get(u) for u in uniques] + [st.get(None)],
+                               dtype=np.int64)
+                usids = lut[codes]
+                di = packed_arr(1, versions)
+                di += packed_arr(2, delta(tss), signed=True)
+                di += packed_arr(3, delta(css), signed=True)
+                di += packed_arr(4, delta(uids), signed=True)
+                di += packed_arr(5, delta(usids), signed=True)
                 if with_history:
-                    di += packed(6, vis)
+                    vis = (sub["visible"].fillna(False).to_numpy()
+                           .astype(np.int64))
+                    di += packed_arr(6, vis)
                 body += key(5, 2) + ld(di)
-            body += packed(8, lats, signed=True)
-            body += packed(9, lons, signed=True)
-            body += key(10, 2) + ld(b"".join(varint(v) for v in kv))
+            body += packed_arr(8, delta(lats), signed=True)
+            body += packed_arr(9, delta(lons), signed=True)
+            kvbytes, _ = varints_arr(np.array(kv, dtype=np.uint64))
+            body += key(10, 2) + ld(kvbytes)
             return key(2, 2) + ld(body)
 
-        def way_bytes(r, st):
-            body = key(1, 0) + varint(int(r["id"]))
-            body += tags_bytes(r, st)
-            body += info_bytes(r, st)
-            deltas, prev = [], 0
-            for ref in aslist(r["refs"]):
-                deltas.append(int(ref) - prev)
-                prev = int(ref)
-            body += packed(8, deltas, signed=True)
-            return key(3, 2) + ld(body)
+        def packed_rows(tag, lists, signed=True, delta_coded=True):
+            """Per-row packed fields for variable-length int lists, all
+            rows encoded in ONE vectorized pass: flatten, per-segment
+            prepend-0 delta, zigzag-varint the whole thing, then slice
+            per row by cumulative byte counts. Returns list[bytes]."""
+            clean = [None if r is None or (isinstance(r, float) and r != r)
+                     else r for r in lists]
+            lengths = np.array([0 if r is None else len(r) for r in clean],
+                               dtype=np.int64)
+            if int(lengths.sum()) == 0:
+                return [b""] * len(lengths)
+            flat = np.concatenate(
+                [np.asarray(r, dtype=np.int64) for r in clean
+                 if r is not None and len(r)]
+            )
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            if delta_coded:
+                d = delta(flat)
+                firsts = starts[lengths > 0]
+                d[firsts] = flat[firsts]  # prev resets to 0 at each row
+            else:
+                d = flat
+            body, nb = varints_arr(zz(d) if signed else to_u64(d))
+            nb_cum = np.concatenate(([0], np.cumsum(nb)))
+            b0 = nb_cum[starts]
+            b1 = nb_cum[starts + lengths]
+            prefix = key(tag, 2)
+            return [
+                prefix + ld(body[int(b0[i]):int(b1[i])]) if lengths[i] else b""
+                for i in range(len(lengths))
+            ]
 
-        def rel_bytes(r, st):
-            body = key(1, 0) + varint(int(r["id"]))
-            body += tags_bytes(r, st)
-            body += info_bytes(r, st)
-            roles, deltas, types = [], [], []
-            prev = 0
-            for m in aslist(r["members"]):
-                roles.append(st.get(m["role"]))
-                deltas.append(int(m["ref"]) - prev)
-                prev = int(m["ref"])
-                types.append(int(m["mtype"]))
-            body += packed(8, roles)
-            body += packed(9, deltas, signed=True)
-            body += packed(10, types)
-            return key(4, 2) + ld(body)
+        def way_group(sub, st):
+            rows = sub.to_dict("records")
+            ref_fields = packed_rows(8, list(sub["refs"]), signed=True)
+            out = []
+            for r, rf in zip(rows, ref_fields):
+                body = key(1, 0) + varint(int(r["id"]))
+                body += tags_bytes(r, st)
+                body += info_bytes(r, st)
+                body += rf
+                out.append(key(3, 2) + ld(body))
+            return b"".join(out)
 
-        def make_block(rows):
+        def rel_group(sub, st):
+            rows = sub.to_dict("records")
+            members = [aslist(r["members"]) for r in rows]
+            ref_fields = packed_rows(
+                9, [[int(m["ref"]) for m in ms] for ms in members],
+                signed=True)
+            type_fields = packed_rows(
+                10, [[int(m["mtype"]) for m in ms] for ms in members],
+                signed=False, delta_coded=False)
+            out = []
+            for r, ms, rf, tf in zip(rows, members, ref_fields, type_fields):
+                body = key(1, 0) + varint(int(r["id"]))
+                body += tags_bytes(r, st)
+                body += info_bytes(r, st)
+                roles = np.array([st.get(m["role"]) for m in ms],
+                                 dtype=np.int64)
+                body += packed_arr(8, roles)
+                body += rf
+                body += tf
+                out.append(key(4, 2) + ld(body))
+            return b"".join(out)
+
+        def make_block(pdf):
             st = Strings()
             groups = []
-            i = 0
-            while i < len(rows):
-                t = rows[i]["type"]
-                j = i
-                while j < len(rows) and rows[j]["type"] == t:
-                    j += 1
-                run = rows[i:j]
+            types = pdf["type"].to_numpy()
+            bounds = ([0] + (np.flatnonzero(np.diff(types)) + 1).tolist()
+                      + [len(types)])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                sub = pdf.iloc[s:e]
+                t = types[s]
                 if t == 0:
-                    groups.append(dense_group(run, st))
+                    groups.append(dense_group(sub, st))
                 elif t == 1:
-                    groups.append(b"".join(way_bytes(r, st) for r in run))
+                    groups.append(way_group(sub, st))
                 else:
-                    groups.append(b"".join(rel_bytes(r, st) for r in run))
-                i = j
+                    groups.append(rel_group(sub, st))
             stbody = b"".join(
                 key(1, 2) + ld(s.encode("utf-8")) for s in st.lst
             )
@@ -307,17 +394,17 @@ def _make_block_encoder(with_history: bool):
             bh += key(3, 0) + varint(len(blob))
             return struct.pack(">I", len(bh)) + bh + blob
 
-        pending = []
+        pending = None
         for pdf in batches:
-            rows = pdf.to_dict("records")
-            pending.extend(rows)
+            pending = pdf if pending is None else pd.concat(
+                [pending, pdf], ignore_index=True)
             frames = []
             while len(pending) >= 8000:
-                frames.append(frame(make_block(pending[:8000])))
-                pending = pending[8000:]
+                frames.append(frame(make_block(pending.iloc[:8000])))
+                pending = pending.iloc[8000:].reset_index(drop=True)
             if frames:
                 yield pd.DataFrame({"frame": frames})
-        if pending:
+        if pending is not None and len(pending):
             yield pd.DataFrame({"frame": [frame(make_block(pending))]})
 
     return encode
@@ -348,11 +435,22 @@ def write_osm_pbf(
     n = num_partitions or spark.sparkContext.defaultParallelism
     skey = [F.col("type"), id_sort_key(F.col("id")).alias("__k"), F.col("version")]
     # tags travel as an entries array (map dicts lose insertion order
-    # through Arrow — same shape as the reader)
+    # through Arrow — same shape as the reader). Null array columns are
+    # coalesced to EMPTY arrays: the encoder treats both identically,
+    # and Spark's Arrow writer has a pathological slow path for mostly-
+    # null nested columns (measured 103s -> 5.5s for 2M all-null rows
+    # at local[2] — nodes always have null refs/members, so every
+    # node-heavy write paid it)
+    empty_refs = F.expr("array()").cast("array<long>")
+    empty_members = F.expr(
+        "array()").cast("array<struct<mtype:int,ref:long,role:string>>")
+    empty_tags = F.expr("array()").cast("array<struct<key:string,value:string>>")
     prepped = (
         entities.repartitionByRange(n, *skey)
         .sortWithinPartitions(*skey)
-        .withColumn("tags", F.map_entries("tags"))
+        .withColumn("tags", F.coalesce(F.map_entries("tags"), empty_tags))
+        .withColumn("refs", F.coalesce(F.col("refs"), empty_refs))
+        .withColumn("members", F.coalesce(F.col("members"), empty_members))
         .select(
             "type", "id", "version", "visible", "changeset", "ts", "uid",
             "user", "tags", "lon", "lat", "refs", "members",

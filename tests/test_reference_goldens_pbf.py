@@ -87,11 +87,9 @@ def test_cli_pbf_to_opl_and_xml(spark, tmp_path):
     out = str(tmp_path / "out.opl")
     rc = main(["cat", f"{REF}/formats/f1.osm.pbf", "-o", out], spark=spark)
     assert rc == 0
-    import glob
-
-    text = "".join(open(p).read() for p in sorted(glob.glob(f"{out}/part-*")))
+    # single-file OPL output (reference parity)
     want = open(f"{REF}/formats/f1.osm.opl").read()
-    assert text == want
+    assert open(out).read() == want
     # pbf -> sort -> xml: byte-identical to the committed f1.osm
     out2 = str(tmp_path / "out.osm")
     rc = main(["--generator", "test", "sort", f"{REF}/formats/f1.osm.pbf", "-o", out2], spark=spark)
