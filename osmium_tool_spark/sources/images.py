@@ -147,13 +147,89 @@ def decode_stub_meta(images: DataFrame) -> DataFrame:
     return cols.mapInPandas(fake_decode, schema=DECODE_META_SCHEMA)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_real(images: DataFrame) -> DataFrame:
-    """Real pixel decode — requires codec libraries not present in this
-    environment. The production implementation decodes `bytes` per `fmt`
-    inside the same mapInPandas shape as `decode_stub_meta` and must uphold
-    the per-row invariant: decoded-pixel allclose (PSNR>=40dB for lossy
-    formats) + caption equality (BASELINE.json input_hint)."""
-    raise NotImplementedError(
-        "image codecs unavailable in this container; use decode_stub_meta "
-        "for plumbing tests and swap in PIL/libvips in production"
-    )
+    """Real pixel decode via PIL (guard-imported — activates wherever
+    Pillow is installed; this container has no codec libraries, so the
+    plumbing tests use decode_stub_meta and the PIL tests skip-mark).
+
+    Same mapInPandas shape and output schema as `decode_stub_meta`, but
+    w/h/mean_luma come from the DECODED image — upholding the per-row
+    invariant chain: decoded-pixel allclose (PSNR>=40dB for lossy
+    formats) + caption equality (BASELINE.json input_hint) is then
+    checked by operators/invariants.pixel_invariant_violations over
+    `decode_pixels` output."""
+    if not _pil_available():
+        raise NotImplementedError(
+            "image codecs unavailable (Pillow not importable); use "
+            "decode_stub_meta for plumbing tests — decode_real activates "
+            "automatically where PIL is installed"
+        )
+    cols = images.select("image_id", "bytes", "fmt")
+
+    def pil_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import pandas as pd
+        from PIL import Image  # executors need Pillow too — fail loud
+
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "fmt": [],
+                   "n_bytes": [], "mean_luma": []}
+            for iid, payload, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                         pdf["fmt"]):
+                img = Image.open(io.BytesIO(payload))
+                luma = np.asarray(img.convert("L"), dtype=np.float64)
+                out["image_id"].append(iid)
+                out["w"].append(img.width)
+                out["h"].append(img.height)
+                out["fmt"].append((img.format or fmt or "").lower())
+                out["n_bytes"].append(len(payload))
+                out["mean_luma"].append(float(luma.mean()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(pil_decode, schema=DECODE_META_SCHEMA)
+
+
+PIXELS_SCHEMA = "image_id string, w int, h int, pixels array<double>"
+
+
+def decode_pixels(images: DataFrame) -> DataFrame:
+    """Decoded grayscale samples as array<double> per image — the input
+    the PSNR>=40dB invariant consumes (operators/invariants.py). PIL
+    guard-imported like decode_real. Pixel arrays are large; run this on
+    the (small) sample under invariant check, not the full corpus."""
+    if not _pil_available():
+        raise NotImplementedError(
+            "image codecs unavailable (Pillow not importable)"
+        )
+    cols = images.select("image_id", "bytes")
+
+    def pil_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "pixels": []}
+            for iid, payload in zip(pdf["image_id"], pdf["bytes"]):
+                img = Image.open(io.BytesIO(payload))
+                luma = np.asarray(img.convert("L"), dtype=np.float64)
+                out["image_id"].append(iid)
+                out["w"].append(img.width)
+                out["h"].append(img.height)
+                out["pixels"].append(luma.ravel())
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(pil_pixels, schema=PIXELS_SCHEMA)

@@ -75,29 +75,61 @@ _SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"}
 def decompress_blob(blob: bytes) -> bytes:
     """Decode one Blob message -> uncompressed payload bytes.
 
-    Raises ValueError on compression codecs this reader does not
-    implement (lz4/zstd — not in the stdlib) instead of returning
-    nothing — a valid .osm.pbf must never silently read as empty.
+    raw/zlib/lzma/bzip2 decode via the stdlib; lz4/zstd decode when the
+    optional `lz4` / `zstandard` packages are importable (libosmium's
+    optional codecs — reference reads planet files recompressed with
+    zstd) and otherwise raise a LOUD ValueError naming the missing
+    package — a valid .osm.pbf must never silently read as empty.
     """
     import bz2
     import lzma
     import zlib
 
-    seen: list[str] = []
+    raw_size = None
+    data = None
     for tag, _wt, val in _fields(blob):
-        if tag == 1:
-            return val
-        if tag == 3:
-            return zlib.decompress(val)
-        if tag == 4:
-            return lzma.decompress(val)
-        if tag == 5:
-            return bz2.decompress(val)
-        if tag in _BLOB_CODECS:
-            seen.append(_BLOB_CODECS[tag])
+        if tag == 2:
+            raw_size = val  # uncompressed size (required by lz4 blocks)
+        elif tag in _BLOB_CODECS:
+            data = (tag, val)
+    if data is None:
+        raise ValueError(
+            "unsupported PBF blob: no data field; "
+            "raw/zlib/lzma/bzip2 (+lz4/zstd if installed) are supported"
+        )
+    tag, val = data
+    if tag == 1:
+        return val
+    if tag == 3:
+        return zlib.decompress(val)
+    if tag == 4:
+        return lzma.decompress(val)
+    if tag == 5:
+        return bz2.decompress(val)
+    if tag == 6:
+        try:
+            import lz4.block
+        except ImportError as e:
+            raise ValueError(
+                "PBF blob is lz4-compressed but the optional `lz4` package "
+                "is not installed (pip install lz4)"
+            ) from e
+        if raw_size is None:
+            raise ValueError("lz4 PBF blob is missing the raw_size field")
+        return lz4.block.decompress(val, uncompressed_size=raw_size)
+    if tag == 7:
+        try:
+            import zstandard
+        except ImportError as e:
+            raise ValueError(
+                "PBF blob is zstd-compressed but the optional `zstandard` "
+                "package is not installed (pip install zstandard)"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(
+            val, max_output_size=raw_size or 0
+        )
     raise ValueError(
-        "unsupported PBF blob compression "
-        f"{seen or ['<no data field>']}; raw/zlib/lzma/bzip2 are supported"
+        f"unsupported PBF blob compression {_BLOB_CODECS[tag]!r}"
     )
 
 
