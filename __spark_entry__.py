@@ -487,6 +487,31 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_osc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 distributed .osc writer logic as a gate query: per-row
+    create/modify/delete action + section-break flag, computed with the
+    bucket-local lag windows + broadcast boundary fill the sink uses
+    (sinks/osmxml.change_sections) — the DuckDB oracle is a plain
+    lag() window, so any boundary-fill mistake hash-fails."""
+    from osmium_tool_spark.functions.sortkeys import canonical_sort
+    from osmium_tool_spark.sinks.osmxml import change_sections
+    from osmium_tool_spark.sources import testdata as td
+
+    ents = (
+        td.nodes_from_part(spark, sf_dir)
+        .withColumn("version", (F.col("id") % 4 + 1).cast("int"))
+        .withColumn("visible", F.col("id") % 7 != 0)
+    )
+    staged, _n, _last = change_sections(canonical_sort(ents))
+    return staged.select(
+        _L("id").alias("id"),
+        _L("__seq").alias("seq"),
+        F.col("__act").alias("action"),
+        (F.col("__prev").isNull()
+         | (F.col("__prev") != F.col("__act"))).alias("new_section"),
+    )
+
+
 def _old_new(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from osmium_tool_spark.sources import testdata as td
 
@@ -1309,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "apply_changes_redact": q_apply_changes_redact,
         "pbf_roundtrip": q_pbf_roundtrip,
+        "osc_sections": q_osc_sections,
         "text_metrics": q_text_metrics,
         # -- core operator rows (14-50) --
         "extract_bbox_simple": q_extract_bbox_simple,
@@ -1332,7 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_count": q_tags_count,
         "fileinfo": q_fileinfo,
         "tile_rollup": q_tile_rollup,
-        "tile_pyramid": q_tile_pyramid,
         "tile_sample": q_tile_sample,
         "zorder_extract": q_zorder_extract,
         "stratified_sample": q_stratified_sample,
@@ -1349,6 +1374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "bernoulli_sample": q_bernoulli_sample,
         # -- tail (51+): long-stable siblings past the driver window --
+        # (r4 rotation: tile_pyramid moved here to make room for
+        # osc_sections — its in-window sibling is tile_rollup, the same
+        # cascading re-agg family; still oracled via check_oracle.py)
+        "tile_pyramid": q_tile_pyramid,
         "locations_index": q_locations_index,
         "validate_order": q_validate_order,
         "add_locations": q_add_locations,
@@ -1567,6 +1596,23 @@ SELECT CAST(p_partkey AS BIGINT) AS id,
        p_brand AS brand,
        CAST(1 AS BIGINT) AS version
 FROM part
+"""
+
+    o["osc_sections"] = """
+WITH s AS (SELECT p_partkey AS id,
+                  p_partkey % 4 + 1 AS version,
+                  (p_partkey % 7 <> 0) AS visible
+           FROM part),
+a AS (SELECT id, CASE WHEN NOT visible THEN 'delete'
+                      WHEN version = 1 THEN 'create'
+                      ELSE 'modify' END AS action
+      FROM s),
+r AS (SELECT id, row_number() OVER (ORDER BY id) AS seq, action,
+             lag(action) OVER (ORDER BY id) AS prev
+      FROM a)
+SELECT CAST(id AS BIGINT) AS id, CAST(seq AS BIGINT) AS seq, action,
+       (prev IS NULL OR prev <> action) AS new_section
+FROM r
 """
 
     o["derive_changes"] = """

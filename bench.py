@@ -89,6 +89,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "4000000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        loadavg1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg1 = None
 
     import __spark_entry__ as entry
     from osmium_tool_spark.session import get_spark
@@ -169,6 +173,10 @@ def main() -> None:
                 "pipeline_matched_rows": matched,
                 "pipeline_tile_rows": tile_rows,
                 "parallelism": spark.sparkContext.defaultParallelism,
+                # host co-tenancy marker (round-3 verdict item 8): the
+                # 1-min load BEFORE this bench started — lets a reader
+                # separate engine cost from co-tenant noise
+                "loadavg1_at_start": loadavg1,
             }
         )
     )

@@ -177,8 +177,23 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
 
         # --generator must reach every sink, not just the XML ones
         write_sorted(df, out, header={"generator": _GENERATOR[0], **(header or {})})
-    else:  # text formats (export serializations)
-        df.coalesce(1).write.mode("overwrite").text(out)
+    else:  # text formats (export serializations) -> ONE file
+        # parallel render + parts concat (codec-aware) in the frame's
+        # current order — replaces the old coalesce(1) single-task
+        # render that also left a directory instead of a file
+        import os
+        import shutil
+        import tempfile
+
+        from .sinks.textfile import concat_parts, write_parts
+
+        tmp = tempfile.mkdtemp(prefix="osmtext-",
+                               dir=os.path.dirname(os.path.abspath(out)) or ".")
+        try:
+            write_parts(df, os.path.join(tmp, "parts"), codec)
+            concat_parts(out, os.path.join(tmp, "parts"), codec)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _timestamp(arg: str) -> int:
@@ -1351,6 +1366,23 @@ def run(args, spark: SparkSession) -> int:
             from .sources.osmxml import read_osm_xml_header
 
             opts = read_osm_xml_header(src)["header"]["option"] or opts
+        def page_or_print(text: str) -> None:
+            # reference parity (command_show.cpp:50-66 + run): output
+            # pipes through $OSMIUM_PAGER / $PAGER (default less);
+            # 'cat' or --no-pager disables. Off-tty (tests, pipes) we
+            # print directly — byte-identical, since less degrades to
+            # cat when stdout is not a terminal.
+            import os as _pos
+            import subprocess
+
+            pager = (_pos.environ.get("OSMIUM_PAGER")
+                     or _pos.environ.get("PAGER") or "less")
+            if (getattr(args, "no_pager", False) or pager == "cat"
+                    or not sys.stdout.isatty()):
+                sys.stdout.write(text)
+                return
+            subprocess.run(pager, input=text.encode(), shell=True)
+
         if args.output_format == "xml":
             import tempfile
 
@@ -1362,7 +1394,7 @@ def run(args, spark: SparkSession) -> int:
                     generator=opts.get("generator", _GENERATOR[0]),
                     upload_false=opts.get("xml_josm_upload") == "false",
                 )
-                print(open(tmp.name).read(), end="")
+                page_or_print(open(tmp.name).read())
         elif args.output_format == "debug":
             from pyspark.sql import functions as SF
 
@@ -1373,19 +1405,18 @@ def run(args, spark: SparkSession) -> int:
                 SF.count("*").alias("n"),
                 SF.count_distinct("type", "id").alias("d"),
             ).collect()[0]
-            print(
+            page_or_print(
                 to_debug_text(
                     list(_entries_iter(df)), opts,
                     multiple_versions=agg["n"] != agg["d"],
-                ),
-                end="",
+                )
             )
         else:
             from .sources.opl import _make_serializer
 
             ser = _make_serializer()
-            for r in df.collect():
-                print(ser(r.asDict(recursive=True)))
+            lines = [ser(r.asDict(recursive=True)) for r in df.collect()]
+            page_or_print("".join(ln + "\n" for ln in lines))
     elif cmd == "create-locations-index":
         from .operators.locations import create_locations_index
 

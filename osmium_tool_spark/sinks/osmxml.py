@@ -520,6 +520,68 @@ def change_action_col():
     )
 
 
+def change_sections(
+    entities: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """The cross-row inputs of the .osc section logic, distributed:
+    every row of `entities` (in its CURRENT order) gains
+      __seq  — consecutive 1-based global index (stamp_order: per-
+               partition stamps + driver prefix-sum, zero exchange),
+      __act  — its create/modify/delete action (change_action_col),
+      __prev — the PREVIOUS row's action (null on row 1), via lag()
+               over bucket-local windows (__b = (__seq-1) div
+               rows_per_bucket; many parallel window groups, never a
+               single-partition window) with per-bucket boundary rows
+               filled from a broadcast of the bucket-last rows.
+    The result is range-partitioned by __b (ONE exchange; satisfies the
+    window's clustering AND keeps partition order == global order since
+    __b is monotone in __seq — part files concatenate directly).
+    Returns (staged_df, total_rows, last_action). Used by
+    write_osm_change and gated directly (a DuckDB lag() window is the
+    oracle)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.zipindex import stamp_order
+
+    spark = entities.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    stamped, n = stamp_order(entities, "__seq")
+    stamped = stamped.withColumn("__act", change_action_col())
+    if n == 0:
+        empty = stamped.withColumn("__prev", F.lit(None).cast("string"))
+        return empty, 0, None
+    pb = max(math.ceil(n / nparts), 1)
+    # bucket-last rows (plus the final row) collected to the driver —
+    # nparts tiny rows; they seed the boundary broadcast AND give the
+    # writer the last action without a separate job
+    brows = (
+        stamped.filter(((F.col("__seq") % pb) == 0) | (F.col("__seq") == n))
+        .select("__seq", "__act").collect()
+    )
+    last_act = next(r["__act"] for r in brows if r["__seq"] == n)
+    boundaries = spark.createDataFrame(
+        [(r["__seq"] + 1, r["__act"]) for r in brows if r["__seq"] % pb == 0]
+        or [(0, None)],
+        "__seq long, __prevb string",
+    )
+    # ONE exchange: range partitioning on the bucket id both satisfies
+    # the window's clustering (no extra hash exchange — plan-verified)
+    # and, because __b is monotone in __seq, leaves partition order ==
+    # global order, so the writer's part files concatenate directly
+    w = Window.partitionBy("__b").orderBy("__seq")
+    staged = (
+        stamped.withColumn("__b", ((F.col("__seq") - 1) / pb).cast("long"))
+        .repartitionByRange(nparts, "__b")
+        .join(F.broadcast(boundaries), on="__seq", how="left")
+        .withColumn("__prev", F.coalesce(F.lag("__act").over(w), F.col("__prevb")))
+        .drop("__prevb")
+    )
+    return staged, n, last_act
+
+
 def write_osm_change(
     entities: DataFrame, path: str, generator: str = "test",
     compression: str | None = None, num_partitions: int | None = None,
@@ -544,20 +606,17 @@ def write_osm_change(
       4. ONE job writes text parts in __seq range order; the driver
          concatenates and appends the final section close.
     """
-    import math
     import os
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..functions.zipindex import stamp_order
     from .textfile import concat_parts, write_parts
 
     spark = entities.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    stamped, n = stamp_order(entities, "__seq")
+    staged, n, last_act = change_sections(entities, nparts)
     head = (b"<?xml version='1.0' encoding='UTF-8'?>\n"
             + f'<osmChange version="0.6" generator={_attr(generator)}>\n'.encode())
     if n == 0:
@@ -566,19 +625,6 @@ def write_osm_change(
 
             f.write(_encode_member(head + b"</osmChange>\n", compression))
         return
-    pb = max(math.ceil(n / nparts), 1)
-    stamped = stamped.withColumn("__act", change_action_col())
-    # last row of each bucket, re-keyed to the NEXT bucket's first row
-    boundaries = (
-        stamped.filter((F.col("__seq") % pb) == 0)
-        .select((F.col("__seq") + 1).alias("__seq"), F.col("__act").alias("__prevb"))
-    )
-    w = Window.partitionBy("__b").orderBy("__seq")
-    staged = (
-        stamped.withColumn("__b", ((F.col("__seq") - 1) / pb).cast("long"))
-        .join(F.broadcast(boundaries), on="__seq", how="left")
-        .withColumn("__prev", F.coalesce(F.lag("__act").over(w), F.col("__prevb")))
-    )
     section = F.when(
         F.col("__prev").isNull() | (F.col("__prev") != F.col("__act")),
         F.concat(
@@ -589,21 +635,15 @@ def write_osm_change(
         ),
     ).otherwise(F.lit(""))
     value = F.concat(section, xml_element_col(staged, indent=4))
-    # the window's hash exchange on __b scrambles partition order; one
-    # balanced range exchange on __seq restores it for the parts write
-    ordered = (
-        staged.select(value.alias("value"), "__seq", "__act")
-        .repartitionByRange(nparts, "__seq")
-        .sortWithinPartitions("__seq")
-    )
-    last_act = (
-        stamped.filter(F.col("__seq") == n).select("__act").collect()[0][0]
-    )
+    # change_sections left the frame range-partitioned by __b with the
+    # window's output sorted (__b, __seq) == __seq — partition order IS
+    # the file order, so the parts write needs no further exchange
+    ordered = staged.select(value.alias("value"))
     tail = f"  </{last_act}>\n</osmChange>\n".encode()
     tmp = tempfile.mkdtemp(prefix="osmosc-",
                            dir=os.path.dirname(os.path.abspath(path)) or ".")
     try:
-        write_parts(ordered.select("value"), os.path.join(tmp, "parts"), compression)
+        write_parts(ordered, os.path.join(tmp, "parts"), compression)
         concat_parts(path, os.path.join(tmp, "parts"), compression,
                      head=head, tail=tail)
     finally:

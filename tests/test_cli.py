@@ -157,7 +157,7 @@ def test_cli_export_text_wkt(spark, input_dir, tmp_path):
     out = str(tmp_path / "txt")
     rc = main(["export", input_dir, "-f", "text", "-o", out], spark=spark)
     assert rc == 0
-    text = "".join(p.read_text() for p in (tmp_path / "txt").glob("part-*"))
+    text = (tmp_path / "txt").read_text()  # single file (reference parity)
     lines = [ln for ln in text.splitlines() if ln]
     assert all(
         ln.startswith(("POINT(", "LINESTRING(", "POLYGON((", "MULTIPOLYGON("))
@@ -562,9 +562,14 @@ class TestExportCliGoldens:
         assert rc == 0
 
     def _parts(self, out):
+        # single-file export output (reference parity, round 4); keep the
+        # directory fallback so the helper names stay stable
         import pathlib
 
-        return "".join(p.read_text() for p in sorted(pathlib.Path(out).glob("part-*")))
+        p = pathlib.Path(out)
+        if p.is_dir():
+            return "".join(q.read_text() for q in sorted(p.glob("part-*")))
+        return p.read_text()
 
     def test_geojson_default(self, spark, tmp_path):
         out = str(tmp_path / "o.geojson")
