@@ -1312,6 +1312,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: the held-out
+    set is the deterministic doc_id % 37 slice; any doc sharing a word
+    3-gram with it is contaminated (3-grams, not 13, so the synthetic
+    corpus has real cross-doc overlap to detect)."""
+    from osmium_tool_spark.operators.text import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return contamination_flags(docs, bench, n=3).select(
+        _L("doc_id").alias("doc_id"), _L("n_hits").alias("n_hits"),
+        F.col("contaminated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -1335,11 +1350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes_redact": q_apply_changes_redact,
         "pbf_roundtrip": q_pbf_roundtrip,
         "osc_sections": q_osc_sections,
+        "decontaminate": q_decontaminate,
         "text_metrics": q_text_metrics,
         # -- core operator rows (14-50) --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
-        "extract_smart": q_extract_smart,
         "extract_polygon": q_extract_polygon,
         "extract_multi_tile": q_extract_multi_tile,
         "extract_history": q_extract_history,
@@ -1374,10 +1389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "bernoulli_sample": q_bernoulli_sample,
         # -- tail (51+): long-stable siblings past the driver window --
-        # (r4 rotation: tile_pyramid moved here to make room for
-        # osc_sections — its in-window sibling is tile_rollup, the same
-        # cascading re-agg family; still oracled via check_oracle.py)
+        # (r4 rotation: tile_pyramid and extract_smart moved here to
+        # make room for osc_sections and decontaminate — in-window
+        # siblings tile_rollup and extract_complete_ways cover the same
+        # operator families; both still oracled via check_oracle.py and
+        # extract_smart keeps its direct reference goldens)
         "tile_pyramid": q_tile_pyramid,
+        "extract_smart": q_extract_smart,
         "locations_index": q_locations_index,
         "validate_order": q_validate_order,
         "add_locations": q_add_locations,
@@ -1834,6 +1852,18 @@ FROM scored WHERE rank <= 5
     o["dedup_exact"] = """
 SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text
+"""
+
+    o["decontaminate"] = f"""
+WITH sh AS (SELECT doc_id, {_sh3_sql(TOKS)} AS s FROM documents),
+bg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 37 = 0),
+dg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+hits AS (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_hits
+         FROM dg JOIN bg ON dg.gram = bg.gram GROUP BY dg.doc_id)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (h.n_hits IS NOT NULL) AS contaminated
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
 """
 
     o["dedup_ngram_jaccard"] = f"""

@@ -324,3 +324,55 @@ def repetition_stats(
         F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias("top_gram_count"),
         F.coalesce(F.col("top_gram_char_frac"), F.lit(0.0)).alias("top_gram_char_frac"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with a held-out evaluation set (the GPT-3 / C4 hygiene
+    pass — 13-grams by default; Brown 2020 appendix C, Raffel 2020 §2.2
+    — public papers).
+
+    Scale shape: the benchmark side reduces to its DISTINCT n-gram set
+    (eval suites are tiny next to the corpus, so it broadcasts by
+    default — set broadcast_bench=False to equi-join on the gram key
+    when the banned set is itself huge); the corpus side explodes to
+    (doc, gram) pairs and semi-aggregates AFTER the join, so the only
+    wide ops are one keyed join and one hash-agg on the doc id. No
+    cross join, no driver-side set.
+
+    Returns every input doc id with `n_hits` (distinct overlapping
+    grams) and a `contaminated` flag.
+    """
+    from .dedup import word_shingles
+
+    bgrams = (
+        bench.select(F.explode(word_shingles(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bgrams = F.broadcast(bgrams)
+    dgrams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        dgrams.join(bgrams, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+    )

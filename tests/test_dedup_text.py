@@ -268,3 +268,46 @@ def test_scrub_pii_bad_kind(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, body string")
     with _pytest.raises(ValueError):
         scrub_pii(df, kinds=("email", "ssn"))
+
+
+class TestContamination:
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence entirely here"),
+            (3, "quick brown fox is a common phrase"),
+            (4, "nothing shared with anything else at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_flags_overlap(self, spark):
+        from osmium_tool_spark.operators.text import contamination_flags
+
+        docs = self._docs(spark)
+        bench = docs.filter("doc_id = 1")  # eval set = doc 1
+        got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+               for r in contamination_flags(docs, bench, n=3).collect()}
+        assert got[1][1] is True              # bench doc matches itself
+        assert got[3] == (1, True)            # shares "quick brown fox"
+        assert got[2][1] is False and got[2][0] == 0
+        assert got[4][1] is False
+        assert len(got) == 4                  # every input doc reported
+
+    def test_n13_default_no_false_positives(self, spark):
+        from osmium_tool_spark.operators.text import contamination_flags
+
+        docs = self._docs(spark)
+        bench = docs.filter("doc_id = 1")
+        got = {r["doc_id"]: r["contaminated"]
+               for r in contamination_flags(docs, bench).collect()}
+        # all docs are shorter than 13 words -> nothing flags, including
+        # the bench doc itself (9 words)
+        assert not any(got.values())
+
+    def test_broadcast_plan(self, spark):
+        from osmium_tool_spark.operators.text import contamination_flags
+
+        docs = self._docs(spark)
+        out = contamination_flags(docs, docs.limit(1), n=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # bench gram set broadcasts
