@@ -109,6 +109,45 @@ def main() -> None:
          capture_explain(sample_frames(imgs, every_n=7)))
     )
 
+    # 7. exact ann_topk (round-4 pre-reduce): MUST show Scan -> MapInPandas
+    # (per-partition local top-k) -> WindowGroupLimit Partial -> ONE
+    # Exchange carrying only partitions x queries x k candidate rows ->
+    # Final window. The corpus never reaches the exchange.
+    from osmium_tool_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    sections.append(
+        ("exact ann_topk (per-partition pre-top-k, candidates-only exchange)",
+         capture_explain(ann_topk(emb, q, k=5)))
+    )
+
+    # 8. .osc section logic (round-4): ONE Exchange total —
+    # rangepartitioning(__b) — satisfying the lag window's clustering;
+    # no hashpartitioning exchange may appear
+    from osmium_tool_spark.functions.sortkeys import canonical_sort
+    from osmium_tool_spark.sinks.osmxml import change_sections
+
+    ch = td.nodes_from_part(spark, "/root/testdata/sf0.001").withColumn(
+        "version", (F.col("id") % 4 + 1).cast("int")
+    ).withColumn("visible", F.col("id") % 7 != 0)
+    staged, _n, _last = change_sections(canonical_sort(ch), 4)
+    sections.append(
+        (".osc change_sections (bucket-local lag, one range exchange)",
+         capture_explain(staged))
+    )
+
+    # 9. decontamination: distinct eval-gram set must BROADCAST; corpus
+    # side is explode -> BroadcastHashJoin -> hash-agg on doc id
+    from osmium_tool_spark.operators.text import contamination_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    sections.append(
+        ("decontaminate (broadcast eval grams + keyed join)",
+         capture_explain(contamination_flags(docs, bench, n=3)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"
