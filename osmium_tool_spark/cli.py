@@ -313,9 +313,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="set an output header option (e.g. xml_josm_upload=false)")
     sub = p.add_subparsers(dest="command", required=True)
 
-    def io(sp, n_inputs="+"):
+    def io(sp, n_inputs="+", stdout_ok=True):
         sp.add_argument("input", nargs=n_inputs)
-        sp.add_argument("-o", "--output", required=True)
+        if stdout_ok:
+            # reference parity (io.cpp:157-167): -o may be "-" or absent
+            # when -f names the format; run() spools to stdout
+            sp.add_argument("-o", "--output", default=None)
+            sp.add_argument("-f", "--output-format", dest="output_format",
+                            default=None,
+                            help="output format (osm, osm.gz, opl, pbf, "
+                                 "osc, ...); required when writing to "
+                                 "STDOUT")
+        else:
+            sp.add_argument("-o", "--output", required=True)
         # the reference accepts these after the command word too; SUPPRESS
         # keeps the pre-command value when not given (argparse subparser
         # defaults would clobber it otherwise)
@@ -440,7 +450,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", "--object-type", action="append", default=None,
                     help="report only objects of these types")
 
-    sp = io(sub.add_parser("tags-count"), n_inputs=1)
+    sp = io(sub.add_parser("tags-count"), n_inputs=1, stdout_ok=False)
     sp.add_argument("expressions", nargs="*")
     sp.add_argument("-e", "--expressions", dest="expressions_file", default=None,
                     help="read tag expressions from file ('#' comments)")
@@ -499,7 +509,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", "--object-type", action="append", default=None,
                     help="compare only objects of these types")
 
-    sp = io(sub.add_parser("export"), n_inputs=1)
+    sp = io(sub.add_parser("export"), n_inputs=1, stdout_ok=False)
     sp.add_argument("-f", "--output-format", default="geojson",
                     choices=["geojson", "geojsonseq", "pg", "text"])
     sp.add_argument("-n", "--keep-untagged", action="store_true")
@@ -534,7 +544,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     # short flags per command_changeset_filter.cpp:50-61 — NOTE -b is
     # BEFORE and -B is bbox here, unlike extract's -b
-    sp = io(sub.add_parser("changeset-filter"), n_inputs=1)
+    sp = io(sub.add_parser("changeset-filter"), n_inputs=1, stdout_ok=False)
     sp.add_argument("--open", dest="open_", action="store_true", default=None)
     sp.add_argument("--closed", dest="closed", action="store_true", default=None)
     sp.add_argument("-c", "--with-changes", action="store_true", default=None)
@@ -589,7 +599,61 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# _write-family commands that accept stdout output (reference rule
+# io.cpp:157-167: "-" or missing -o needs -f; the format string names
+# the suffix that selects the sink)
+_STDOUT_CMDS = ("cat", "sort", "merge", "merge-changes", "tags-filter",
+                "getid", "removeid", "getparents", "renumber",
+                "time-filter", "add-locations-to-ways")
+
+
+def _setup_stdout_spool(args) -> str | None:
+    """Reference stdout-output parity: `-o -` (or no -o) + `-f FORMAT`
+    renders to a spool file named by the format suffix and run() streams
+    its BYTES to stdout afterwards; missing -f errors with the
+    reference's exact wording (io.cpp:157-167)."""
+    if args.command not in _STDOUT_CMDS:
+        return None
+    out = getattr(args, "output", None)
+    if out not in (None, "-"):
+        return None
+    fmt = getattr(args, "output_format", None)
+    if not fmt:
+        # ValueError -> main() prints it and exits 2 (reference argument
+        # errors, main.cpp:46-50)
+        if out == "-":
+            raise ValueError(
+                "When writing to STDOUT you need to use the --output-format/-f\n"
+                "option to specify the file format.")
+        raise ValueError(
+            "Missing output file. Set the output file with --output/-o and/or\n"
+            "add the --output-format/-f option to specify the file format.")
+    import os as _os
+    import tempfile
+
+    sfx = {"xml": "osm"}.get(fmt, fmt)
+    spool = _os.path.join(tempfile.mkdtemp(prefix="osmstdout-"), "out." + sfx)
+    args.output = spool
+    return spool
+
+
 def run(args, spark: SparkSession) -> int:
+    spool = _setup_stdout_spool(args)
+    rc = _run_dispatch(args, spark)
+    if spool is not None:
+        import os as _os
+        import shutil as _sh
+
+        if _os.path.exists(spool):
+            with open(spool, "rb") as f:
+                sys.stdout.flush()
+                _sh.copyfileobj(f, sys.stdout.buffer)
+                sys.stdout.buffer.flush()
+        _sh.rmtree(_os.path.dirname(spool), ignore_errors=True)
+    return rc
+
+
+def _run_dispatch(args, spark: SparkSession) -> int:
     _GENERATOR[0] = getattr(args, "generator", _GENERATOR[0])
     _OUTPUT_HEADER.clear()
     for kv in getattr(args, "output_header", []) or []:

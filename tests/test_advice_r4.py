@@ -131,3 +131,42 @@ class TestExtractConfigStdoutBinary:
         # contains the OSMHeader marker
         assert b"OSMHeader" in out[:64]
         assert b"OSMData" in out
+
+
+class TestStdoutOutput:
+    """Reference stdout-output rule (io.cpp:157-167): '-o -' or missing
+    -o writes to stdout and then -f is REQUIRED."""
+
+    SORT = "/root/reference/test/sort"
+    CAT = "/root/reference/test/cat"
+
+    def test_cat_opl_to_stdout(self, spark, capsys):
+        rc = main(["--generator", "test", "cat", f"{self.CAT}/input1.osm",
+                   "-f", "opl"], spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == open(
+            f"{self.CAT}/output1.osm.opl").read()
+
+    def test_sort_xml_to_dash(self, spark, capsys):
+        rc = main(["--generator", "test", "sort", f"{self.SORT}/input-simple1.osm",
+                   f"{self.SORT}/input-simple2.osm", "-o", "-", "-f", "osm"],
+                  spark=spark)
+        assert rc == 0
+        assert capsys.readouterr().out == open(
+            f"{self.SORT}/output-simple.osm").read()
+
+    def test_cat_pbf_to_stdout_binary(self, spark, capsysbinary):
+        rc = main(["cat", f"{self.CAT}/input1.osm", "-f", "pbf"], spark=spark)
+        assert rc == 0
+        out = capsysbinary.readouterr().out
+        assert b"OSMHeader" in out[:64] and b"OSMData" in out
+
+    def test_missing_output_and_format_exits_2(self, spark, capsys):
+        rc = main(["cat", f"{self.CAT}/input1.osm"], spark=spark)
+        assert rc == 2
+        assert "Missing output file" in capsys.readouterr().err
+
+    def test_dash_without_format_exits_2(self, spark, capsys):
+        rc = main(["cat", f"{self.CAT}/input1.osm", "-o", "-"], spark=spark)
+        assert rc == 2
+        assert "STDOUT" in capsys.readouterr().err
