@@ -117,12 +117,36 @@ def _obase(out: str) -> str:
     return split_compression(out)[0]
 
 
+def _osel(out: str) -> str:
+    """EFFECTIVE format selector for suffix checks: the -f override when
+    given (normalized so 'xml' reads as '.osm'), else the output path
+    with compression stripped."""
+    from .sinks.textfile import split_compression
+
+    if _OUTPUT_FMT[0]:
+        sel = split_compression("x." + _OUTPUT_FMT[0])[0]
+        return "x.osm" if sel == "x.xml" else sel
+    return split_compression(out)[0]
+
+
+_OUTPUT_FMT: list = [None]  # mutable: -f/--output-format from run()
+
+
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
            sort: bool = True, boxes: list | None = None,
            in_opts: dict | None = None, propagate_opts: bool = True) -> None:
     from .sinks.textfile import split_compression
 
     base, codec = split_compression(out)
+    if fmt == "parquet" and _OUTPUT_FMT[0]:
+        # reference precedence: an explicit -f OVERRIDES the output
+        # suffix (io.cpp File{filename, format}); the format string may
+        # itself carry a compression suffix (e.g. -f osm.gz)
+        fsel, fcodec = split_compression("x." + _OUTPUT_FMT[0])
+        fmt = fsel[2:]  # strip the "x." stem
+        if fcodec:
+            codec = fcodec
+        base = "x." + fmt  # dispatch below looks at the format suffix
     if base.endswith(".opl") or fmt == "opl":
         from .sources.opl import write_opl
 
@@ -638,6 +662,10 @@ def _setup_stdout_spool(args) -> str | None:
 
 
 def run(args, spark: SparkSession) -> int:
+    # -f overrides the output suffix for the _write-family commands
+    # (export/diff/show/changeset-filter interpret -f themselves)
+    _OUTPUT_FMT[0] = (getattr(args, "output_format", None)
+                      if args.command in _STDOUT_CMDS else None)
     spool = _setup_stdout_spool(args)
     rc = _run_dispatch(args, spark)
     if spool is not None:
@@ -676,7 +704,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
         # preserves input order (golden output-cat21.osm); the parquet/OPL
         # sinks keep their documented sorted order contract
         _write(out, args.output,
-               sort=not _obase(args.output).endswith((".osm", ".osh", ".osc")))
+               sort=not _osel(args.output).endswith((".osm", ".osh", ".osc")))
     elif cmd == "sort":
         from .operators.sort_merge import sort_entities
 
@@ -948,7 +976,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
         # renumber COPIES the input header (command_renumber.cpp reader
         # header passthrough) — unlike apply-changes, whose goldens drop
         # the upload hint
-        if _obase(args.output).endswith((".osm", ".osh")) and args.input[0].endswith(
+        if _osel(args.output).endswith((".osm", ".osh")) and args.input[0].endswith(
             (".osm", ".osh", ".xml")
         ):
             from .functions.sortkeys import canonical_sort
@@ -962,7 +990,9 @@ def _run_dispatch(args, spark: SparkSession) -> int:
                 with_visible=_obase(args.output).endswith(".osh"),
                 generator=_GENERATOR[0],
                 upload_false=opts.get("xml_josm_upload") == "false",
-                compression=split_compression(args.output)[1],
+                compression=(split_compression("x." + _OUTPUT_FMT[0])[1]
+                             if _OUTPUT_FMT[0]
+                             else split_compression(args.output)[1]),
             )
         else:
             _write(out, args.output)
@@ -1336,7 +1366,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
         from pyspark.sql import functions as F
 
         ents = _read(spark, args.input)
-        xml_out = _obase(args.output).endswith((".osm", ".osh"))
+        xml_out = _osel(args.output).endswith((".osm", ".osh"))
         if xml_out:
             # the reference streams: output preserves input order
             # (golden output-n.osm keeps the trailing negative-id node

@@ -170,3 +170,26 @@ class TestStdoutOutput:
         rc = main(["cat", f"{self.CAT}/input1.osm", "-o", "-"], spark=spark)
         assert rc == 2
         assert "STDOUT" in capsys.readouterr().err
+
+    def test_format_overrides_suffix(self, spark, tmp_path):
+        # reference precedence: -f beats the output suffix (io.cpp File
+        # ctor) — an unknown suffix with -f opl must yield OPL, not a
+        # parquet directory
+        out = str(tmp_path / "out.dat")
+        rc = main(["--generator", "test", "cat", f"{self.CAT}/input1.osm",
+                   "-o", out, "-f", "opl"], spark=spark)
+        assert rc == 0
+        import os
+
+        assert os.path.isfile(out)
+        assert open(out).read() == open(f"{self.CAT}/output1.osm.opl").read()
+
+    def test_format_gz_with_plain_suffix(self, spark, tmp_path):
+        import gzip
+
+        out = str(tmp_path / "plain.out")
+        rc = main(["--generator", "test", "cat", f"{self.CAT}/input1.osm",
+                   "-o", out, "-f", "opl.gz"], spark=spark)
+        assert rc == 0
+        assert gzip.open(out, "rt").read() == open(
+            f"{self.CAT}/output1.osm.opl").read()
