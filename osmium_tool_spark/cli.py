@@ -170,7 +170,11 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
 
         write_osm_change(canonical_sort(df) if sort else df, out,
                          generator=_GENERATOR[0], compression=codec)
-    elif base.endswith((".osm", ".osh")) or fmt in ("osm", "xml", "osh"):
+    elif base.endswith((".o5m", ".o5c")) or fmt in ("o5m", "o5c"):
+        raise SystemExit(
+            "Can not write o5m/o5c files (o5m support is read-only, like "
+            "the reference — osmium-file-formats.md:48)")
+    elif base.endswith((".osm", ".osh", ".xml")) or fmt in ("osm", "xml", "osh"):
         from .functions.sortkeys import canonical_sort
         from .sinks.osmxml import write_osm_xml
 

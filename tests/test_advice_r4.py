@@ -193,3 +193,23 @@ class TestStdoutOutput:
         assert rc == 0
         assert gzip.open(out, "rt").read() == open(
             f"{self.CAT}/output1.osm.opl").read()
+
+    def test_o5m_output_rejected(self, spark, tmp_path):
+        # o5m is read-only in the reference (osmium-file-formats.md:48);
+        # previously this silently wrote a parquet directory
+        with pytest.raises(SystemExit, match="o5m"):
+            main(["cat", f"{self.CAT}/input1.osm",
+                  "-o", str(tmp_path / "x.o5m")], spark=spark)
+
+    def test_xml_suffix_writes_xml(self, spark, tmp_path):
+        out = str(tmp_path / "out.xml")
+        rc = main(["--generator", "test", "sort",
+                   "/root/reference/test/sort/input-simple1.osm",
+                   "/root/reference/test/sort/input-simple2.osm",
+                   "-o", out], spark=spark)
+        assert rc == 0
+        import os
+
+        assert os.path.isfile(out)
+        assert open(out).read() == open(
+            "/root/reference/test/sort/output-simple.osm").read()
