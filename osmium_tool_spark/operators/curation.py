@@ -74,3 +74,41 @@ def curate_documents(
         )
         out = out.join(ok_lang, on=id_col, how="left_semi")
     return out.select(F.col(id_col), F.col("n_tokens"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that never splits a near-duplicate
+    cluster across partitions of the data — the eval-integrity guard:
+    a val/test document with a near-duplicate in train is leaked, and
+    per-DOCUMENT random splits leak every duplicated document.
+
+    ``pairs`` is any near-dup edge set (a, b) — ngram_jaccard_pairs,
+    minhash_lsh_pairs, simhash... The unit of assignment is the connected
+    component (dedup.dup_clusters): the whole cluster lands in ONE split,
+    chosen by the portable hash of its cluster id against integer
+    percentage ``weights`` (train, val, test; must sum to 100).
+
+    Returns (id_col, cluster_id, split). Scale shape: the CC rounds are
+    the dup_clusters large/small-star joins; the assignment itself is a
+    pure Column on the label frame — no extra shuffle.
+    """
+    from .sample import sample_hash
+
+    if len(weights) != 3 or any(w < 0 for w in weights) or sum(weights) != 100:
+        raise ValueError(f"weights must be 3 non-negative ints summing to 100: {weights}")
+    labels = dup_clusters(pairs, ids=docs.select(id_col))
+    bucket = sample_hash(F.col("cluster_id"), seed) % 100
+    split = (
+        F.when(bucket < weights[0], F.lit("train"))
+        .when(bucket < weights[0] + weights[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labels.select(
+        F.col("id").alias(id_col), F.col("cluster_id"), split.alias("split")
+    )

@@ -595,3 +595,64 @@ def multimodal_near_dup(
         )
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     return clusters.join(sizes, "cluster_id").select("id", "cluster_id", "n_members")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate token SPANS: every ``width``-token window
+    whose exact content recurs in >= ``min_docs`` distinct documents,
+    reported per occurrence (token-granular substring dedup in the spirit
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — the window-hash approximation of their suffix-array
+    ExactSubstr, which has no distributed-SQL shape).
+
+    Document-level dedup misses the common web-corpus failure mode where
+    distinct pages share boilerplate paragraphs; the output here is the
+    span-removal worklist: (id, pos, span_hash, n_docs) with ``pos`` the
+    0-based token offset of each duplicated window.
+
+    Scale shape: explode is O(tokens) rows per doc (stride 1); the
+    count-distinct groupBy shuffles (span_hash, id) pairs with map-side
+    partial agg; the HAVING >= min_docs filter shrinks the hash side to
+    boilerplate-sized before the back-join on span_hash (AQE broadcasts it
+    when small). No cross join anywhere. Hash collisions (poly-31 mod 1e9+7)
+    merge unrelated spans at ~n^2/2e9 probability — at dedup scale that is
+    a deliberate recall>precision trade, same as the reference CRC checks.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    toks_once = F.array(word_tokens(F.col(text_col)))
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - width)
+        spans = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                poly_hash(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(width)]
+                    )
+                ).alias("span_hash"),
+            ),
+        )
+        # sequence(0, negative) counts DOWN — guard short docs to empty
+        return F.when(F.size(toks) >= width, spans).otherwise(
+            F.array().cast("array<struct<pos:bigint,span_hash:bigint>>")
+        )
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.get(F.transform(toks_once, build), 0)).alias("sp"),
+    ).select("id", F.col("sp.pos").alias("pos"), F.col("sp.span_hash").alias("span_hash"))
+    hot = (
+        exploded.groupBy("span_hash")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return exploded.join(hot, "span_hash").select("id", "pos", "span_hash", "n_docs")

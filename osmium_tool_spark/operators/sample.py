@@ -126,3 +126,64 @@ def bernoulli_sample(
     if weight is not None:
         thresh = thresh * weight
     return df.filter(h < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    shares_ppm: dict[str, int],
+    total: int,
+    id_col: str = "id",
+    seed: int = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Compose a training mixture: draw ``total`` rows split across
+    ``key_col`` groups (domain/source/language) by explicit target shares.
+
+    ``shares_ppm`` maps key value -> share in parts-per-million (integer,
+    so the per-key quota `min(group_count, total * ppm // 1_000_000)` is
+    exact integer arithmetic — no float mixture weights to diverge between
+    engines or reruns). Keys absent from the map are dropped. A group
+    smaller than its quota yields all its rows (no upsampling — repeat
+    epochs, don't duplicate rows).
+
+    Scale shape: per-key counts are one hash-agg (map-side combine) and the
+    quota frame is mixture-sized -> broadcast; the draw is the
+    `balanced_sample` window ordered by the portable hash, pre-capped by the
+    STATIC bound rank <= total (WindowGroupLimit: every map task keeps at
+    most `total` rows per key before the shuffle), then the exact dynamic
+    quota applies after the broadcast join. Dense-key skew is bounded the
+    same way as stratified_quota_sample.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    bad = {k: v for k, v in shares_ppm.items() if v < 0 or v > 1_000_000}
+    if bad:
+        raise ValueError(f"shares_ppm must be in [0, 1e6]: {bad}")
+    spark = df.sparkSession
+    sdf = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(shares_ppm.items())],
+        schema=f"{key_col} string, __ppm long",
+    )
+    quotas = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("__cnt"))
+        .join(F.broadcast(sdf), key_col)
+        .select(
+            key_col,
+            F.least(
+                F.col("__cnt"), (F.lit(int(total)).cast("long") * F.col("__ppm")) / 1_000_000
+            )
+            .cast("long")
+            .alias("__quota"),
+        )
+    )
+    h = sample_hash(F.col(id_col), seed)
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= total)  # static WindowGroupLimit bound
+        .join(F.broadcast(quotas), key_col)
+        .filter(F.col(rank_col) <= F.col("__quota"))
+        .drop("__quota")
+    )

@@ -376,3 +376,55 @@ def contamination_flags(
             F.col("n_hits").isNotNull().alias("contaminated"),
         )
     )
+
+
+def bigram_corpus_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-statistics features per document — the distributed two-pass
+    shape of n-gram LM quality scoring (train counts on the corpus, score
+    each document against them) with integer-only outputs:
+
+      n_bigrams  — word-bigram occurrences in the document
+      sum_count  — sum over its bigrams of the CORPUS-wide count of that
+                   bigram (a high sum_count/n_bigrams ratio => the document is made of
+                   corpus-common phrasing, i.e. boilerplate-like)
+      n_unique   — its bigrams that occur exactly once in the whole corpus
+                   (novel-content signal; scrambled/garbage text scores
+                   high here AND low on sum_count)
+
+    Pass 1 aggregates bigram counts (hash-agg, map-side combine; the count
+    table is vocab-sized, not corpus-sized — at 100 TB you min-count-prune
+    it before the join). Pass 2 re-joins the exploded bigrams to the counts
+    ON THE 64-bit HASH of the bigram (poly-31) so the shuffle carries longs,
+    not strings, then re-aggregates by document. Documents with < 2 tokens
+    surface with all-zero features via the final left join.
+    """
+    from .dedup import word_grams
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(F.col(text_col), 2)).alias("gram"),
+    ).select("id", poly_hash(F.col("gram")).alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count("*").alias("gcount"))
+    feats = (
+        grams.join(counts, "gh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("gcount").alias("sum_count"),
+            F.sum(F.when(F.col("gcount") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(feats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_count", F.lit(0)).cast("long").alias("sum_count"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        )
+    )

@@ -1,0 +1,173 @@
+"""Round-4b curation operators: duplicate spans, mixture sampling,
+leakage-safe splits, bigram corpus features."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.curation import leakage_safe_split
+from osmium_tool_spark.operators.dedup import duplicate_spans
+from osmium_tool_spark.operators.sample import mixture_sample, sample_hash
+from osmium_tool_spark.operators.text import bigram_corpus_features
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"x {shared} y z"),
+        (3, "totally different words here entirely"),
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_finds_shared_window(span_docs):
+    out = duplicate_spans(span_docs, "doc_id", "text", width=4, min_docs=2).collect()
+    # the only 4-token window shared across >= 2 docs is the boilerplate
+    assert {r.id for r in out} == {1, 2}
+    assert all(r.n_docs == 2 for r in out)
+    # position is the 0-based token offset of the window
+    by_id = {r.id: r.pos for r in out}
+    assert by_id == {1: 2, 2: 1}
+    # both occurrences carry the same content hash
+    assert len({r.span_hash for r in out}) == 1
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
+    # a doc repeating its own phrase is NOT a cross-document duplicate
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    assert duplicate_spans(df, width=4, min_docs=2).count() == 0
+
+
+def test_duplicate_spans_short_docs_are_safe(span_docs):
+    # width > every doc length -> no spans, no sequence(0, negative) blowup
+    assert duplicate_spans(span_docs, width=50).count() == 0
+
+
+def test_duplicate_spans_rejects_bad_width(span_docs):
+    with pytest.raises(ValueError):
+        duplicate_spans(span_docs, width=0)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sourced(spark):
+    rows = [(i, "web") for i in range(40)]
+    rows += [(100 + i, "wiki") for i in range(10)]
+    rows += [(200 + i, "books") for i in range(4)]
+    rows += [(300 + i, "junk") for i in range(5)]
+    return spark.createDataFrame(rows, "id long, source string")
+
+
+def test_mixture_sample_quotas(sourced):
+    out = mixture_sample(
+        sourced,
+        "source",
+        {"web": 500_000, "wiki": 300_000, "books": 200_000},
+        total=20,
+        id_col="id",
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r.id)
+    # quotas: web 20*0.5=10, wiki 20*0.3=6, books min(4, 20*0.2=4)=4
+    assert {k: len(v) for k, v in by.items()} == {"web": 10, "wiki": 6, "books": 4}
+    # keys absent from the share map are dropped
+    assert "junk" not in by
+
+
+def test_mixture_sample_deterministic_and_seed_sensitive(sourced):
+    shares = {"web": 1_000_000}
+    a1 = sorted(r.id for r in mixture_sample(sourced, "source", shares, 10, "id", seed=0).collect())
+    a2 = sorted(r.id for r in mixture_sample(sourced, "source", shares, 10, "id", seed=0).collect())
+    b = sorted(r.id for r in mixture_sample(sourced, "source", shares, 10, "id", seed=9).collect())
+    assert a1 == a2
+    assert a1 != b
+    assert len(a1) == len(b) == 10
+
+
+def test_mixture_sample_validates(sourced):
+    with pytest.raises(ValueError):
+        mixture_sample(sourced, "source", {"web": 2_000_000}, 10, "id")
+    with pytest.raises(ValueError):
+        mixture_sample(sourced, "source", {"web": 500_000}, -1, "id")
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    # components: {1,2,3} (chain), {4,5}; 6..10 singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a long, b long")
+    out = leakage_safe_split(docs, pairs, id_col="doc_id").collect()
+    assert len(out) == 10
+    split_of = {r.doc_id: r.split for r in out}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    assert cluster_of[1] == cluster_of[2] == cluster_of[3] == 1
+    assert cluster_of[4] == cluster_of[5] == 4
+    # the leakage guarantee: one split per cluster
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert split_of[4] == split_of[5]
+    assert set(split_of.values()) <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_weights_route_buckets(spark):
+    # with weights (100,0,0) everything is train
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = leakage_safe_split(docs, pairs, id_col="doc_id", weights=(100, 0, 0)).collect()
+    assert {r.split for r in out} == {"train"}
+
+
+def test_leakage_safe_split_validates_weights(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, weights=(80, 10, 5))
+
+
+# ---------------------------------------------------------------------------
+# bigram_corpus_features
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_features_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),      # bigrams: "a b", "b c"
+            (2, "a b d"),      # bigrams: "a b", "b d"
+            (3, "one"),        # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in bigram_corpus_features(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # "a b" occurs twice corpus-wide; "b c"/"b d" once each
+    assert (out[1].n_bigrams, out[1].sum_count, out[1].n_unique) == (2, 3, 1)
+    assert (out[2].n_bigrams, out[2].sum_count, out[2].n_unique) == (2, 3, 1)
+    assert (out[3].n_bigrams, out[3].sum_count, out[3].n_unique) == (0, 0, 0)
+
+
+def test_bigram_features_multiplicity(spark):
+    # repeated bigram inside one doc counts with multiplicity
+    df = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    r = bigram_corpus_features(df).collect()[0]
+    # bigrams: "x y", "y x", "x y" -> "x y" count 2, "y x" count 1
+    assert r.n_bigrams == 3
+    assert r.sum_count == 2 + 2 + 1
+    assert r.n_unique == 1
