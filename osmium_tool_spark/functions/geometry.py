@@ -151,6 +151,70 @@ class BandIndex:
 
 
 @dataclass
+class CellCover:
+    """Uniform-grid interior cover of a (multi)polygon — the S2/H3-style
+    covering trick for PIP at scale: classify each grid cell of the
+    envelope ONCE (driver-side) as outside(0) / inside(1) / boundary(2);
+    point tests then become an O(1) int8 lookup, and only points in
+    BOUNDARY cells (the ~perimeter/area fraction) run the exact ray cast.
+
+    Soundness: a cell is marked boundary if ANY segment's bbox overlaps it
+    (conservative — over-marking only costs speed, never correctness); a
+    cell no segment bbox touches contains no polygon edge, so even-odd
+    parity is constant across it and its center's exact-PIP verdict holds
+    for every point in the cell. Exactness therefore matches BandIndex
+    bit-for-bit, including the endpoint==point->inside rule (endpoints lie
+    in boundary cells by construction, where the ray cast decides).
+    """
+
+    minx: int
+    miny: int
+    gx: int  # cell width  (fixed-point units)
+    gy: int  # cell height
+    ncols: int
+    nrows: int
+    classes: np.ndarray  # int8, shape (nrows, ncols)
+
+    MAX_CELLS = 16384  # ~128x128: 16 KiB broadcast per polygon
+
+    @classmethod
+    def build(cls, index: BandIndex, max_cells: int = MAX_CELLS) -> "CellCover | None":
+        if len(index.segs) == 0:
+            return None
+        w = index.maxx - index.minx + 1
+        h = index.maxy - index.miny + 1
+        side = max(1, int(max_cells ** 0.5))
+        gx = max(1, (w + side - 1) // side)
+        gy = max(1, (h + side - 1) // side)
+        ncols = (w + gx - 1) // gx
+        nrows = (h + gy - 1) // gy
+        grid = np.zeros((nrows, ncols), dtype=np.int8)
+
+        segs = index.segs
+        c0 = (np.minimum(segs[:, 0], segs[:, 2]) - index.minx) // gx
+        c1 = (np.maximum(segs[:, 0], segs[:, 2]) - index.minx) // gx
+        r0 = (np.minimum(segs[:, 1], segs[:, 3]) - index.miny) // gy
+        r1 = (np.maximum(segs[:, 1], segs[:, 3]) - index.miny) // gy
+        one_cell = (c0 == c1) & (r0 == r1)
+        grid[r0[one_cell], c0[one_cell]] = 2  # vectorized common case
+        for i in np.flatnonzero(~one_cell):  # once per polygon, driver-side
+            grid[r0[i] : r1[i] + 1, c0[i] : c1[i] + 1] = 2
+
+        rows, cols = np.nonzero(grid != 2)
+        if len(rows):
+            cx = index.minx + cols.astype(np.int64) * gx + gx // 2
+            cy = index.miny + rows.astype(np.int64) * gy + gy // 2
+            grid[rows, cols] = index.contains(cx, cy).astype(np.int8)
+        return cls(index.minx, index.miny, gx, gy, ncols, nrows, grid)
+
+    def classify(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        """Per-point class (0/1/2) for points WITHIN the envelope."""
+        col = (xs - self.minx) // self.gx
+        row = (ys - self.miny) // self.gy
+        return self.classes[row, col]
+
+
+@dataclass
 class Extract:
     """One extract region: bbox or polygon, mirroring the reference's
     Extract/ExtractBBox/ExtractPolygon (src/extract/extract.hpp)."""

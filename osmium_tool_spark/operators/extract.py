@@ -73,13 +73,15 @@ def _pip_column(lon, lat, segs_lit) -> "F.Column":
 
 def _segs_literal(e: Extract):
     segs = e.index.segs
+    # literals MUST be long: int32 literals make `x1 - x2` 32-bit, which
+    # overflows for planet-spanning segments (lon deltas up to 3.6e9 > 2^31)
     return F.array(
         *[
             F.struct(
-                F.lit(int(s[0])).alias("x1"),
-                F.lit(int(s[1])).alias("y1"),
-                F.lit(int(s[2])).alias("x2"),
-                F.lit(int(s[3])).alias("y2"),
+                F.lit(int(s[0])).cast("long").alias("x1"),
+                F.lit(int(s[1])).cast("long").alias("y1"),
+                F.lit(int(s[2])).cast("long").alias("x2"),
+                F.lit(int(s[3])).cast("long").alias("y2"),
             )
             for s in segs
         ]
@@ -162,39 +164,63 @@ def assign_extracts(
 
         spark = nodes.sparkSession
         # broadcast PLAIN data (ints + numpy arrays), not package classes:
-        # executors only need numpy, not osmium_tool_spark on sys.path
-        payload = [
-            (e.extract_id, e.minx, e.miny, e.maxx, e.maxy, e.index.dy, e.index.bands)
-            for e in polys
-        ]
+        # executors only need numpy, not osmium_tool_spark on sys.path.
+        # The cell cover (S2/H3-style interior covering, CellCover
+        # docstring) classifies grid cells driver-side ONCE so executors
+        # ray-cast only the points in boundary cells — at planet scale the
+        # interior of a large region is the overwhelming majority and its
+        # points resolve with one int8 lookup each.
+        from ..functions.geometry import CellCover
+
+        payload = []
+        for e in polys:
+            cover = CellCover.build(e.index)
+            cov = (
+                (cover.classes, cover.minx, cover.miny, cover.gx, cover.gy)
+                if cover is not None
+                else None
+            )
+            payload.append(
+                (e.extract_id, e.minx, e.miny, e.maxx, e.maxy, e.index.dy, e.index.bands, cov)
+            )
         bc = spark.sparkContext.broadcast(payload)
         pass_cols = list(payload_cols)
 
         def pip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np  # local import: runs on bare executors
 
-            def contains(xs, ys, minx, miny, maxx, maxy, dy, bands):
+            def raycast(xs, ys, sel, res, miny, dy, bands):
                 # exact int64 even-odd ray cast; endpoint == point -> inside
                 # (parity with reference extract_polygon.cpp:103-156)
-                res = np.zeros(len(xs), dtype=bool)
-                env = (xs >= minx) & (xs <= maxx) & (ys >= miny) & (ys <= maxy)
-                if not env.any():
-                    return res
                 band_of = (ys - miny) // dy
-                cand_ix = np.flatnonzero(env)
-                for b in np.unique(band_of[cand_ix]):
+                for b in np.unique(band_of[sel]):
                     segs = bands[int(b)]
-                    sel = cand_ix[band_of[cand_ix] == b]
+                    pick = sel[band_of[sel] == b]
                     if len(segs) == 0:
                         continue
-                    px, py = xs[sel][:, None], ys[sel][:, None]
+                    px, py = xs[pick][:, None], ys[pick][:, None]
                     x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
                     on_vertex = ((px == x1) & (py == y1)) | ((px == x2) & (py == y2))
                     straddle = (y2 > py) != (y1 > py)
                     ax, ay = x1 - x2, y1 - y2
                     comp = (px - x2) * ay < ax * (py - y2)
                     toggle = straddle & ((ay > 0) == comp)
-                    res[sel] = on_vertex.any(axis=1) | (toggle.sum(axis=1) & 1).astype(bool)
+                    res[pick] = on_vertex.any(axis=1) | (toggle.sum(axis=1) & 1).astype(bool)
+
+            def contains(xs, ys, minx, miny, maxx, maxy, dy, bands, cov):
+                res = np.zeros(len(xs), dtype=bool)
+                env = (xs >= minx) & (xs <= maxx) & (ys >= miny) & (ys <= maxy)
+                if not env.any():
+                    return res
+                sel = np.flatnonzero(env)
+                if cov is not None:
+                    grid, cminx, cminy, gx, gy = cov
+                    cls = grid[(ys[sel] - cminy) // gy, (xs[sel] - cminx) // gx]
+                    res[sel[cls == 1]] = True  # interior cell: O(1) verdict
+                    sel = sel[cls == 2]  # only boundary cells ray-cast
+                    if not len(sel):
+                        return res
+                raycast(xs, ys, sel, res, miny, dy, bands)
                 return res
 
             exs = bc.value
@@ -202,8 +228,8 @@ def assign_extracts(
                 xs = pdf["lon"].to_numpy("int64")
                 ys = pdf["lat"].to_numpy("int64")
                 frames = []
-                for eid, minx, miny, maxx, maxy, dy, bands in exs:
-                    mask = contains(xs, ys, minx, miny, maxx, maxy, dy, bands)
+                for eid, minx, miny, maxx, maxy, dy, bands, cov in exs:
+                    mask = contains(xs, ys, minx, miny, maxx, maxy, dy, bands, cov)
                     if mask.any():
                         cols = {"extract_id": eid, "id": pdf["id"].to_numpy()[mask]}
                         for c in pass_cols:

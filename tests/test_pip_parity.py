@@ -97,3 +97,53 @@ def test_world_scale_coordinates_no_overflow(spark):
         [r_.i for r_ in df.select(_pip_column(F.col("lon"), F.col("lat"), _segs_literal(ex)).alias("i")).collect()]
     )
     assert (got == want).all()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ring=ring_strategy(), seed=st.integers(min_value=0, max_value=2**31))
+def test_cell_cover_matches_raycast(ring, seed):
+    """CellCover short-circuit (interior/exterior cells) must be
+    bit-identical to the plain band ray cast — including on vertices and
+    with a coarse grid that forces real interior cells."""
+    from osmium_tool_spark.functions.geometry import CellCover
+
+    idx = BandIndex.build([ring])
+    cover = CellCover.build(idx, max_cells=16)  # coarse: multi-point cells
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(-60, 60, size=300).astype(np.int64)
+    ys = rng.integers(-60, 60, size=300).astype(np.int64)
+    xs = np.concatenate([xs, ring[:, 0]])
+    ys = np.concatenate([ys, ring[:, 1]])
+    want = idx.contains(xs, ys)
+
+    got = np.zeros(len(xs), dtype=bool)
+    env = (xs >= idx.minx) & (xs <= idx.maxx) & (ys >= idx.miny) & (ys <= idx.maxy)
+    sel = np.flatnonzero(env)
+    if cover is not None and len(sel):
+        cls = cover.classify(xs[sel], ys[sel])
+        got[sel[cls == 1]] = True
+        sel = sel[cls == 2]
+    if len(sel):
+        got[sel] = idx.contains(xs[sel], ys[sel])
+    assert (got == want).all()
+
+
+def test_cell_cover_empty_polygon():
+    from osmium_tool_spark.functions.geometry import CellCover
+
+    assert CellCover.build(BandIndex.build([])) is None
+
+
+def test_cell_cover_has_interior_cells():
+    """A fat rectangle at fine resolution must classify interior cells as
+    inside=1 (the speedup exists) and its edges as boundary=2."""
+    from osmium_tool_spark.functions.geometry import CellCover
+
+    ring = np.array(
+        [(0, 0), (1000, 0), (1000, 1000), (0, 1000), (0, 0)], dtype=np.int64
+    )
+    cover = CellCover.build(BandIndex.build([ring]), max_cells=1024)
+    vals, counts = np.unique(cover.classes, return_counts=True)
+    by = dict(zip(vals.tolist(), counts.tolist()))
+    assert by.get(1, 0) > by.get(2, 0)  # interior dominates boundary
+    assert by.get(2, 0) > 0
