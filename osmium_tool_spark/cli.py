@@ -30,6 +30,39 @@ from .schema import NAME_TO_TYPE
 
 
 def _read_one(spark: SparkSession, path: str) -> DataFrame:
+    # -F/--input-format overrides suffix autodetect for EVERY input
+    # (reference io.cpp:129-141: the format string fully describes the
+    # format incl. compression, e.g. -F osm.gz). Routed through a
+    # format-suffixed symlink so the suffix-driven readers (and their
+    # compression sniffing) apply unchanged.
+    if _INPUT_FMT[0]:
+        return _read_one_detected(spark, _forced_fmt_path(path, _INPUT_FMT[0]))
+    return _read_one_detected(spark, path)
+
+
+def _forced_fmt_path(path: str, fmt: str) -> str:
+    """Symlink `path` as `in-<n>.<fmt>` in a session-lifetime temp dir so
+    suffix dispatch sees the forced format (Spark reads lazily — the link
+    must outlive this call; cleaned at process exit)."""
+    import atexit
+    import os
+    import tempfile
+
+    if not _FMT_LINK_DIR:
+        d = tempfile.mkdtemp(prefix="osmfmt-")
+        _FMT_LINK_DIR.append(d)
+        atexit.register(lambda: __import__("shutil").rmtree(d, ignore_errors=True))
+    link = os.path.join(
+        _FMT_LINK_DIR[0], f"in-{len(os.listdir(_FMT_LINK_DIR[0]))}.{fmt}")
+    os.symlink(os.path.abspath(path), link)
+    return link
+
+
+_FMT_LINK_DIR: list = []  # session temp dir holding -F format symlinks
+_INPUT_FMT: list = [None]  # mutable: -F/--input-format from run()
+
+
+def _read_one_detected(spark: SparkSession, path: str) -> DataFrame:
     # format autodetect by suffix (reference io.cpp:39-61 analog)
     if path.endswith((".opl", ".opl.gz", ".opl.bz2")):
         from .sources.opl import read_opl
@@ -130,6 +163,31 @@ def _osel(out: str) -> str:
 
 
 _OUTPUT_FMT: list = [None]  # mutable: -f/--output-format from run()
+_OVERWRITE: list = [False]  # mutable: -O/--overwrite from run()
+_FSYNC: list = [False]  # mutable: --fsync from run()
+_VERBOSE: list = [False]  # mutable: -v/--verbose from run()
+_T0: list = [0.0]  # run() start, for _vout elapsed-time prefixes
+
+
+def _vout(msg: str) -> None:
+    """Reference VerboseOutput analog: '[ M:SS] msg' lines on stderr when
+    -v/--verbose is set (libosmium util/verbose_output.hpp format)."""
+    if _VERBOSE[0]:
+        import time as _t
+
+        el = int(_t.monotonic() - _T0[0])
+        print(f"[{el // 60:2d}:{el % 60:02d}] {msg}", file=sys.stderr)
+
+
+def _check_overwrite(path: str | None) -> None:
+    """Reference parity: refuse to clobber an existing output file unless
+    -O/--overwrite (libosmium opens with O_EXCL; the thrown system_error
+    reads `Open failed for '<file>': File exists`). main() maps the raise
+    to exit 2 like the reference's exception path (main.cpp:46-50)."""
+    import os
+
+    if path and path != "-" and not _OVERWRITE[0] and os.path.exists(path):
+        raise RuntimeError(f"Open failed for '{path}': File exists")
 
 
 def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = None,
@@ -137,6 +195,18 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
            in_opts: dict | None = None, propagate_opts: bool = True) -> None:
     from .sinks.textfile import split_compression
 
+    _check_overwrite(out)
+    if _OVERWRITE[0]:
+        # reference -O opens O_TRUNC; for the parquet sink (a directory)
+        # the equivalent is clearing the target so Spark's exists-check
+        # doesn't refuse
+        import os as _os
+        import shutil as _sh
+
+        if _os.path.isdir(out):
+            _sh.rmtree(out, ignore_errors=True)
+        elif _os.path.isfile(out):
+            _os.unlink(out)
     base, codec = split_compression(out)
     if fmt == "parquet" and _OUTPUT_FMT[0]:
         # reference precedence: an explicit -f OVERRIDES the output
@@ -222,6 +292,19 @@ def _write(df: DataFrame, out: str, fmt: str = "parquet", header: dict | None = 
             concat_parts(out, os.path.join(tmp, "parts"), codec)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+    _fsync_if_requested(out)
+
+
+def _fsync_if_requested(out: str) -> None:
+    """--fsync: flush the written file to disk (output-options.md)."""
+    import os
+
+    if _FSYNC[0] and os.path.isfile(out):
+        fd = os.open(out, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
 
 def _timestamp(arg: str) -> int:
@@ -341,7 +424,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="set an output header option (e.g. xml_josm_upload=false)")
     sub = p.add_subparsers(dest="command", required=True)
 
+    def universal(sp, output=True):
+        # common/input/output/progress options every reference command
+        # accepts (man/common-options.md, input-options.md,
+        # output-options.md, progress-options.md). SUPPRESS keeps any
+        # pre-command value; run() getattr()s with module defaults.
+        sp.add_argument("-v", "--verbose", action="store_true",
+                        default=argparse.SUPPRESS)
+        sp.add_argument("--progress", action="store_true",
+                        default=argparse.SUPPRESS)  # accepted; bars are a
+        sp.add_argument("--no-progress", action="store_true",
+                        default=argparse.SUPPRESS)  # TTY affordance only
+        sp.add_argument("-F", "--input-format", dest="input_format",
+                        default=argparse.SUPPRESS,
+                        help="force input format (osm, osm.gz, pbf, opl, "
+                             "o5m, ...) when the suffix can't say")
+        if output:
+            sp.add_argument("-O", "--overwrite", action="store_true",
+                            default=argparse.SUPPRESS,
+                            help="allow existing output file to be "
+                                 "overwritten")
+            sp.add_argument("--fsync", action="store_true",
+                            default=argparse.SUPPRESS)
+        return sp
+
     def io(sp, n_inputs="+", stdout_ok=True):
+        universal(sp)
         sp.add_argument("input", nargs=n_inputs)
         if stdout_ok:
             # reference parity (io.cpp:157-167): -o may be "-" or absent
@@ -379,7 +487,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("merge-changes"))
     sp.add_argument("--simplify", action="store_true")
 
-    sp = sub.add_parser("extract")
+    sp = universal(sub.add_parser("extract"))
     sp.add_argument("input", nargs=1)
     # -o is optional here: config mode writes each extract's own
     # "output" file (command_extract.cpp:356-401); -o overrides with a
@@ -388,6 +496,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output-header", action="append", dest="output_header",
                     default=argparse.SUPPRESS, metavar="KEY=VALUE")
     sp.add_argument("--generator", dest="generator", default=argparse.SUPPRESS)
+    sp.add_argument("-f", "--output-format", dest="output_format",
+                    default=None,
+                    help="output format for -o (ignored in config mode, "
+                         "like the reference: osmium-extract.md OPTIONS)")
     sp.add_argument("-b", "--bbox", default=None, help="LEFT,BOTTOM,RIGHT,TOP degrees")
     sp.add_argument("-p", "--polygon", default=None, help=".poly or .geojson file")
     sp.add_argument("-c", "--config", default=None, help="multi-extract JSON config")
@@ -425,6 +537,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="type for unprefixed ids (node/way/relation)")
     sp.add_argument("-t", "--remove-tags", action="store_true",
                     help="remove tags from objects not explicitly requested")
+    sp.add_argument("--verbose-ids", action="store_true", dest="verbose_ids",
+                    help="print requested and missing ids (implies -v; "
+                         "command_getid.cpp:118-121,384-388)")
 
     sp = io(sub.add_parser("removeid"), n_inputs=1)
     sp.add_argument("ids", nargs="*")
@@ -438,6 +553,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = io(sub.add_parser("getparents"), n_inputs=1)
     sp.add_argument("ids", nargs="*")
     sp.add_argument("--add-self", action="store_true")
+    sp.add_argument("--verbose-ids", action="store_true", dest="verbose_ids",
+                    help="print requested ids (implies -v; "
+                         "command_getparents.cpp:95-97,150)")
     sp.add_argument("-i", "--id-file", action="append", default=[],
                     help="read ids from file (one per line, ' '/'#' start comments)")
     sp.add_argument("-I", "--id-osm-file", action="append", default=[],
@@ -454,7 +572,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--show-index", default=None, metavar="TYPE",
                     help="print the stored id mapping for node/way/relation and exit")
 
-    sp = sub.add_parser("check-refs")
+    sp = universal(sub.add_parser("check-refs"), output=False)
     sp.add_argument("input", nargs=1)
     sp.add_argument("-o", "--output", default=None,
                     help="optional parquet dir for the violation rows "
@@ -463,7 +581,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-i", "--show-ids", action="store_true",
                     help="print ids of missing objects")
 
-    sp = sub.add_parser("fileinfo")
+    sp = universal(sub.add_parser("fileinfo"), output=False)
     sp.add_argument("input", nargs=1)
     sp.add_argument("-j", "--json", action="store_true")
     # reference: CRC default ON for JSON output, OFF otherwise
@@ -492,7 +610,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("time_from", type=_timestamp, nargs="?", default=None)
     sp.add_argument("time_to", type=_timestamp, nargs="?", default=None)
 
-    sp = sub.add_parser("apply-changes")
+    sp = universal(sub.add_parser("apply-changes"))
     sp.add_argument("input", nargs=1)
     sp.add_argument("changes", nargs="+")
     sp.add_argument("-o", "--output", required=True)
@@ -505,7 +623,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference compat flag: change-file format is "
                          "autodetected from the suffix here")
 
-    sp = sub.add_parser("derive-changes")
+    sp = universal(sub.add_parser("derive-changes"))
     sp.add_argument("old")
     sp.add_argument("new")
     sp.add_argument("-o", "--output", required=True)
@@ -514,7 +632,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--update-timestamp", action="store_true",
                     help="set timestamp of deleted objects to current time")
 
-    sp = sub.add_parser("diff")
+    sp = universal(sub.add_parser("diff"))
     sp.add_argument("left")
     sp.add_argument("right")
     sp.add_argument("-o", "--output", default=None)
@@ -590,7 +708,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-f", "--output-format", dest="output_format", default=None,
                     choices=["osm", "xml", "parquet"])
 
-    sp = sub.add_parser("show")
+    sp = universal(sub.add_parser("show"), output=False)
     sp.add_argument("input", nargs=1)
     sp.add_argument("-n", "--rows", type=int, default=20)
     # reference surface (man/osmium-show.md): format selection + type
@@ -608,21 +726,27 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["node", "way", "relation"])
     sp.add_argument("--no-pager", action="store_true")
 
-    sp = sub.add_parser("create-locations-index")
+    sp = universal(sub.add_parser("create-locations-index"), output=False)
     sp.add_argument("input", nargs=1)
     sp.add_argument("-i", "--index-path", "--index-file", dest="index_path",
                     required=True)
     sp.add_argument("-u", "--update", action="store_true",
                     help="update an existing index with this input")
 
-    sp = sub.add_parser("query-locations-index")
+    sp = universal(sub.add_parser("query-locations-index"))
     sp.add_argument("-i", "--index-path", "--index-file", dest="index_path",
                     required=True)
     sp.add_argument("ids", nargs="*")
     sp.add_argument("-n", "--node-id", action="append", default=[],
                     help="node id to look up (same as positional ids)")
     sp.add_argument("--dump", action="store_true",
-                    help="dump all (id, lon, lat) to stdout")
+                    help="dump all locations (default: '<id> <lon> <lat>' "
+                         "to stdout; with -o/-f: metadata-less OPL nodes, "
+                         "the reference's add_metadata=none dump — "
+                         "command_query_locations_index.cpp:85-92,127-150)")
+    sp.add_argument("-o", "--output", default=None)
+    sp.add_argument("-f", "--output-format", dest="output_format",
+                    default=None, choices=["opl", "opl.gz", "opl.bz2"])
 
     return p
 
@@ -640,7 +764,12 @@ def _setup_stdout_spool(args) -> str | None:
     renders to a spool file named by the format suffix and run() streams
     its BYTES to stdout afterwards; missing -f errors with the
     reference's exact wording (io.cpp:157-167)."""
-    if args.command not in _STDOUT_CMDS:
+    if args.command not in _STDOUT_CMDS and not (
+        # extract joins the stdout-capable set only in single-output
+        # mode; config mode legitimately has no -o (outputs come from
+        # the config file)
+        args.command == "extract" and getattr(args, "config", None) is None
+    ):
         return None
     out = getattr(args, "output", None)
     if out not in (None, "-"):
@@ -666,12 +795,30 @@ def _setup_stdout_spool(args) -> str | None:
 
 
 def run(args, spark: SparkSession) -> int:
+    import time as _time
+
+    # universal options (man/common-options.md, input-options.md,
+    # output-options.md): every subparser adds them with SUPPRESS, so
+    # getattr with the module default is the merge rule
+    _T0[0] = _time.monotonic()
+    _VERBOSE[0] = bool(getattr(args, "verbose", False)) or bool(
+        getattr(args, "verbose_ids", False))
+    _INPUT_FMT[0] = getattr(args, "input_format", None)
+    _OVERWRITE[0] = bool(getattr(args, "overwrite", False))
+    _FSYNC[0] = bool(getattr(args, "fsync", False))
+    _vout(f"Started osmium {args.command}")
     # -f overrides the output suffix for the _write-family commands
     # (export/diff/show/changeset-filter interpret -f themselves)
     _OUTPUT_FMT[0] = (getattr(args, "output_format", None)
                       if args.command in _STDOUT_CMDS else None)
+    if args.command == "extract" and getattr(args, "config", None) is None:
+        # extract -f applies only in single-output mode; config mode
+        # ignores -o/-f (osmium-extract.md: "the --output/-o and
+        # --output-format/-f options are ignored")
+        _OUTPUT_FMT[0] = getattr(args, "output_format", None)
     spool = _setup_stdout_spool(args)
     rc = _run_dispatch(args, spark)
+    _vout("Done.")
     if spool is not None:
         import os as _os
         import shutil as _sh
@@ -894,6 +1041,21 @@ def _run_dispatch(args, spark: SparkSession) -> int:
                     file=sys.stderr,
                 )
                 return 2
+        if getattr(args, "verbose_ids", False):
+            # reference --verbose-ids (command_getid.cpp:180-196 /
+            # command_getparents.cpp:150): list the requested ids per
+            # type on the verbose channel. Debug flag — the collect is
+            # opt-in, mirroring the reference's full-list dump.
+            if cmd == "getid":
+                by_type: dict = {0: [], 1: [], 2: []}
+                for r in id_sel.collect():
+                    by_type.setdefault(r["type"], []).append(r["id"])
+            else:
+                by_type = {t: sorted(v) for t, v in ids.items()}
+            _vout("  looking for these ids:")
+            for t, name in ((0, "nodes"), (1, "ways"), (2, "relations")):
+                _vout(f"    {name}: " + " ".join(
+                    str(i) for i in sorted(by_type.get(t, []))))
         ents = _read(spark, args.input)
         in_opts = _xml_in_opts(args.input)
         if cmd == "getid":
@@ -931,6 +1093,20 @@ def _run_dispatch(args, spark: SparkSession) -> int:
             missing = id_sel.join(
                 out.select("type", "id").distinct(), on=["type", "id"], how="left_anti"
             )
+            if getattr(args, "verbose_ids", False):
+                # print_missing_ids (command_getid.cpp:384-388): plain
+                # stderr lines, one per type with any missing ids
+                rows = missing.collect()
+                if rows:
+                    bt: dict = {}
+                    for r in rows:
+                        bt.setdefault(r["type"], []).append(r["id"])
+                    for t, name in ((0, "node"), (1, "way"), (2, "relation")):
+                        if bt.get(t):
+                            print(f"Missing {name} IDs: " + " ".join(
+                                str(i) for i in sorted(bt[t])), file=sys.stderr)
+                    return 1
+                return 0
             return 1 if not missing.isEmpty() else 0
         elif cmd == "removeid":
             out = removeid(ents, id_sel)
@@ -1024,6 +1200,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
                 print(f"{tn.get(r['ref_type'], '?')}{r['ref_id']} "
                       f"in {tn.get(r['src_type'], '?')}{r['src_id']}")
         if args.output:
+            _check_overwrite(args.output)
             out.write.mode("overwrite").parquet(args.output)
         return 1 if n else 0  # reference exit code semantics
     elif cmd == "fileinfo":
@@ -1113,6 +1290,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
             max_count=args.max_count,
             sort_order=args.sort,
         )
+        _check_overwrite(args.output)
         out.write.mode("overwrite").parquet(args.output)
     elif cmd == "time-filter":
         import time as _t
@@ -1199,6 +1377,8 @@ def _run_dispatch(args, spark: SparkSession) -> int:
         if "changeset" in ignore:
             omit.update({"changeset", "user"})
         if not args.quiet:
+            if args.output is not None:
+                _check_overwrite(args.output)
             if args.output_format == "opl" and args.output is not None:
                 # marked-OPL to a single file (the reference writes the
                 # selected format to -o; previously this silently wrote
@@ -1346,6 +1526,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
         # (test/export/output.geojson vs output-uid.geojsonseq)
         wid = args.unique_id is not None
         if args.output_format == "geojson":
+            _check_overwrite(args.output)
             write_geojson(f, args.output, with_id=wid, props_col=props_col,
                           unique_id=args.unique_id)
         else:
@@ -1443,6 +1624,7 @@ def _run_dispatch(args, spark: SparkSession) -> int:
             from .sinks.osmxml import write_changesets_xml
             from .sinks.textfile import split_compression
 
+            _check_overwrite(args.output)
             write_changesets_xml(out, args.output, generator=_GENERATOR[0],
                                  compression=split_compression(args.output)[1])
         else:
@@ -1546,13 +1728,58 @@ def _run_dispatch(args, spark: SparkSession) -> int:
                 return 0
         create_locations_index(ents, args.index_path)
     elif cmd == "query-locations-index":
+        from pyspark.sql import functions as F
+
         from .operators.locations import query_locations_index
 
         ids = [int(i) for i in (list(args.ids) + list(args.node_id))] or None
         if args.dump:
             ids = None
-        for r in query_locations_index(spark, args.index_path, ids).collect():
-            print(f"{r.id} {r.lon} {r.lat}")
+        out = query_locations_index(spark, args.index_path, ids)
+        if args.dump and (args.output or args.output_format):
+            # reference dump surface: OSM file via the writer, default
+            # OPL with add_metadata=none → "n<id> T x<lon> y<lat>"
+            # (command_query_locations_index.cpp:85-92,127-150)
+            from .sinks.osmxml import _coord_col
+            from .sinks.textfile import (concat_parts, split_compression,
+                                         write_parts)
+
+            line = F.concat(
+                F.lit("n"), F.col("id").cast("string"), F.lit(" T x"),
+                _coord_col(F.col("lon")), F.lit(" y"),
+                _coord_col(F.col("lat"))).alias("value")
+            import os as _os
+            import shutil as _sh
+            import tempfile as _tf
+
+            to_stdout = args.output in (None, "-")
+            if to_stdout:
+                dst = _os.path.join(_tf.mkdtemp(prefix="osmqli-"), "out.opl")
+            else:
+                _check_overwrite(args.output)
+                dst = args.output
+            codec = (split_compression("x." + args.output_format)[1]
+                     if args.output_format
+                     else split_compression(dst)[1])
+            tmp = _tf.mkdtemp(prefix="osmqli-", dir=_os.path.dirname(
+                _os.path.abspath(dst)) or ".")
+            try:
+                write_parts(out.select(line), _os.path.join(tmp, "parts"),
+                            codec)
+                concat_parts(dst, _os.path.join(tmp, "parts"), codec)
+            finally:
+                _sh.rmtree(tmp, ignore_errors=True)
+            if to_stdout:
+                with open(dst, "rb") as _sf:
+                    sys.stdout.flush()
+                    _sh.copyfileobj(_sf, sys.stdout.buffer)
+                    sys.stdout.buffer.flush()
+                _sh.rmtree(_os.path.dirname(dst), ignore_errors=True)
+            else:
+                _fsync_if_requested(dst)
+        else:
+            for r in out.collect():
+                print(f"{r.id} {r.lon} {r.lat}")
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {cmd}")
     return 0
