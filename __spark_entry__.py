@@ -1387,6 +1387,86 @@ def q_bigram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval: queries are the first-8-token prefixes of the
+    doc_id % 50 == 0 documents, scored against the whole corpus through the
+    standing inverted index (broadcast query terms, WindowGroupLimit top-k)."""
+    from osmium_tool_spark.operators.retrieval import bm25_topk, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qset = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ").alias("qtext"),
+    )
+    out = bm25_topk(docs, qset, k=10)
+    return out.select(
+        _L("query_id").alias("query_id"), _L("doc_id").alias("doc_id"),
+        F.col("score").cast("double").alias("score"), _L("rank").alias("rank"),
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: per-polygon count/sum/min/max/avg of a point
+    measure — two diamond polygons (closed-form |dx|+|dy| < r PIP for the
+    oracle) plus one bbox, measure carried through the PIP kernel as a
+    payload column so the aggregate never re-joins the fact table."""
+    import numpy as np
+
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.tiles import zonal_stats
+    from osmium_tool_spark.sources import testdata as td
+
+    part = td.load(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("id"),
+        td.lon_expr(F.col("p_partkey")).cast("long").alias("lon"),
+        td.lat_expr(F.col("p_partkey")).cast("long").alias("lat"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+    def diamond(eid: int, cx: int, cy: int, r: int) -> Extract:
+        ring = np.array(
+            [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r), (cx + r, cy)],
+            dtype=np.int64,
+        )
+        return Extract.polygon(eid, [ring])
+
+    extracts = [
+        diamond(0, 0, 0, DIAMOND_R),
+        diamond(1, 500_000_001, 250_000_003, 499_999_999),
+        Extract.bbox(2, -120.0, -60.0, 45.5, 70.25),
+    ]
+    out = zonal_stats(
+        pts,
+        extracts,
+        measures={
+            "sum_size": F.sum("size"),
+            "min_size": F.min("size"),
+            "max_size": F.max("size"),
+            "avg_size": F.round(F.avg("size"), 6),
+        },
+        payload_cols=["size"],
+    )
+    return out.select(
+        _L("extract_id").alias("extract_id"), _L("n").alias("n"),
+        _L("sum_size").alias("sum_size"), _L("min_size").alias("min_size"),
+        _L("max_size").alias("max_size"),
+        F.col("avg_size").cast("double").alias("avg_size"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors over the embeddings table (k-means blocked
+    within-cluster cosine prune). Iterative k-means has no SQL oracle —
+    rows-only gate; the n_clusters=1 == brute-force property is pinned in
+    tests/test_semantic_dedup.py."""
+    from osmium_tool_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.35, n_clusters=8, id_col="vec_id")
+    return out.select(_L("id").alias("id"), _L("cid").alias("cid"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -1418,6 +1498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "leakage_split": q_leakage_split,
         "bigram_features": q_bigram_features,
+        # -- new in round 4c: retrieval + zonal stats + SemDeDup --
+        "bm25_topk": q_bm25_topk,
+        "zonal_stats": q_zonal_stats,
+        "semantic_dedup": q_semantic_dedup,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -1440,17 +1524,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "zorder_extract": q_zorder_extract,
         "stratified_sample": q_stratified_sample,
-        "text_repetition": q_text_repetition,
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
         "knn_cellring": q_knn_cellring,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "phash_near_dup": q_phash_near_dup,
+        # ann_topk was REWORKED in r4 (per-partition pre-top-k) and
+        # bernoulli_sample carries the r4 sample_hash fix — both must be
+        # re-verified in the CORRECTNESS_r04 window.
         "ann_topk": q_ann_topk,
+        "bernoulli_sample": q_bernoulli_sample,
+        # -- tail (51+): long-stable siblings past the driver window --
+        # (r4c rotation: phash_near_dup, ann_topk_bucketed and
+        # embedding_near_dup moved here to make room for bm25_topk,
+        # zonal_stats, semantic_dedup and to keep the reworked ann_topk +
+        # bug-fixed bernoulli_sample in-window — in-window siblings
+        # dedup_clusters/dedup_ngram_jaccard (pair families), ann_topk
+        # (ann family) and semantic_dedup/knn_cellring (embedding dedup)
+        # cover the same operators; all three stay oracled in the tail)
+        "phash_near_dup": q_phash_near_dup,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
-        # -- tail (51+): long-stable siblings past the driver window --
+        # (r4c: text_repetition rotated here too — in-window sibling
+        # text_metrics covers the text-signal family; repetition stays
+        # oracled in the tail + pinned in tests/test_sample_repetition.py)
+        "text_repetition": q_text_repetition,
         # (r4 rotation: tile_pyramid and extract_smart moved here to
         # make room for osc_sections and decontaminate — in-window
         # siblings tile_rollup and extract_complete_ways cover the same
@@ -1465,7 +1563,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_osm_polygon": q_extract_osm_polygon,
         "tile_sample": q_tile_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "bernoulli_sample": q_bernoulli_sample,
         "tile_pyramid": q_tile_pyramid,
         "extract_smart": q_extract_smart,
         "locations_index": q_locations_index,
@@ -2444,6 +2541,56 @@ SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
        CAST(((doc_id * 2654435761) % 16777216 + ((doc_id * 2246822519) % 16777216) * 16777216) % 256 AS DOUBLE) AS mean_luma
 FROM documents
+"""
+
+    # BM25: identical tokenization ([^a-z0-9]+ split on lower), Lucene idf,
+    # scores round(.,6)-quantized BEFORE ranking in both engines so float
+    # summation order cannot flip near-tie ranks.
+    o["bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+doclens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM doclens),
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')[1:8]) AS term
+  FROM documents WHERE doc_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+  FROM qterms q
+  JOIN dft f USING (term)
+  JOIN postings p USING (term)
+  JOIN doclens d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(score AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+    # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment
+    # (same trick as extract_polygon); the bbox is fixed-point degrees*1e7.
+    o["zonal_stats"] = f"""
+WITH pts AS (SELECT p_partkey AS id, {P_LON} AS lon, {P_LAT} AS lat,
+                    CAST(p_size AS BIGINT) AS size FROM part),
+asg AS (
+  SELECT 0 AS extract_id, size FROM pts WHERE abs(lon) + abs(lat) < 999999999
+  UNION ALL
+  SELECT 1, size FROM pts WHERE abs(lon - 500000001) + abs(lat - 250000003) < 499999999
+  UNION ALL
+  SELECT 2, size FROM pts WHERE lon BETWEEN -1200000000 AND 455000000
+                             AND lat BETWEEN -600000000 AND 702500000)
+SELECT CAST(extract_id AS BIGINT) AS extract_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(size) AS BIGINT) AS sum_size, CAST(min(size) AS BIGINT) AS min_size,
+       CAST(max(size) AS BIGINT) AS max_size,
+       CAST(round(avg(size), 6) AS DOUBLE) AS avg_size
+FROM asg GROUP BY 1
 """
 
     return o

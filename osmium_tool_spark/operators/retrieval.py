@@ -1,0 +1,144 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+Training-data pipelines use lexical retrieval both ways: pulling the
+nearest corpus documents for a prompt set (RAG corpus curation) and
+scoring corpus quality against a seed set (e.g. the GPT-3 WebText
+quality classifier was trained on retrieval positives). osmium-tool has
+no text retrieval; this is part of the LLM-pipeline surface the engine
+adds on top of the reference's operators (SURVEY.md "beyond the
+reference" family).
+
+Shape, and why it survives 100 TB:
+
+  1. ``build_postings`` tokenizes once and produces the standing
+     inverted index ``(term, doc_id, tf)`` plus per-doc lengths — ONE
+     explode + hash aggregate over the corpus (the only corpus-sized
+     shuffle), written once and reused across every query batch.
+  2. ``bm25_topk`` joins the postings against the DISTINCT query terms.
+     A query batch is tiny next to the corpus, so the term list is
+     broadcast — the corpus-side join is a broadcast semi-join that
+     prunes the postings scan to matching terms only; no corpus shuffle.
+  3. Scores aggregate per (query_id, doc_id) with map-side combine, then
+     top-k per query via row_number over (score desc, doc_id) — Spark
+     compiles the rank<=k filter to WindowGroupLimit, so each map task
+     emits at most queries x k rows into the final exchange.
+
+Nothing is all-pairs: the candidate set is exactly the docs sharing at
+least one term with the query (the inverted-index contract). Degenerate
+stop-terms that match everything are the caller's concern (`max_df`
+drops them, mirroring dedup.ngram_jaccard_pairs' hot-token cap).
+
+Scoring is Lucene-style BM25 (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework"): idf = ln(1 + (N-df+0.5)/(df+0.5)),
+tf-norm = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Scores are quantized
+(round, default 6 dp) BEFORE ranking so that float summation order —
+which Spark does not fix across partitions — cannot flip near-tie ranks
+between runs or against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric word tokens (empty strings dropped)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def build_postings(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The standing inverted index: (postings, doclens).
+
+    postings = (term, doc_id, tf); doclens = (doc_id, dl). One explode +
+    one hash aggregate; both frames are reusable across query batches
+    (persist or write them — they are the index, not per-query state).
+    """
+    toks = docs.select(
+        F.col(doc_id).alias("doc_id"), F.explode(tokens(F.col(text))).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    doclens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return postings, doclens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "qtext",
+    max_df: int | None = None,
+    quantize: int = 6,
+) -> DataFrame:
+    """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
+
+    ``max_df`` drops terms occurring in more than that many documents
+    from scoring (stop-term cap — the inverted-index escape hatch that
+    keeps a term like "the" from turning the join corpus-sized).
+    ``quantize`` rounds scores before ranking; see module docstring.
+    """
+    postings, doclens = build_postings(docs, doc_id=doc_id, text=text)
+
+    # corpus statistics: two scalars, broadcast via crossJoin of 1-row frames
+    stats = doclens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df_by_term = df_by_term.filter(F.col("df") <= F.lit(max_df))
+
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(tokens(F.col(query_text))).alias("term"),
+    ).distinct()
+
+    # query side is small: broadcast it so the postings scan is pruned by a
+    # broadcast hash join instead of shuffling the corpus-sized postings
+    matched = postings.join(
+        F.broadcast(qterms.join(F.broadcast(df_by_term), "term")), "term"
+    )
+
+    scored = (
+        matched.join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), quantize).alias("score"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

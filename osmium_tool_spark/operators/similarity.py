@@ -1009,3 +1009,90 @@ def ann_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 9).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means cluster blocking
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    seed: int = 7,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop rows whose
+    embedding is within cosine `threshold` of a LOWER-id row in the same
+    k-means cluster. Returns the survivors as (id, cid).
+
+    This is the semantic sibling of dedup.minhash_lsh_pairs: k-means
+    clusters play the role of LSH buckets, bounding the pairwise work to
+    within-cluster — the exact design of the paper (they dedup 5B
+    embeddings with ~50k clusters). The quadratic term is sum(c_i^2)
+    over cluster sizes, controlled by `n_clusters`, which the caller
+    scales with the corpus (n_clusters ~ N / desired_cluster_size).
+
+    Per-cluster work runs as groupBy(cid).applyInPandas: one shuffle on
+    cid, then each cluster is a single (c, dim) @ (dim, c) numpy gram
+    matrix — no per-row Python, no all-pairs join. A cluster larger than
+    `max_cluster_rows` fails LOUD (it means n_clusters is undersized for
+    the corpus; silently materializing an O(c^2) gram would OOM the
+    executor). Ids are processed in sorted order so "lower-id neighbor
+    exists" is evaluated against the full cluster deterministically.
+
+    Determinism contract: the keep-set is exactly
+      {i : no j < i in cluster(i) with cos(v_i, v_j) >= threshold}
+    — the transitive-chain variant (keep one per connected component)
+    is dedup.dup_clusters over the pair list; this operator is the
+    paper's cheaper representative-per-cluster rule.
+    """
+    import numpy as np
+
+    if n_clusters <= 1 and centroids is None:
+        # degenerate blocking (the brute-force reference shape used by the
+        # pytest equivalence property); pyspark.ml KMeans requires k > 1
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.lit(0).alias("cid"),
+        )
+    else:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                df, n_centroids=n_clusters, vec_col=vec_col, seed=seed
+            )
+        assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col="_cids", nprobe=1)
+        assigned = assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col("_cids")[0].alias("cid"),
+        )
+
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"semantic_dedup: cluster {int(pdf['cid'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={cap}; raise n_clusters "
+                f"(the paper uses n_clusters ~ N / target_cluster_size)"
+            )
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        u = m / nrm
+        sims = u @ u.T
+        # strictly-lower triangle: does any earlier (lower-id) row match?
+        dup = (np.tril(sims >= thr, k=-1)).any(axis=1)
+        keep = pdf.loc[~dup, ["id", "cid"]]
+        return keep
+
+    out = assigned.groupBy("cid").applyInPandas(prune, "id long, cid int")
+    return out.select("id", "cid")

@@ -78,3 +78,37 @@ def tile_pyramid(
             level.select(F.lit(r).alias("res"), "cell", "n", *measures)
         )
     return out
+
+
+def zonal_stats(
+    points: DataFrame,
+    extracts: list,
+    measures: dict[str, Column] | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-zone aggregates of the points inside each region — the classic
+    raster/vector ZONAL STATISTICS operator (per-polygon count / sum /
+    mean of a measure), built on the extract PIP machinery.
+
+    The reference's extract emits the cut-out rows; a tile/analytics
+    server over the 10^12-image table more often wants the per-region
+    AGGREGATE (image count, mean quality, etc. per admin polygon). This
+    fuses assignment and aggregation in one plan: assign_extracts runs
+    the codegen/JVM PIP (small polygons) or the Arrow y-band kernel with
+    the cell-cover interior shortcut (large ones), carrying
+    `payload_cols` through the kernel so the aggregate NEVER re-joins
+    the fact table on id — at 10^12 rows that re-join is a full shuffle.
+
+    `measures` maps output name -> aggregate Column over the assigned
+    frame (F.sum/avg/min/max of payload columns); `n` (point count) is
+    always included. Plan shape: scan -> PIP filter -> ONE hash
+    aggregate keyed by extract_id (<=500 distinct keys, map-side combine
+    reduces each task to <=500 rows before the exchange).
+    """
+    from .extract import assign_extracts
+
+    aggs = [F.count("*").alias("n")]
+    for name, expr in (measures or {}).items():
+        aggs.append(expr.alias(name))
+    assigned = assign_extracts(points, extracts, payload_cols=payload_cols or [])
+    return assigned.groupBy("extract_id").agg(*aggs)

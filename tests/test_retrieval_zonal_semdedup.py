@@ -1,0 +1,189 @@
+"""Round-4c operators: BM25 retrieval, zonal statistics, SemDeDup.
+
+Gate queries cover the DuckDB-oracle parity (bm25_topk / zonal_stats) and
+rows-only for semantic_dedup; these tests pin the properties the oracle
+can't express: BM25 ordering sanity, the SemDeDup n_clusters=1 ==
+brute-force equivalence, the loud over-sized-cluster guard, and zonal
+aggregation == per-row assignment + pandas groupby.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _mini_docs(spark):
+    rows = [
+        (0, "spark shuffle join broadcast join"),
+        (1, "spark window agg"),
+        (2, "broadcast hash join skew salt"),
+        (3, "totally unrelated words here banana"),
+        (4, "join join join join"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_self_retrieval(spark):
+    """A document queried by its own full text ranks itself first."""
+    from osmium_tool_spark.operators.retrieval import bm25_topk
+
+    docs = _mini_docs(spark)
+    qs = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    out = bm25_topk(docs, qs, k=3).collect()
+    top = {r.query_id: r.doc_id for r in out if r.rank == 1}
+    assert top == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bm25_matches_reference_formula(spark):
+    """Scores equal a straight numpy re-computation of Lucene BM25."""
+    from osmium_tool_spark.operators.retrieval import bm25_topk
+
+    docs = _mini_docs(spark)
+    qs = spark.createDataFrame([(100, "broadcast join")], "query_id long, qtext string")
+    got = {r.doc_id: r.score for r in bm25_topk(docs, qs, k=5).collect()}
+
+    corpus = {r.doc_id: r.text.split() for r in docs.collect()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    k1, b = 1.2, 0.75
+
+    def df(term):
+        return sum(term in t for t in corpus.values())
+
+    exp = {}
+    for d, toks in corpus.items():
+        s = 0.0
+        for term in ("broadcast", "join"):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df(term) + 0.5) / (df(term) + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            exp[d] = round(s, 6)
+    assert got == pytest.approx(exp)
+
+
+def test_bm25_max_df_drops_stop_terms(spark):
+    """max_df excludes corpus-wide terms from scoring entirely."""
+    from osmium_tool_spark.operators.retrieval import bm25_topk
+
+    docs = _mini_docs(spark)
+    qs = spark.createDataFrame([(1, "join")], "query_id long, qtext string")
+    # 'join' occurs in docs 0, 2, 4 -> df = 3; cap at 2 kills the only term
+    out = bm25_topk(docs, qs, k=5, max_df=2)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# zonal stats
+# ---------------------------------------------------------------------------
+
+
+def test_zonal_stats_equals_per_row_assignment(spark):
+    from osmium_tool_spark.functions.geometry import Extract
+    from osmium_tool_spark.operators.extract import assign_extracts
+    from osmium_tool_spark.operators.tiles import zonal_stats
+    from osmium_tool_spark.sources import testdata as td
+
+    part = td.load(spark, SF_DIR, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("id"),
+        td.lon_expr(F.col("p_partkey")).cast("long").alias("lon"),
+        td.lat_expr(F.col("p_partkey")).cast("long").alias("lat"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    r = 999_999_999
+    ring = np.array([(r, 0), (0, r), (-r, 0), (0, -r), (r, 0)], dtype=np.int64)
+    extracts = [Extract.polygon(0, [ring]), Extract.bbox(1, -120.0, -60.0, 45.5, 70.25)]
+
+    zs = {
+        row.extract_id: row
+        for row in zonal_stats(
+            pts, extracts, measures={"sum_size": F.sum("size")}, payload_cols=["size"]
+        ).collect()
+    }
+    asg = (
+        assign_extracts(pts, extracts, payload_cols=["size"])
+        .toPandas()
+        .groupby("extract_id")["size"]
+    )
+    assert set(zs) == set(asg.groups)
+    for eid, grp in asg:
+        assert zs[eid].n == len(grp)
+        assert zs[eid].sum_size == grp.sum()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_survivors(rows, thr):
+    """The operator's documented contract: drop i iff ANY lower-id row j
+    (kept or not) has cos(v_i, v_j) >= thr."""
+    ids = sorted(r[0] for r in rows)
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    keep = []
+    for pos, i in enumerate(ids):
+        vi = vecs[i]
+        ni = np.linalg.norm(vi) or 1.0
+        dup = False
+        for j in ids[:pos]:
+            vj = vecs[j]
+            nj = np.linalg.norm(vj) or 1.0
+            if float(vi @ vj) / (ni * nj) >= thr:
+                dup = True
+                break
+        if not dup:
+            keep.append(i)
+    return set(keep)
+
+
+def test_semantic_dedup_one_cluster_equals_brute_force(spark):
+    """With n_clusters=1 the cluster blocking is a no-op, so the keep-set
+    must equal the quadratic lower-id-neighbor rule exactly."""
+    from osmium_tool_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    thr = 0.35
+    expected = _brute_force_survivors(rows, thr)
+    got = {
+        r.id
+        for r in semantic_dedup(emb, threshold=thr, n_clusters=1, id_col="vec_id").collect()
+    }
+    assert got == expected
+    assert len(got) < len(rows)  # the threshold actually prunes something
+
+
+def test_semantic_dedup_cluster_cap_fails_loud(spark):
+    from osmium_tool_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(
+            emb, threshold=0.9, n_clusters=1, id_col="vec_id", max_cluster_rows=3
+        ).collect()
+
+
+def test_semantic_dedup_survivors_unique_and_subset(spark):
+    from osmium_tool_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.35, n_clusters=8, id_col="vec_id")
+    pdf = out.toPandas()
+    assert pdf["id"].is_unique
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert set(pdf["id"]).issubset(all_ids)
