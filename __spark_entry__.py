@@ -1459,7 +1459,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors over the embeddings table (k-means blocked
     within-cluster cosine prune). Iterative k-means has no SQL oracle —
     rows-only gate; the n_clusters=1 == brute-force property is pinned in
-    tests/test_semantic_dedup.py."""
+    tests/test_retrieval_zonal_semdedup.py."""
     from osmium_tool_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

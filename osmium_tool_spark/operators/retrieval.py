@@ -80,6 +80,8 @@ def bm25_topk(
     query_text: str = "qtext",
     max_df: int | None = None,
     quantize: int = 6,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
 
@@ -87,8 +89,15 @@ def bm25_topk(
     from scoring (stop-term cap — the inverted-index escape hatch that
     keeps a term like "the" from turning the join corpus-sized).
     ``quantize`` rounds scores before ranking; see module docstring.
+
+    ``postings``/``doclens`` inject a prebuilt index from
+    ``build_postings`` (typically read back from parquet): at 100 TB the
+    index is built ONCE and every query batch starts here — without
+    them this call tokenizes the corpus inline, which is correct but
+    pays the index-build scan per invocation.
     """
-    postings, doclens = build_postings(docs, doc_id=doc_id, text=text)
+    if postings is None or doclens is None:
+        postings, doclens = build_postings(docs, doc_id=doc_id, text=text)
 
     # corpus statistics: two scalars, broadcast via crossJoin of 1-row frames
     stats = doclens.agg(

@@ -148,6 +148,52 @@ def main() -> None:
          capture_explain(contamination_flags(docs, bench, n=3)))
     )
 
+    # 10. BM25 top-k: query-term side must BROADCAST (the corpus-sized
+    # postings never shuffle for the join); the rank<=k filter must compile
+    # to WindowGroupLimit so each map task emits <= queries x k rows.
+    from osmium_tool_spark.operators.retrieval import bm25_topk, tokens
+
+    qset = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ").alias("qtext"),
+    )
+    sections.append(
+        ("bm25_topk (broadcast query terms + WindowGroupLimit)",
+         capture_explain(bm25_topk(docs, qset, k=10)))
+    )
+
+    # 11. zonal_stats over JVM-PIP polygons: the whole containment test is
+    # inside WholeStageCodegen (no Python node for <=64-segment polygons)
+    # and the aggregate is ONE partial/final HashAggregate pair keyed by
+    # extract_id — map-side combine caps each task's exchange at <=500 rows.
+    from osmium_tool_spark.operators.tiles import zonal_stats
+
+    pts = td.nodes_from_part(spark, "/root/testdata/sf0.001").withColumn(
+        "size", (F.col("id") % 50).cast("long")
+    )
+    r2 = 999_999_999
+    dia = Extract.polygon(
+        0, [np.array([(r2, 0), (0, r2), (-r2, 0), (0, -r2), (r2, 0)], np.int64)]
+    )
+    sections.append(
+        ("zonal_stats (codegen PIP -> one hash-agg pair on extract_id)",
+         capture_explain(
+             zonal_stats(pts, [dia, Extract.bbox(1, -120.0, -60.0, 45.5, 70.25)],
+                         measures={"sum_size": F.sum("size")}, payload_cols=["size"])
+         ))
+    )
+
+    # 12. semantic_dedup: ONE hash exchange on cid feeding
+    # FlatMapGroupsInPandas (the per-cluster gram kernel); the pandas-UDF
+    # centroid assignment (ArrowEvalPython) runs pre-shuffle.
+    from osmium_tool_spark.operators.similarity import semantic_dedup, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_centroids=4)
+    sections.append(
+        ("semantic_dedup (one cid exchange -> per-cluster gram kernel)",
+         capture_explain(semantic_dedup(emb, threshold=0.35, centroids=cents)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

@@ -75,6 +75,23 @@ def test_bm25_matches_reference_formula(spark):
     assert got == pytest.approx(exp)
 
 
+def test_bm25_prebuilt_index_identical(spark):
+    """Injecting the standing index gives byte-identical results to the
+    inline-build path (the 100 TB contract: build once, query many)."""
+    from osmium_tool_spark.operators.retrieval import bm25_topk, build_postings
+
+    docs = _mini_docs(spark)
+    qs = spark.createDataFrame(
+        [(9, "broadcast join"), (10, "spark agg")], "query_id long, qtext string"
+    )
+    inline = sorted(map(tuple, bm25_topk(docs, qs, k=3).collect()))
+    postings, doclens = build_postings(docs)
+    injected = sorted(
+        map(tuple, bm25_topk(docs, qs, k=3, postings=postings, doclens=doclens).collect())
+    )
+    assert inline == injected
+
+
 def test_bm25_max_df_drops_stop_terms(spark):
     """max_df excludes corpus-wide terms from scoring entirely."""
     from osmium_tool_spark.operators.retrieval import bm25_topk
