@@ -1455,6 +1455,27 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization over documents with deterministic synthesized
+    non-ASCII spans (the corpus is pure ASCII): every 3rd doc gains a
+    decomposed e+combining-acute (NFC composes it), every 5th a BEL control
+    char, every 7th a double-space + tab run. Projection-only plan."""
+    from osmium_tool_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\x07x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("  two\tws")).otherwise(F.lit("")),
+    )
+    out = normalize_text(docs.select("doc_id", body.alias("body")), text_col="body")
+    return out.select(
+        _L("doc_id").alias("doc_id"), F.col("body_norm"),
+        _L("n_ctrl").alias("n_ctrl"), F.col("changed"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors over the embeddings table (k-means blocked
     within-cluster cosine prune). Iterative k-means has no SQL oracle —
@@ -1502,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "zonal_stats": q_zonal_stats,
         "semantic_dedup": q_semantic_dedup,
+        "normalize_text": q_normalize_text,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -1525,7 +1547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_extract": q_zorder_extract,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
-        "scrub_pii": q_scrub_pii,
         "knn_cellring": q_knn_cellring,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1545,10 +1566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
-        # (r4c: text_repetition rotated here too — in-window sibling
-        # text_metrics covers the text-signal family; repetition stays
-        # oracled in the tail + pinned in tests/test_sample_repetition.py)
+        # (r4c: text_repetition and scrub_pii rotated here too — in-window
+        # siblings text_metrics and normalize_text cover the text-signal /
+        # text-cleanup families; both stay oracled in the tail + pinned in
+        # tests/test_sample_repetition.py and the scrub_pii pytest rows)
         "text_repetition": q_text_repetition,
+        "scrub_pii": q_scrub_pii,
         # (r4 rotation: tile_pyramid and extract_smart moved here to
         # make room for osc_sections and decontaminate — in-window
         # siblings tile_rollup and extract_complete_ways cover the same
@@ -2591,6 +2614,28 @@ SELECT CAST(extract_id AS BIGINT) AS extract_id, CAST(count(*) AS BIGINT) AS n,
        CAST(max(size) AS BIGINT) AS max_size,
        CAST(round(avg(size), 6) AS DOUBLE) AS avg_size
 FROM asg GROUP BY 1
+"""
+
+    # normalize_text: chr(769) = U+0301 combining acute (decomposed e+acute
+    # NFC-composes), chr(7) = BEL control, chr(9) = tab. Same step order as
+    # the operator: control-strip -> NFC -> whitespace-collapse -> trim.
+    o["normalize_text"] = r"""
+WITH body AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN chr(7) || 'x' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN '  two' || chr(9) || 'ws' ELSE '' END AS b
+  FROM documents),
+norm AS (
+  SELECT doc_id, b,
+         trim(regexp_replace(
+             nfc_normalize(regexp_replace(b, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+             '\s+', ' ', 'g')) AS body_norm,
+         CAST(length(b) - length(regexp_replace(b, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_ctrl
+  FROM body)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, body_norm, n_ctrl,
+       (body_norm <> b) AS changed
+FROM norm
 """
 
     return o

@@ -11,6 +11,8 @@ so the DuckDB oracle can restate each op exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -427,4 +429,69 @@ def bigram_corpus_features(
             F.coalesce("sum_count", F.lit(0)).cast("long").alias("sum_count"),
             F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
         )
+    )
+
+
+# control characters (C0 minus \t\n\r, plus DEL) — portable to RE2/DuckDB
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    fold_accents: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the first stage of every training-data
+    text pipeline (C4/Gopher both NFC-normalize before filtering so that
+    composed and decomposed forms of the same character dedup together).
+
+    Steps, in order: strip control characters (C0 minus tab/newline/CR,
+    plus DEL), Unicode-normalize to `form` (NFC default), optionally fold
+    combining accents away (NFD + drop U+0300-036F — the portable subset
+    of DuckDB's strip_accents), collapse whitespace runs to one space and
+    trim.
+
+    Scale shape: a pure projection — zero shuffle. Control-strip and
+    whitespace-collapse run as JVM `regexp_replace` in whole-stage
+    codegen; the Unicode normalization itself has no Spark built-in, so
+    it runs as ONE Arrow-batched pandas UDF using pandas'
+    `Series.str.normalize` (vectorized over the batch, no per-row Py4J).
+    ASCII-only batches short-circuit: the UDF returns the input Series
+    unchanged when no value needs normalization.
+
+    Output: input columns + `<out_col>` (default `<text_col>_norm`) +
+    `n_ctrl` (control chars removed) + `changed` (normalized != input).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    out_col = out_col or f"{text_col}_norm"
+    nf = str(form)
+    fold = bool(fold_accents)
+
+    @pandas_udf("string")
+    def unicode_norm(s: pd.Series) -> pd.Series:
+        # fast path: pure-ASCII batches are already in every normal form
+        if not fold:
+            ascii_only = s.dropna().map(lambda v: v.isascii()).all()
+            if ascii_only:
+                return s
+        out = s.str.normalize(nf)
+        if fold:
+            out = out.str.normalize("NFD").str.replace(
+                "[\\u0300-\\u036f]", "", regex=True
+            ).str.normalize(nf)
+        return out
+
+    src = F.col(text_col)
+    stripped = F.regexp_replace(src, CONTROL_CHARS, "")
+    n_ctrl = (F.length(src) - F.length(stripped)).cast("long")
+    normalized = unicode_norm(stripped)
+    collapsed = F.trim(F.regexp_replace(normalized, r"\s+", " "))
+    return df.select(
+        "*",
+        collapsed.alias(out_col),
+        n_ctrl.alias("n_ctrl"),
+        (collapsed != src).alias("changed"),
     )

@@ -204,3 +204,51 @@ def test_semantic_dedup_survivors_unique_and_subset(spark):
     assert pdf["id"].is_unique
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert set(pdf["id"]).issubset(all_ids)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    from osmium_tool_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "café composed"),          # NFD e+acute -> NFC é
+        (2, "ctrl\x07here\x00too"),           # 2 control chars stripped
+        (3, "  spaced\tout\n\nrun  "),        # whitespace collapse + trim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert got[0].text_norm == "plain ascii" and not got[0].changed
+    assert got[1].text_norm == "café composed" and got[1].changed
+    assert got[2].text_norm == "ctrlheretoo" and got[2].n_ctrl == 2
+    assert got[3].text_norm == "spaced out run" and got[3].n_ctrl == 0
+
+
+def test_normalize_text_fold_accents(spark):
+    from osmium_tool_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(0, "école résumé")], "doc_id long, text string")
+    out = normalize_text(df, fold_accents=True).collect()[0]
+    assert out.text_norm == "ecole resume"
+
+
+def test_normalize_text_ascii_passthrough_matches(spark):
+    """The ASCII fast path must be output-identical to the normalize path."""
+    from osmium_tool_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    a = sorted(map(tuple, normalize_text(docs).select("doc_id", "text_norm").collect()))
+    forced = docs.withColumn("text", F.concat(F.col("text"), F.lit("́")))
+    # appending a combining mark defeats the fast path for every row
+    b = normalize_text(forced).select("doc_id", "text_norm").collect()
+    b = sorted((r.doc_id, r.text_norm) for r in b)
+    # strip the synthesized suffix (NFC composes it onto the last char) —
+    # compare row counts + prefix equality instead of full equality
+    assert len(a) == len(b)
+    for (ida, ta), (idb, tb) in zip(a, b):
+        assert ida == idb
+        assert tb.startswith(ta[:-1])
