@@ -1455,6 +1455,22 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact great-circle kNN (haversine meters, JVM trig): the spherical
+    sibling of knn_exact — broadcast query batch, WindowGroupLimit top-k,
+    millimeter-quantized distances ranked before emission."""
+    from osmium_tool_spark.operators.similarity import knn_geodesic
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir).select("id", "lon", "lat")
+    qs = nodes.filter(F.col("id") % 211 == 0)
+    out = knn_geodesic(nodes, qs, k=5)
+    return out.select(
+        _L("query_id").alias("query_id"), _L("neighbor_id").alias("neighbor_id"),
+        F.col("dist_m").cast("double").alias("dist_m"), _L("rank").alias("rank"),
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization over documents with deterministic synthesized
     non-ASCII spans (the corpus is pure ASCII): every 3rd doc gains a
@@ -1602,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_changes_simplify": q_merge_changes_simplify,
         "fileinfo_crc": q_fileinfo_crc,
         "knn_exact": q_knn_exact,
+        "knn_geodesic": q_knn_geodesic,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2636,6 +2653,28 @@ norm AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, body_norm, n_ctrl,
        (body_norm <> b) AS changed
 FROM norm
+"""
+
+    # geodesic kNN: identical haversine term order (sin*sin, not pow) and
+    # round(.,3)-quantized distances ranked before emission in both engines.
+    o["knn_geodesic"] = f"""
+WITH {NODES_CTE},
+q AS (SELECT id AS query_id, lon AS qlon, lat AS qlat FROM nodes WHERE id % 211 = 0),
+scored AS (
+  SELECT q.query_id, n.id AS neighbor_id,
+         round(2 * 6371008.8 * asin(sqrt(
+             sin(radians((q.qlat - n.lat) / 10000000.0) / 2)
+               * sin(radians((q.qlat - n.lat) / 10000000.0) / 2)
+             + cos(radians(n.lat / 10000000.0)) * cos(radians(q.qlat / 10000000.0))
+               * sin(radians((q.qlon - n.lon) / 10000000.0) / 2)
+               * sin(radians((q.qlon - n.lon) / 10000000.0) / 2)
+         )), 3) AS dist_m
+  FROM nodes n CROSS JOIN q)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dist_m AS DOUBLE) AS dist_m, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist_m, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
 """
 
     return o

@@ -1096,3 +1096,84 @@ def semantic_dedup(
 
     out = assigned.groupBy("cid").applyInPandas(prune, "id long, cid int")
     return out.select("id", "cid")
+
+
+# ---------------------------------------------------------------------------
+# geodesic (great-circle) kNN
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
+FIXED_POINT = 10_000_000.0  # OSM 1e-7 degree fixed-point scale
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters between two fixed-point (1e-7 deg)
+    coordinate pairs — pure JVM trig (whole-stage codegen, no Python).
+
+    d = 2R asin(sqrt(sin^2(dphi/2) + cos(phi1) cos(phi2) sin^2(dlambda/2)))
+
+    The planar dist2 used by knn_cellring/knn_exact is the right metric
+    for reference parity (osmium's coordinates are planar fixed-point);
+    this is the true spherical metric for analytics that care about
+    meters — at lat 60 a degree of longitude is half a degree of
+    latitude, which planar distance gets wrong by 2x.
+    """
+    phi1 = F.radians(lat1 / FIXED_POINT)
+    phi2 = F.radians(lat2 / FIXED_POINT)
+    dphi = F.radians((lat2 - lat1) / FIXED_POINT)
+    dlam = F.radians((lon2 - lon1) / FIXED_POINT)
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(phi1) * F.cos(phi2) * F.sin(dlam / 2) * F.sin(dlam / 2)
+    )
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def knn_geodesic(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "id",
+    quantize: int = 3,
+) -> DataFrame:
+    """EXACT great-circle k nearest neighbors for a (small) query batch:
+    (query_id, neighbor_id, dist_m, rank).
+
+    Plan shape: broadcast the query batch, score corpus x queries with the
+    codegen'd haversine Column, rank<=k per query — Spark compiles the
+    rank filter to WindowGroupLimit with a PARTIAL map-side pass, so each
+    task forwards at most queries x k rows into the single exchange; the
+    corpus never shuffles. Exact scoring is inherently corpus-scan-sized
+    (same contract as ann_topk); for index-accelerated planar kNN at
+    10^12 rows use knn_cellring/knn_exact — the cell-ring certified
+    radius is a planar bound and does not transfer to meters near the
+    poles, so the geodesic variant stays brute-force-exact by design.
+
+    Distances are quantized (round, default 3 dp = millimeters) BEFORE
+    ranking so libm ulp differences between engines cannot flip
+    near-tie ranks; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    cand = points.select(
+        F.col(id_col).alias("neighbor_id"), F.col("lon"), F.col("lat")
+    ).crossJoin(F.broadcast(q))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            haversine_m(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat")),
+            quantize,
+        ).alias("dist_m"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_m", "rank")
+    )

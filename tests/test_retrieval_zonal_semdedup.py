@@ -252,3 +252,63 @@ def test_normalize_text_ascii_passthrough_matches(spark):
     for (ida, ta), (idb, tb) in zip(a, b):
         assert ida == idb
         assert tb.startswith(ta[:-1])
+
+
+# ---------------------------------------------------------------------------
+# geodesic kNN
+# ---------------------------------------------------------------------------
+
+
+def test_haversine_known_distances(spark):
+    from osmium_tool_spark.operators.similarity import haversine_m
+
+    df = spark.createDataFrame(
+        [
+            # one degree of longitude at the equator ~ 111.195 km
+            (0, 0, 0, 10_000_000, 0),
+            # one degree of longitude at lat 60 ~ half that
+            (1, 0, 600_000_000, 10_000_000, 600_000_000),
+            # self distance
+            (2, 123_456_789, 456_789_123, 123_456_789, 456_789_123),
+        ],
+        "i long, lon1 long, lat1 long, lon2 long, lat2 long",
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
+        ).collect()
+    }
+    assert got[0] == pytest.approx(111_195, rel=1e-3)
+    assert got[1] == pytest.approx(111_195 * math.cos(math.radians(60)), rel=1e-3)
+    assert got[2] == 0.0
+
+
+def test_knn_geodesic_self_is_rank_one(spark):
+    from osmium_tool_spark.operators.similarity import knn_geodesic
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, SF_DIR).select("id", "lon", "lat")
+    qs = nodes.filter(F.col("id") % 97 == 0)
+    out = knn_geodesic(nodes, qs, k=3)
+    firsts = {r.query_id: (r.neighbor_id, r.dist_m) for r in out.collect() if r.rank == 1}
+    assert firsts and all(nid == qid and d == 0.0 for qid, (nid, d) in firsts.items())
+
+
+def test_knn_geodesic_beats_planar_at_high_latitude(spark):
+    """At lat ~60 the nearest neighbor in meters differs from the planar
+    fixed-point nearest: a point 1.0 deg east must be CLOSER in meters
+    than one 0.6 deg north, though planar distance says otherwise."""
+    from osmium_tool_spark.operators.similarity import knn_geodesic
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10_000_000, 600_000_000),  # 1.0 deg east of query (at lat 60)
+            (2, 0, 606_000_000),           # 0.6 deg north of query
+        ],
+        "id long, lon long, lat long",
+    )
+    q = spark.createDataFrame([(0, 0, 600_000_000)], "id long, lon long, lat long")
+    out = knn_geodesic(pts, q, k=2).collect()
+    by_rank = {r.rank: r.neighbor_id for r in out}
+    assert by_rank == {1: 1, 2: 2}  # planar would rank 2 first (0.6 < 1.0 deg)
