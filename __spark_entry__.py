@@ -1455,6 +1455,21 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the events table (gap 300s): lag + running
+    session ordinal + per-session aggregate, one hash exchange on the key
+    reused by both windows and the aggregate. Semantics-identical to the
+    stateful streaming operator (parity pinned in tests/test_sessionize.py)."""
+    from osmium_tool_spark.operators.sessions import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(events, gap_seconds=300)
+    return out.select(
+        F.col("key"), _L("session_start").alias("session_start"),
+        _L("session_end").alias("session_end"), _L("n_events").alias("n_events"),
+    )
+
+
 def q_knn_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact great-circle kNN (haversine meters, JVM trig): the spherical
     sibling of knn_exact — broadcast query batch, WindowGroupLimit top-k,
@@ -1619,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fileinfo_crc": q_fileinfo_crc,
         "knn_exact": q_knn_exact,
         "knn_geodesic": q_knn_geodesic,
+        "sessionize": q_sessionize,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2675,6 +2691,25 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neig
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist_m, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= 5
+"""
+
+    # batch sessionization: identical lag / running-ordinal / aggregate
+    # composition; duplicate timestamps are order-insensitive (diff 0 never
+    # exceeds the gap, and min/max/count are order-free).
+    o["sessionize"] = """
+WITH m AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events),
+s AS (
+  SELECT key, ts_us,
+         sum(CASE WHEN prev IS NULL OR ts_us - prev > 300000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY key ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m)
+SELECT key, CAST(min(ts_us) AS BIGINT) AS session_start,
+       CAST(max(ts_us) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY key, sess
 """
 
     return o

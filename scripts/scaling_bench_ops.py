@@ -139,10 +139,32 @@ def run_line_dedup():
     line_dedup(documents_lines({n_docs})).count()
 
 
+def run_bm25():
+    # 64 four-term queries over the hashed-word corpus: each term matches
+    # ~n_docs*24/50000 documents, so the postings join does real per-term
+    # work without any stop-term blow-up.
+    from osmium_tool_spark.operators.retrieval import bm25_topk
+
+    qs = spark.range(1, 65).select(
+        F.col("id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(F.col("id") * 7919, i)) % 50000).cast("string"),
+                ),
+            ),
+        ).alias("qtext"),
+    )
+    bm25_topk(documents({n_docs}), qs, k=10).count()
+
+
 out = {{}}
 ops = {ops!r}
 for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
-                 ("line_dedup", run_line_dedup)):
+                 ("line_dedup", run_line_dedup), ("bm25_topk", run_bm25)):
     if name not in ops:
         continue
     fn()  # warm-up: JVM, codegen, broadcast machinery
