@@ -1455,6 +1455,36 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-polygon spatial join: 600 diamond polygons — ABOVE the
+    reference's 500-extract cap — as a DataFrame, joined to the point
+    table through the distributed cell index (equi-join + interior
+    shortcut + per-polygon ray-cast verify). Polygon geometry is built
+    with Column math (no driver loop); the oracle is the closed-form
+    |dx|+|dy| < r diamond containment."""
+    from osmium_tool_spark.operators.spatial_join import spatial_join
+    from osmium_tool_spark.sources import testdata as td
+
+    k = F.col("id")
+    cx = (k * 2654435761) % 3_200_000_000 - 1_600_000_000
+    cy = (k * 2246822519) % 1_600_000_000 - 800_000_000
+    r = 50_000_000 + (k % 5) * 10_000_000
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    polys = spark.range(600).select(
+        k.alias("poly_id"),
+        F.array(
+            F.array(pt(cx + r, cy), pt(cx, cy + r), pt(cx - r, cy),
+                    pt(cx, cy - r), pt(cx + r, cy))
+        ).alias("rings"),
+    )
+    pts = td.nodes_from_part(spark, sf_dir).select("id", "lon", "lat")
+    out = spatial_join(pts, polys, res=6)
+    return out.select(_L("poly_id").alias("poly_id"), _L("id").alias("id"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization of the events table (gap 300s): lag + running
     session ordinal + per-session aggregate, one hash exchange on the key
@@ -1555,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "semantic_dedup": q_semantic_dedup,
         "normalize_text": q_normalize_text,
+        "spatial_join": q_spatial_join,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -1575,7 +1606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_count": q_tags_count,
         "fileinfo": q_fileinfo,
         "tile_rollup": q_tile_rollup,
-        "zorder_extract": q_zorder_extract,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "knn_cellring": q_knn_cellring,
@@ -1597,12 +1627,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
-        # (r4c: text_repetition and scrub_pii rotated here too — in-window
-        # siblings text_metrics and normalize_text cover the text-signal /
-        # text-cleanup families; both stay oracled in the tail + pinned in
-        # tests/test_sample_repetition.py and the scrub_pii pytest rows)
+        # (r4c: text_repetition, scrub_pii and zorder_extract rotated here
+        # too — in-window siblings text_metrics, normalize_text and the
+        # extract family cover them; all stay oracled in the tail + pinned
+        # in tests/test_sample_repetition.py, the scrub_pii pytest rows and
+        # tests/test_layout.py)
         "text_repetition": q_text_repetition,
         "scrub_pii": q_scrub_pii,
+        "zorder_extract": q_zorder_extract,
         # (r4 rotation: tile_pyramid and extract_smart moved here to
         # make room for osc_sections and decontaminate — in-window
         # siblings tile_rollup and extract_complete_ways cover the same
@@ -2710,6 +2742,21 @@ SELECT key, CAST(min(ts_us) AS BIGINT) AS session_start,
        CAST(max(ts_us) AS BIGINT) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY key, sess
+"""
+
+    # many-polygon spatial join: 600 diamonds (above the 500-extract cap)
+    # with closed-form |dx|+|dy| < r containment; the theta join is fine
+    # for the oracle at sf scale (the engine side uses the cell index).
+    o["spatial_join"] = f"""
+WITH {NODES_CTE},
+polys AS (
+  SELECT k,
+         (k * 2654435761) % 3200000000 - 1600000000 AS cx,
+         (k * 2246822519) % 1600000000 - 800000000 AS cy,
+         50000000 + (k % 5) * 10000000 AS r
+  FROM (SELECT unnest(range(0, 600)) AS k))
+SELECT CAST(k AS BIGINT) AS poly_id, CAST(id AS BIGINT) AS id
+FROM nodes JOIN polys ON abs(lon - cx) + abs(lat - cy) < r
 """
 
     return o

@@ -1,0 +1,289 @@
+"""Many-polygon spatial join — point-in-polygon beyond the extract cap.
+
+`extract`/`assign_extracts` mirror the reference's <=500-region fan-out
+(command_extract.cpp:77): regions are driver-side literals compiled into
+the plan. An analytics engine over the 10^12-image table also needs the
+join against MANY polygons (all admin boundaries, 10^4-10^6 geofences) —
+more than fits in a plan literal or a driver loop.
+
+This operator makes the polygon set a DATAFRAME and the join a plain
+equi-join through a distributed cell index:
+
+  1. index build (distributed over polygons, mapInPandas): each polygon
+     emits its covering grid cells at resolution `res` (the same Morton
+     cells as functions/cells.cell_id), each classified INSIDE (cell
+     entirely within the polygon) or BOUNDARY (a segment may cross it).
+     Classification is conservative-correct: a cell counts as boundary
+     if any segment's envelope overlaps it; otherwise the cell-center
+     ray cast decides inside/outside uniformly for the whole cell.
+  2. points compute their cell id as pure Column math and EQUI-JOIN the
+     index on the cell — no cross product anywhere; Catalyst picks
+     broadcast vs shuffle by index size, AQE handles dense-cell skew.
+  3. INSIDE hits are accepted with zero further work (for large polygons
+     the interior dominates — the S2/H3 covering trick); BOUNDARY
+     candidates join their polygon's geometry and are verified by the
+     exact int64 even-odd ray cast (same rule as the extract kernel:
+     endpoint==point -> inside), batched per polygon in numpy.
+
+Scale notes: the index is polygon-perimeter-sized (interiors collapse to
+cell rows), built once and reusable as a standing table. The verify
+stage groups by polygon — a polygon with a huge boundary-candidate set
+serializes within its group (raise `res` to shrink boundary cells). A
+polygon whose bbox covers more than `max_cells_per_polygon` cells at
+`res` fails LOUD with the resolution to use instead — silent coarsening
+would make the interior shortcut quietly disappear.
+
+Polygon geometry rides a DataFrame column: rings as
+array<array<struct<x:long,y:long>>> (outer + inner pooled, even-odd —
+the multipolygon model of functions/geometry.BandIndex). Kernels are
+nested closures (serialized by value — executors never import this
+package).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import _LAT_MIN, _LAT_SPAN, _LON_MIN, _LON_SPAN, cell_id
+
+RINGS_TYPE = "array<array<struct<x:long,y:long>>>"
+
+# kernel source shared by the index builder and the verifier; exec'd inside
+# each closure so cloudpickle ships it by value (executors have numpy only)
+_KERNELS = r"""
+import numpy as np
+
+
+def segments_of(rings):
+    segs = []
+    for ring in rings:
+        r = np.asarray([[p["x"], p["y"]] for p in ring], dtype=np.int64)
+        if len(r) < 2:
+            continue
+        a, b = r[:-1], r[1:]
+        keep = ~np.all(a == b, axis=1)
+        segs.append(np.hstack([a[keep], b[keep]]))
+    return np.vstack(segs) if segs else np.empty((0, 4), dtype=np.int64)
+
+
+def raycast(segs, xs, ys):
+    # exact int64 even-odd PIP, endpoint==point -> inside
+    # (parity with reference extract_polygon.cpp:103-156)
+    if len(segs) == 0:
+        return np.zeros(len(xs), dtype=bool)
+    px, py = xs[:, None], ys[:, None]
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    on_vertex = ((px == x1) & (py == y1)) | ((px == x2) & (py == y2))
+    straddle = (y2 > py) != (y1 > py)
+    ax, ay = x1 - x2, y1 - y2
+    comp = (px - x2) * ay < ax * (py - y2)
+    toggle = straddle & ((ay > 0) == comp)
+    return on_vertex.any(axis=1) | (toggle.sum(axis=1) & 1).astype(bool)
+"""
+
+
+def build_polygon_cell_index(
+    polygons: DataFrame,
+    res: int,
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+    max_cells_per_polygon: int = 65536,
+) -> DataFrame:
+    """(cell:long, poly_id, interior:boolean) covering-cell index.
+
+    Distributed over the polygon table (mapInPandas) — the driver never
+    sees a geometry; write the result once and reuse it per query batch.
+    """
+    r = int(res)
+    n = 1 << r
+    cap = int(max_cells_per_polygon)
+    kernels_src = _KERNELS
+    lon_min, lon_span = _LON_MIN, _LON_SPAN
+    lat_min, lat_span = _LAT_MIN, _LAT_SPAN
+    pid_name, rings_name = poly_id, rings_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        env: dict = {}
+        exec(kernels_src, env)
+        segments_of, raycast = env["segments_of"], env["raycast"]
+
+        def ordinate(v, vmin, span):
+            # parity with cells._ix/_iy: exact long difference scaled by n,
+            # then the same double division Spark's Column math performs
+            raw = np.floor((v - vmin).astype(np.float64) * n / span)
+            return np.clip(raw.astype(np.int64), 0, n - 1)
+
+        def morton(ix, iy):
+            code = np.zeros(len(ix), dtype=np.int64)
+            for b in range(r):
+                code |= ((ix >> b) & 1) << (2 * b)
+                code |= ((iy >> b) & 1) << (2 * b + 1)
+            return code | (np.int64(r) << 56)
+
+        for pdf in batches:
+            cells_out, pid_out, int_out = [], [], []
+            for pid, rings in zip(pdf[pid_name], pdf[rings_name]):
+                segs = segments_of(rings)
+                if len(segs) == 0:
+                    continue
+                minx = int(min(segs[:, 0].min(), segs[:, 2].min()))
+                maxx = int(max(segs[:, 0].max(), segs[:, 2].max()))
+                miny = int(min(segs[:, 1].min(), segs[:, 3].min()))
+                maxy = int(max(segs[:, 1].max(), segs[:, 3].max()))
+                ix0 = int(ordinate(np.array([minx]), lon_min, lon_span)[0])
+                ix1 = int(ordinate(np.array([maxx]), lon_min, lon_span)[0])
+                iy0 = int(ordinate(np.array([miny]), lat_min, lat_span)[0])
+                iy1 = int(ordinate(np.array([maxy]), lat_min, lat_span)[0])
+                ncells = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+                if ncells > cap:
+                    fit = max(1, r - math.ceil(math.log2(ncells / cap) / 2))
+                    raise ValueError(
+                        f"spatial_join: polygon {pid} covers {ncells} cells at "
+                        f"res {r} > max_cells_per_polygon={cap}; use res<={fit} "
+                        f"or raise the cap"
+                    )
+                w = ix1 - ix0 + 1
+                h = iy1 - iy0 + 1
+                # conservative boundary mark: each segment is split into
+                # pieces no longer than ~one cell per axis and each piece's
+                # envelope (padded 1 unit against float rounding) is filled —
+                # perimeter-sized work; a whole-segment envelope fill would
+                # mark a diagonal's full bbox and erase the interior shortcut.
+                grid = np.zeros((h, w), dtype=bool)
+                cw = lon_span / n
+                ch = lat_span / n
+                for k in range(len(segs)):
+                    x1s, y1s, x2s, y2s = (float(v) for v in segs[k])
+                    steps = int(
+                        max(abs(x2s - x1s) / cw, abs(y2s - y1s) / ch, 1.0)
+                    ) + 1
+                    t = np.linspace(0.0, 1.0, steps + 1)
+                    xs_l = x1s + (x2s - x1s) * t
+                    ys_l = y1s + (y2s - y1s) * t
+                    px0 = ordinate(
+                        np.minimum(xs_l[:-1], xs_l[1:]).astype(np.int64) - 1,
+                        lon_min, lon_span,
+                    ) - ix0
+                    px1 = ordinate(
+                        np.maximum(xs_l[:-1], xs_l[1:]).astype(np.int64) + 1,
+                        lon_min, lon_span,
+                    ) - ix0
+                    py0 = ordinate(
+                        np.minimum(ys_l[:-1], ys_l[1:]).astype(np.int64) - 1,
+                        lat_min, lat_span,
+                    ) - iy0
+                    py1 = ordinate(
+                        np.maximum(ys_l[:-1], ys_l[1:]).astype(np.int64) + 1,
+                        lat_min, lat_span,
+                    ) - iy0
+                    for p in range(len(px0)):
+                        grid[
+                            max(int(py0[p]), 0) : int(py1[p]) + 1,
+                            max(int(px0[p]), 0) : int(px1[p]) + 1,
+                        ] = True
+                gy, gx = np.nonzero(grid)
+                cells_b = morton(gx + ix0, gy + iy0)
+                # non-boundary cells: the integer cell CENTER classifies all
+                gy_i, gx_i = np.nonzero(~grid)
+                mix, miy = gx_i + ix0, gy_i + iy0
+                cx = lon_min + ((mix * 2 + 1) * lon_span) // (2 * n)
+                cy = lat_min + ((miy * 2 + 1) * lat_span) // (2 * n)
+                inside = raycast(segs, cx, cy)
+                cells_i = morton(mix[inside], miy[inside])
+                cells_out.extend([cells_b, cells_i])
+                pid_out.extend(
+                    [np.full(len(cells_b), pid), np.full(len(cells_i), pid)]
+                )
+                int_out.extend(
+                    [np.zeros(len(cells_b), bool), np.ones(len(cells_i), bool)]
+                )
+            if cells_out:
+                yield pd.DataFrame(
+                    {
+                        "cell": np.concatenate(cells_out),
+                        "poly_id": np.concatenate(pid_out),
+                        "interior": np.concatenate(int_out),
+                    }
+                )
+
+    pid_type = dict(polygons.dtypes)[poly_id]
+    return polygons.mapInPandas(
+        gen, schema=f"cell long, poly_id {pid_type}, interior boolean"
+    )
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    id_col: str = "id",
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+    payload_cols: list[str] | None = None,
+    index: DataFrame | None = None,
+    max_cells_per_polygon: int = 65536,
+) -> DataFrame:
+    """(poly_id, id[, payload...]) pairs: point contained in polygon.
+
+    `index` injects a prebuilt `build_polygon_cell_index` result (read
+    back from parquet) — the standing-index contract shared with
+    bm25_topk: build once, join many times.
+    """
+    payload_cols = payload_cols or []
+    if index is None:
+        index = build_polygon_cell_index(
+            polygons, res, poly_id=poly_id, rings_col=rings_col,
+            max_cells_per_polygon=max_cells_per_polygon,
+        )
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col("lon"),
+        F.col("lat"),
+        cell_id(F.col("lon"), F.col("lat"), int(res)).alias("cell"),
+        *payload_cols,
+    )
+    cand = pts.join(index, on="cell")
+
+    accepted = cand.filter(F.col("interior")).select("poly_id", "id", *payload_cols)
+    border = cand.filter(~F.col("interior")).select(
+        "poly_id", "id", "lon", "lat", *payload_cols
+    )
+
+    geoms = polygons.select(
+        F.col(poly_id).alias("poly_id"), F.col(rings_col).alias("__rings")
+    )
+    pass_cols = list(payload_cols)
+    kernels_src = _KERNELS
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        env: dict = {}
+        exec(kernels_src, env)
+        segs = env["segments_of"](pdf["__rings"].iloc[0])
+        ok = env["raycast"](
+            segs, pdf["lon"].to_numpy(np.int64), pdf["lat"].to_numpy(np.int64)
+        )
+        cols = {"poly_id": pdf["poly_id"][ok], "id": pdf["id"][ok]}
+        for c in pass_cols:
+            cols[c] = pdf[c][ok]
+        return pd.DataFrame(cols)
+
+    dtypes = dict(border.dtypes)
+    schema = f"poly_id {dtypes['poly_id']}, id {dtypes['id']}"
+    for c in pass_cols:
+        schema += f", {c} {dtypes[c]}"
+    verified = border.join(geoms, on="poly_id").groupBy("poly_id").applyInPandas(
+        verify, schema=schema
+    )
+    return accepted.unionByName(verified)
