@@ -1455,6 +1455,32 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over events: every non-reference event picks up the
+    latest reference value (event_id % 5 == 0, pre-aggregated per
+    (user, ts)) at or before its own timestamp. Union + one keyed window
+    — no join node, no range theta-join; oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    from osmium_tool_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    right = (
+        events.filter(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    left = events.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = asof_join(left, right, key="user_id", ts="ts_us", value_cols=["ref_value"])
+    return out.select(
+        _L("event_id").alias("event_id"), _L("user_id").alias("user_id"),
+        _L("ts_us").alias("ts_us"), F.col("ref_value").cast("double").alias("ref_value"),
+    )
+
+
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Many-polygon spatial join: 600 diamond polygons — ABOVE the
     reference's 500-extract cap — as a DataFrame, joined to the point
@@ -1667,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_geodesic": q_knn_geodesic,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2757,6 +2784,19 @@ polys AS (
   FROM (SELECT unnest(range(0, 600)) AS k))
 SELECT CAST(k AS BIGINT) AS poly_id, CAST(id AS BIGINT) AS id
 FROM nodes JOIN polys ON abs(lon - cx) + abs(lat - cy) < r
+"""
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle; the right
+    # side is pre-aggregated per (key, ts) in BOTH engines so the latest-at-
+    # or-before row is unique (forward-fill ties would be order-dependent).
+    o["asof_join"] = """
+WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS ref_value
+           FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_id % 5 <> 0)
+SELECT CAST(l.event_id AS BIGINT) AS event_id, CAST(l.user_id AS BIGINT) AS user_id,
+       CAST(l.ts_us AS BIGINT) AS ts_us, CAST(r.ref_value AS DOUBLE) AS ref_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
 
     return o

@@ -194,6 +194,30 @@ def main() -> None:
          capture_explain(semantic_dedup(emb, threshold=0.35, centroids=cents)))
     )
 
+    # 13. many-polygon spatial join: candidates come from an EQUI-join on
+    # the cell id (no cross product / no BroadcastNestedLoopJoin anywhere);
+    # the index side is a MapInPandas over the polygon table, the verify
+    # stage one FlatMapGroupsInPandas after a hash exchange on poly_id.
+    from osmium_tool_spark.operators.spatial_join import spatial_join
+
+    kk = F.col("id")
+    cx = (kk * 2654435761) % 3_200_000_000 - 1_600_000_000
+    cy = (kk * 2246822519) % 1_600_000_000 - 800_000_000
+    rr = 50_000_000 + (kk % 5) * 10_000_000
+
+    def ptc(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    polys = spark.range(600).select(
+        kk.alias("poly_id"),
+        F.array(F.array(ptc(cx + rr, cy), ptc(cx, cy + rr), ptc(cx - rr, cy),
+                        ptc(cx, cy - rr), ptc(cx + rr, cy))).alias("rings"),
+    )
+    sections.append(
+        ("spatial_join 600 polygons (cell equi-join, no cross product)",
+         capture_explain(spatial_join(nodes.select("id", "lon", "lat"), polys, res=6)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

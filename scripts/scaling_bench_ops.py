@@ -139,6 +139,32 @@ def run_line_dedup():
     line_dedup(documents_lines({n_docs})).count()
 
 
+def run_spatial_join():
+    # 2,000 diamond polygons joined against n_entities hash-scattered
+    # points through the covering-cell index at res 8.
+    from osmium_tool_spark.operators.spatial_join import spatial_join
+
+    kk = F.col("id")
+    cx = (kk * 2654435761) % 3200000000 - 1600000000
+    cy = (kk * 2246822519) % 1600000000 - 800000000
+    rr = 20000000 + (kk % 5) * 10000000
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    polys = spark.range(2000).select(
+        kk.alias("poly_id"),
+        F.array(F.array(pt(cx + rr, cy), pt(cx, cy + rr), pt(cx - rr, cy),
+                        pt(cx, cy - rr), pt(cx + rr, cy))).alias("rings"),
+    )
+    pts = spark.range(1, {n_entities} + 1).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    spatial_join(pts, polys, res=8).count()
+
+
 def run_bm25():
     # 64 four-term queries over the hashed-word corpus: each term matches
     # ~n_docs*24/50000 documents, so the postings join does real per-term
@@ -164,7 +190,8 @@ def run_bm25():
 out = {{}}
 ops = {ops!r}
 for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
-                 ("line_dedup", run_line_dedup), ("bm25_topk", run_bm25)):
+                 ("line_dedup", run_line_dedup), ("bm25_topk", run_bm25),
+                 ("spatial_join", run_spatial_join)):
     if name not in ops:
         continue
     fn()  # warm-up: JVM, codegen, broadcast machinery

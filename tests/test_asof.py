@@ -1,0 +1,66 @@
+"""As-of join: union + keyed forward-fill window (no join node)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_asof_join_basic(spark):
+    from osmium_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 999)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("b", 1000, 9.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        r.lid: r.v
+        for r in asof_join(left, right, key="k", ts="t", value_cols=["v"]).collect()
+    }
+    # lid 1: t=100 matches the equal-ts right row (inclusive >=)
+    # lid 2: t=205 -> latest at 200; lid 3: t=50 -> none; lid 4: 999 < 1000 -> none
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_asof_join_keeps_left_payload_and_count(spark):
+    from osmium_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, "k", i * 10, f"p{i}") for i in range(1, 6)],
+        "lid long, k string, t long, payload string",
+    )
+    right = spark.createDataFrame([("k", 25, 7.0)], "k string, t long, v double")
+    rows = asof_join(left, right, key="k", ts="t", value_cols=["v"]).collect()
+    assert len(rows) == 5
+    assert {r.payload for r in rows} == {f"p{i}" for i in range(1, 6)}
+    assert {r.lid: r.v for r in rows} == {1: None, 2: None, 3: 7.0, 4: 7.0, 5: 7.0}
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from osmium_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10, 0.0)], "lid long, k string, t long, v double")
+    right = spark.createDataFrame([("k", 5, 1.0)], "k string, t long, v double")
+    with pytest.raises(ValueError, match="already has a column"):
+        asof_join(left, right, key="k", ts="t", value_cols=["v"])
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The scalable shape: union + one keyed window — a range theta-join
+    would appear as BroadcastNestedLoopJoin; assert it never does."""
+    import contextlib
+    import io
+
+    from osmium_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10)], "lid long, k string, t long")
+    right = spark.createDataFrame([("k", 5, 1.0)], "k string, t long, v double")
+    out = asof_join(left, right, key="k", ts="t", value_cols=["v"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan  # union + window only
