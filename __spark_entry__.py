@@ -1405,6 +1405,67 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 lexical top-20 and
+    embedding-cosine ANN top-20 (doc_id == vec_id row alignment), fused
+    with the standard c=60 and re-ranked to top-10 per query. Both input
+    rankings are per-query WindowGroupLimit outputs — the fuse never
+    touches the corpus."""
+    from osmium_tool_spark.operators.retrieval import bm25_topk, rrf_fuse, tokens
+    from osmium_tool_spark.operators.similarity import ann_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ").alias("qtext"),
+    )
+    lex = bm25_topk(docs, qset, k=20)
+    vec = ann_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    out = rrf_fuse([lex, vec], k=10, c=60)
+    return out.select(
+        _L("query_id").alias("query_id"),
+        _L("doc_id").alias("doc_id"),
+        F.col("rrf").cast("double").alias("rrf"),
+        _L("rank").alias("rank"),
+    )
+
+
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality score (CCNet-style perplexity proxy),
+    self-trained on the corpus: two explode+hash-agg passes, charset²-
+    bounded model broadcast, zero Python."""
+    from osmium_tool_spark.operators.text import lm_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_quality_score(docs)
+    return out.select(
+        _L("doc_id").alias("doc_id"),
+        _L("n_bigrams").alias("n_bigrams"),
+        F.col("lm_logp").cast("double").alias("lm_logp"),
+    )
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (cosine, deterministic seed centroids
+    vec_id % 61 == 0): zero-shuffle JVM argmax over centroid literals,
+    ties to the smallest centroid id."""
+    from osmium_tool_spark.operators.similarity import cluster_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    out = cluster_assign(emb, cents)
+    return out.select(
+        _L("vec_id").alias("vec_id"),
+        _L("cluster_id").alias("cluster_id"),
+        F.col("cos").cast("double").alias("cos"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon count/sum/min/max/avg of a point
     measure — two diamond polygons (closed-form |dx|+|dy| < r PIP for the
@@ -1608,6 +1669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_features": q_bigram_features,
         # -- new in round 4c: retrieval + zonal stats + SemDeDup --
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "lm_quality_score": q_lm_quality_score,
+        "cluster_assign": q_cluster_assign,
         "zonal_stats": q_zonal_stats,
         "semantic_dedup": q_semantic_dedup,
         "normalize_text": q_normalize_text,
@@ -2687,6 +2751,94 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
       FROM scored)
 WHERE rank <= 10
+"""
+
+    # hybrid RRF: the bm25 CTE stack (top-20) + the ann cosine stack
+    # (top-20, neighbor_id == doc_id row alignment), fused 1/(60+rank),
+    # round(.,9) BEFORE the final ranking — mirrors retrieval.rrf_fuse.
+    o["hybrid_rrf"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+doclens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM doclens),
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')[1:8]) AS term
+  FROM documents WHERE doc_id % 50 = 0),
+lex_scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+  FROM qterms q
+  JOIN dft f USING (term)
+  JOIN postings p USING (term)
+  JOIN doclens d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+lexr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM lex_scored)
+  WHERE rank <= 20),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+vec_scored AS (
+  SELECT query_id, doc_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN c ON query_id <> doc_id),
+vecr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+    FROM vec_scored)
+  WHERE rank <= 20),
+fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60 + rank)), 9) AS rrf
+  FROM (SELECT * FROM lexr UNION ALL SELECT * FROM vecr)
+  GROUP BY 1, 2)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rrf AS DOUBLE) AS rrf, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+    # char-bigram LM: add-one smoothing, V = distinct second characters,
+    # mean ln p rounded AFTER the per-doc aggregate — twin of
+    # text.lm_quality_score (self-trained: every scored bigram is in cnt,
+    # so plain inner joins restate the operator's left joins exactly).
+    o["lm_quality_score"] = """
+WITH bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+  FROM documents WHERE length(text) >= 2),
+cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+ctx AS (SELECT substr(bg, 1, 1) AS ch, sum(c) AS cc FROM cnt GROUP BY 1),
+voc AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM cnt)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(avg(ln((c.c + 1) / (x.cc + v.v))), 6) AS DOUBLE) AS lm_logp
+FROM bg b
+JOIN cnt c USING (bg)
+JOIN ctx x ON substr(b.bg, 1, 1) = x.ch
+CROSS JOIN voc v
+GROUP BY 1
+"""
+
+    # nearest-centroid assignment: same sequential-fold cosine as the ann
+    # oracles; ties break to the smallest centroid id (mirrors the
+    # array_max over (cos, -cluster_id) structs in cluster_assign).
+    o["cluster_assign"] = f"""
+WITH cent AS (SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings WHERE vec_id % 61 = 0),
+scored AS (
+  SELECT v.vec_id, cent.cluster_id, {_cos_sql('v.embedding', 'cv')} AS cos
+  FROM embeddings v CROSS JOIN cent),
+r AS (SELECT vec_id, cluster_id, cos,
+        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id ASC) AS rn
+      FROM scored)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(round(cos, 6) AS DOUBLE) AS cos
+FROM r WHERE rn = 1
 """
 
     # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment

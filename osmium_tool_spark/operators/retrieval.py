@@ -68,6 +68,63 @@ def build_postings(
     return postings, doclens
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank_col: str = "rank",
+    quantize: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings: hybrid retrieval.
+
+    Combines N retrieval systems (e.g. BM25 lexical + embedding ANN) by
+    summing 1/(c + rank) per (query, doc) across systems — Cormack,
+    Clarke & Buettcher 2009 ("Reciprocal rank fusion outperforms Condorcet
+    and individual rank learning methods", SIGIR). RRF is the standard
+    hybrid-retrieval merge in RAG corpus curation: rank-based, so it needs
+    no score calibration between systems.
+
+    Scale shape: every input is already a per-query top-K frame
+    (queries x K rows — the WindowGroupLimit output of bm25_topk /
+    ann_topk), so this never touches the corpus. One union + one hash
+    aggregate + one top-k window over queries x K x systems rows.
+    A doc missing from a system's list simply contributes nothing
+    (standard RRF; no outer-join imputation).
+
+    Determinism: the fused score is a sum of at most len(rankings) exact
+    dyadic-adjacent terms 1/(c+rank); quantized (default 9 dp) before
+    ranking, ties break by doc id — same contract as bm25_topk.
+
+    Returns (query_id, doc_id, rrf, rank).
+    """
+    tagged = [
+        r.select(
+            F.col(query_id).alias("query_id"),
+            F.col(doc_id).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    fused = allr.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), quantize).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -632,6 +632,58 @@ def ivf_assign(
     return df.withColumn(out_col, nearest(F.col(vec_col)))
 
 
+def cluster_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cluster_id",
+    centroid_vec: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine — zero-shuffle, fully JVM.
+
+    The oracled counterpart of `ivf_assign`: centroids arrive as a
+    DataFrame of (cluster_id, vector) rows (e.g. k-means output read back
+    from parquet, or any deterministic seed set), are collected to the
+    driver (k rows — the codebook is broadcast-sized by contract, same as
+    every IVF path here), and are inlined as Column literals. Each input
+    row evaluates k sequential-fold cosines (the same left-to-right IEEE
+    fold as `cosine`, so scores are bit-identical to the DuckDB oracle)
+    and takes the argmax with `array_max` over (cos, -cluster_id) structs
+    — ties break toward the SMALLEST centroid id, stated and testable.
+
+    Scale shape: a narrow map over the corpus — no join, no window, no
+    shuffle of any kind; whole-stage codegen end to end. The literal
+    expression tree grows with k x dim; for k beyond a few hundred use
+    `ivf_assign` (numpy matmul) instead.
+
+    Returns (vec_id, cluster_id, cos) with cos quantized.
+    """
+    cents = [
+        (row[0], list(row[1]))
+        for row in centroids.select(centroid_id, centroid_vec).collect()
+    ]
+    if not cents:
+        raise ValueError("cluster_assign: empty centroid set")
+    vec = F.col(vec_col)
+    cands = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("cos"),
+                F.lit(-int(cid)).alias("negid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    best = F.array_max(cands)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        (-best["negid"]).cast("long").alias("cluster_id"),
+        F.round(best["cos"], quantize).alias("cos"),
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -432,6 +432,89 @@ def bigram_corpus_features(
     )
 
 
+def char_bigrams(text: Column) -> Column:
+    """All character bigrams of ``text`` in document order (empty for
+    length < 2). Character-indexed (not byte-indexed) in both Spark and
+    DuckDB, so the oracle restates it exactly."""
+    return F.when(
+        F.length(text) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - 1),
+            lambda i: text.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_quality_score(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize: int = 6,
+) -> DataFrame:
+    """Character-bigram language-model quality score (perplexity proxy).
+
+    The CCNet recipe (Wenzek 2020, "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data") scores web documents by
+    perplexity under a LM trained on a clean reference corpus and keeps
+    the low-perplexity band. This is the distributed two-pass shape with
+    the smallest real LM: an add-one-smoothed character-bigram model —
+      p(c2|c1) = (count(c1c2) + 1) / (count(c1·) + V),  V = |charset|
+    trained on ``train`` (default: ``df`` itself — self-scoring flags
+    out-of-distribution documents: mojibake, scrambles, wrong-language).
+
+    Scale shape: pass 1 is ONE explode + hash aggregate over the training
+    corpus producing a charset²-bounded count table (KBs even at 100 TB —
+    broadcast). Pass 2 explodes the scored corpus once, broadcast-joins
+    the tiny model, and re-aggregates per document with map-side combine.
+    No corpus-sized shuffle except the per-doc aggregate; zero Python.
+
+    Returns (doc_id, n_bigrams, lm_logp) where lm_logp is the mean
+    ln-probability per bigram (higher = more in-distribution), quantized
+    before output. Documents with < 2 characters have no bigrams and are
+    absent from the result (score undefined), in both engines.
+    """
+    def grams_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_bigrams(F.col(text_col))).alias("bg"),
+        )
+
+    grams = grams_of(df)
+    tgrams = grams if train is None else grams_of(train)
+
+    cnt = tgrams.groupBy("bg").agg(F.count("*").alias("c"))
+    ctx = cnt.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
+        F.sum("c").alias("cc")
+    )
+    voc = cnt.agg(F.countDistinct(F.substring("bg", 2, 1)).alias("v"))
+
+    # LEFT joins + coalesce-to-0: a scored bigram or context character
+    # unseen in the training corpus still gets its add-one-smoothed
+    # probability (1+0)/(0+V) instead of being dropped — the whole point
+    # of smoothing when train != df
+    return (
+        grams.join(F.broadcast(cnt), "bg", "left")
+        .withColumn("ch", F.substring("bg", 1, 1))
+        .join(F.broadcast(ctx), "ch", "left")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("cc"), F.lit(0)) + F.col("v"))
+                    )
+                ),
+                quantize,
+            ).alias("lm_logp"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "lm_logp")
+    )
+
+
 # control characters (C0 minus \t\n\r, plus DEL) — portable to RE2/DuckDB
 CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 
