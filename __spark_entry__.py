@@ -1466,6 +1466,24 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (ST_ClusterDBSCAN analog): dense
+    cells (>=4 pts at res 5) merge across 8-neighborhoods (lon wraps) via
+    distributed connected components; labels re-join points by cell key.
+    Noise points carry NULL cluster_id."""
+    from osmium_tool_spark.operators.spatial_join import grid_cluster
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = grid_cluster(nodes, res=5, min_pts=4)
+    return out.select(
+        _L("id").alias("id"),
+        _L("gkey").alias("gkey"),
+        _L("cluster_id").alias("cluster_id"),
+        _L("cluster_size").alias("cluster_size"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon count/sum/min/max/avg of a point
     measure — two diamond polygons (closed-form |dx|+|dy| < r PIP for the
@@ -1676,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "normalize_text": q_normalize_text,
         "spatial_join": q_spatial_join,
+        "grid_cluster": q_grid_cluster,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -2839,6 +2858,35 @@ r AS (SELECT vec_id, cluster_id, cos,
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
        CAST(round(cos, 6) AS DOUBLE) AS cos
 FROM r WHERE rn = 1
+"""
+
+    # grid-density clustering: recursive-CTE connected components over the
+    # dense-cell adjacency graph (same oracle pattern as dedup_clusters);
+    # lon (ix) adjacency wraps via least(abs, n-abs), lat (iy) does not.
+    o["grid_cluster"] = f"""
+WITH RECURSIVE {NODES_CTE},
+g AS (SELECT id, {_ix_sql('lon', 5)} AS ix, {_iy_sql('lat', 5)} AS iy FROM nodes),
+k AS (SELECT id, ix * 32 + iy AS gkey, ix, iy FROM g),
+dense AS (SELECT gkey, ix, iy FROM
+            (SELECT gkey, ix, iy, count(*) AS c FROM k GROUP BY 1, 2, 3)
+          WHERE c >= 4),
+e AS (SELECT a.gkey AS u, b.gkey AS v FROM dense a JOIN dense b
+      ON a.gkey <> b.gkey AND abs(a.iy - b.iy) <= 1
+      AND least(abs(a.ix - b.ix), 32 - abs(a.ix - b.ix)) <= 1),
+reach(id, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+lbl AS (SELECT id AS gkey, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+alllbl AS (SELECT d.gkey, COALESCE(l.cluster_id, d.gkey) AS cluster_id
+           FROM dense d LEFT JOIN lbl l USING (gkey)),
+pts AS (SELECT k.id, k.gkey, a.cluster_id FROM k LEFT JOIN alllbl a USING (gkey)),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM pts
+       WHERE cluster_id IS NOT NULL GROUP BY 1)
+SELECT CAST(p.id AS BIGINT) AS id, CAST(p.gkey AS BIGINT) AS gkey,
+       CAST(p.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM pts p LEFT JOIN sz s USING (cluster_id)
 """
 
     # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment

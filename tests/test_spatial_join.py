@@ -101,3 +101,70 @@ def test_payload_passthrough_and_over_500_polygons(spark):
     assert len(rows) > 0
     # payload must equal the source derivation for every emitted pair
     assert all(r.tag == r.id % 9 for r in rows)
+
+
+# ------------------------------------------------------------- grid_cluster
+
+
+class TestGridCluster:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, lon long, lat long")
+
+    def test_two_blobs_and_noise(self, spark):
+        from osmium_tool_spark.operators.spatial_join import grid_cluster
+
+        S = 10_000_000  # 1 degree in fixed-point
+        rows = []
+        # blob A: 6 points in one cell near (10e, 10n)
+        rows += [(i, 10 * S + i, 10 * S) for i in range(6)]
+        # blob B: 6 points in a far-away cell
+        rows += [(10 + i, -50 * S + i, -30 * S) for i in range(6)]
+        # noise: single isolated points
+        rows += [(100, 80 * S, 40 * S), (101, -170 * S, -80 * S)]
+        out = {
+            r["id"]: r
+            for r in grid_cluster(
+                self._pts(spark, rows), res=6, min_pts=4
+            ).collect()
+        }
+        a_lbl = {out[i]["cluster_id"] for i in range(6)}
+        b_lbl = {out[10 + i]["cluster_id"] for i in range(6)}
+        assert len(a_lbl) == 1 and len(b_lbl) == 1 and a_lbl != b_lbl
+        assert out[0]["cluster_size"] == 6 and out[10]["cluster_size"] == 6
+        assert out[100]["cluster_id"] is None and out[101]["cluster_id"] is None
+
+    def test_adjacent_cells_merge(self, spark):
+        from osmium_tool_spark.functions.cells import _ix
+        from osmium_tool_spark.operators.spatial_join import grid_cluster
+
+        # at res 4 a cell is 22.5 deg of lon; put 4 points in each of two
+        # horizontally adjacent cells and 4 in a diagonal cell
+        S = 10_000_000
+        rows = []
+        rows += [(i, 10 * S + i, 10 * S) for i in range(4)]          # cell (8, 8)
+        rows += [(10 + i, 30 * S + i, 10 * S) for i in range(4)]     # cell (9, 8)
+        rows += [(20 + i, 30 * S + i, 20 * S) for i in range(4)]     # cell (9, 9)
+        out = grid_cluster(self._pts(spark, rows), res=4, min_pts=4).collect()
+        labels = {r["cluster_id"] for r in out}
+        assert len(labels) == 1  # all three cells connect (side + diagonal)
+        assert all(r["cluster_size"] == 12 for r in out)
+
+    def test_antimeridian_wrap(self, spark):
+        from osmium_tool_spark.operators.spatial_join import grid_cluster
+
+        S = 10_000_000
+        # res 4: ix 0 covers lon [-180, -157.5), ix 15 covers [157.5, 180)
+        rows = [(i, -179 * S - i, 0) for i in range(4)]
+        rows += [(10 + i, 179 * S + i, 0) for i in range(4)]
+        out = grid_cluster(self._pts(spark, rows), res=4, min_pts=4).collect()
+        assert len({r["cluster_id"] for r in out}) == 1  # wraps across ±180
+        assert all(r["cluster_size"] == 8 for r in out)
+
+    def test_sparse_cells_are_noise_not_clusters(self, spark):
+        from osmium_tool_spark.operators.spatial_join import grid_cluster
+
+        S = 10_000_000
+        rows = [(i, (i * 40 - 170) * S, 20 * S) for i in range(8)]  # one per cell
+        out = grid_cluster(self._pts(spark, rows), res=6, min_pts=2).collect()
+        assert all(r["cluster_id"] is None for r in out)
+        assert all(r["cluster_size"] is None for r in out)
