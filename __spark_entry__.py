@@ -1327,6 +1327,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    whitespace-token counts, 8 hash-routed packer streams, capacity-256
+    sequences; one row per (document, sequence) fragment. Exact integer
+    token offsets end to end."""
+    from osmium_tool_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, capacity=256, n_packers=8)
+    return out.select(
+        _L("doc_id").alias("doc_id"),
+        _L("packer").alias("packer"),
+        _L("seq").alias("seq"),
+        _L("doc_begin").alias("doc_begin"),
+        _L("n_tok").alias("n_tok"),
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate 8-token spans (window-hash substring
     dedup): the span-removal worklist for boilerplate shared across
@@ -1481,6 +1499,24 @@ def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         _L("gkey").alias("gkey"),
         _L("cluster_id").alias("cluster_id"),
         _L("cluster_size").alias("cluster_size"),
+    )
+
+
+def q_density_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed point-density raster: cell counts convolved with the 3x3
+    integer binomial kernel (lon wraps, lat edge rows drop out-of-grid
+    targets). One corpus hash agg; the convolve runs on the occupied-cell
+    frame (explode 9 + re-agg, exact integer math)."""
+    from osmium_tool_spark.operators.tiles import density_surface
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = density_surface(nodes, res=5)
+    return out.select(
+        _L("ix").alias("ix"),
+        _L("iy").alias("iy"),
+        _L("n_points").alias("n_points"),
+        _L("density").alias("density"),
     )
 
 
@@ -1695,6 +1731,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "spatial_join": q_spatial_join,
         "grid_cluster": q_grid_cluster,
+        "density_surface": q_density_surface,
+        "pack_sequences": q_pack_sequences,
+        "knn_geodesic": q_knn_geodesic,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -1707,16 +1748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getparents": q_getparents,
         "renumber": q_renumber,
         "sort_canonical": q_sort_canonical,
-        "merge_dedup": q_merge_dedup,
         "cat_clean": q_cat_clean,
-        "time_filter_range": q_time_filter_range,
         "apply_changes_latest": q_apply_changes_latest,
         "diff_status": q_diff_status,
-        "tags_count": q_tags_count,
         "fileinfo": q_fileinfo,
         "tile_rollup": q_tile_rollup,
-        "stratified_sample": q_stratified_sample,
-        "line_dedup": q_line_dedup,
         "knn_cellring": q_knn_cellring,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1733,6 +1769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters/dedup_ngram_jaccard (pair families), ann_topk
         # (ann family) and semantic_dedup/knn_cellring (embedding dedup)
         # cover the same operators; all three stay oracled in the tail)
+        "line_dedup": q_line_dedup,
+        "stratified_sample": q_stratified_sample,
+        "tags_count": q_tags_count,
+        "merge_dedup": q_merge_dedup,
+        "time_filter_range": q_time_filter_range,
         "phash_near_dup": q_phash_near_dup,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1774,9 +1815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_changes_simplify": q_merge_changes_simplify,
         "fileinfo_crc": q_fileinfo_crc,
         "knn_exact": q_knn_exact,
-        "knn_geodesic": q_knn_geodesic,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2860,6 +2898,31 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_i
 FROM r WHERE rn = 1
 """
 
+    # sequence packing: running token sum per packer stream, integer //
+    # for sequence cuts; unnest(range(...)) restates the fragment explode.
+    o["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 AS h
+  FROM documents),
+b AS (SELECT doc_id, n_tokens, h, h % 8 AS packer FROM t WHERE n_tokens > 0),
+l AS (SELECT doc_id, packer, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY packer ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS BIGINT) AS start
+      FROM b),
+f AS (SELECT doc_id, packer, n_tokens, start,
+        unnest(range(start // 256, (start + n_tokens - 1) // 256 + 1)) AS seq
+      FROM l)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(packer AS BIGINT) AS packer,
+       CAST(seq AS BIGINT) AS seq,
+       CAST(greatest(0, seq * 256 - start) AS BIGINT) AS doc_begin,
+       CAST(least(n_tokens, (seq + 1) * 256 - start)
+            - greatest(0, seq * 256 - start) AS BIGINT) AS n_tok
+FROM f
+"""
+
     # grid-density clustering: recursive-CTE connected components over the
     # dense-cell adjacency graph (same oracle pattern as dedup_clusters);
     # lon (ix) adjacency wraps via least(abs, n-abs), lat (iy) does not.
@@ -2887,6 +2950,23 @@ SELECT CAST(p.id AS BIGINT) AS id, CAST(p.gkey AS BIGINT) AS gkey,
        CAST(p.cluster_id AS BIGINT) AS cluster_id,
        CAST(s.cluster_size AS BIGINT) AS cluster_size
 FROM pts p LEFT JOIN sz s USING (cluster_id)
+"""
+
+    # density surface: exact integer scatter-gather convolution — the
+    # 9-offset kernel restates as a CROSS JOIN against a VALUES table.
+    o["density_surface"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT {_ix_sql('lon', 5)} AS ix, {_iy_sql('lat', 5)} AS iy FROM nodes),
+cnt AS (SELECT ix, iy, count(*) AS n_points FROM g GROUP BY 1, 2),
+off(dx, dy, w) AS (VALUES (0,0,4),(1,0,2),(-1,0,2),(0,1,2),(0,-1,2),
+                          (1,1,1),(1,-1,1),(-1,1,1),(-1,-1,1)),
+sc AS (SELECT (ix + dx + 32) % 32 AS tx, iy + dy AS ty, n_points * w AS contrib
+       FROM cnt CROSS JOIN off WHERE iy + dy >= 0 AND iy + dy < 32),
+d AS (SELECT tx AS ix, ty AS iy, sum(contrib) AS density FROM sc GROUP BY 1, 2)
+SELECT CAST(d.ix AS BIGINT) AS ix, CAST(d.iy AS BIGINT) AS iy,
+       CAST(COALESCE(c.n_points, 0) AS BIGINT) AS n_points,
+       CAST(d.density AS BIGINT) AS density
+FROM d LEFT JOIN cnt c ON d.ix = c.ix AND d.iy = c.iy
 """
 
     # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment

@@ -20,7 +20,7 @@ Run it inside plans.CheckpointedPipeline for resumability + lineage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dup_clusters, exact_dedup, minhash_lsh_pairs
@@ -111,4 +111,87 @@ def leakage_safe_split(
     )
     return labels.select(
         F.col("id").alias(id_col), F.col("cluster_id"), split.alias("split")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    n_packers: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents -> fixed-capacity
+    training sequences.
+
+    The GPT-style pretraining layout: documents are concatenated in a
+    deterministic pseudo-random order and the token stream is cut every
+    ``capacity`` tokens; a document may straddle a cut (its tail fills
+    one sequence, its head starts the next) so no capacity is wasted —
+    the no-split greedy variant is inherently sequential and is NOT what
+    large pretraining runs use.
+
+    Distribution: a single global concatenation order would need one
+    unpartitioned running-sum window (every row through one task — the
+    classic scale-killer). Instead docs hash-route to ``n_packers``
+    independent packing streams (standard practice: each worker packs
+    its own shard); the running sum windows over packer-sized partitions.
+    Sequence ids are (packer, seq) pairs — globally unique, stable
+    across reruns, independent of partitioning.
+
+    Returns one row per (document, sequence) FRAGMENT:
+      (doc_id, packer, seq, doc_begin, n_tok) — the fragment covers doc
+    tokens [doc_begin, doc_begin + n_tok); a doc shorter than capacity
+    and not straddling a cut yields exactly one fragment. Zero-token
+    docs are dropped (nothing to pack). All math is exact integers —
+    the DuckDB oracle restates it verbatim.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_packers <= 0:
+        raise ValueError(f"n_packers must be positive, got {n_packers}")
+    from .sample import sample_hash
+
+    tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    )
+    h = sample_hash(F.col(id_col), seed)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tok.cast("long").alias("n_tokens"),
+        (h % n_packers).alias("packer"),
+        h.alias("__h"),
+    ).filter(F.col("n_tokens") > 0)
+
+    w = Window.partitionBy("packer").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+    laid = base.select(
+        "doc_id",
+        "packer",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    )
+    # integer DIV, not float '/': token offsets are exact longs end to end
+    first_seq = F.expr(f"start DIV {capacity}")
+    last_seq = F.expr(f"(start + n_tokens - 1) DIV {capacity}")
+    frags = laid.select(
+        "doc_id",
+        "packer",
+        "n_tokens",
+        "start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq"),
+    )
+    frag_begin = F.greatest(F.lit(0), F.col("seq") * capacity - F.col("start"))
+    frag_end = F.least(
+        F.col("n_tokens"), (F.col("seq") + 1) * capacity - F.col("start")
+    )
+    return frags.select(
+        "doc_id",
+        "packer",
+        "seq",
+        frag_begin.cast("long").alias("doc_begin"),
+        (frag_end - frag_begin).cast("long").alias("n_tok"),
     )

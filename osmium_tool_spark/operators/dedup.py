@@ -431,13 +431,21 @@ def dup_clusters(
     prev_sig = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # convergence fingerprint: per-edge terms are BOUNDED (< 2^31) so
+        # the sums cannot hit ANSI long overflow no matter how large the
+        # node ids are (hi * MIX overflowed for grid keys / 2^34-range OSM
+        # ids); two independent hash sums keep the false-equality odds at
+        # ~2^-62 per round
         sig = edges.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum("hi"), F.lit(0)).alias("sh"),
-            F.coalesce(F.sum("lo"), F.lit(0)).alias("sl"),
-            F.coalesce(F.sum(F.col("hi") * MIX + F.col("lo")), F.lit(0)).alias("sx"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1 << 31))), F.lit(0)
+            ).alias("s1"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("lo", "hi"), F.lit(1 << 31))), F.lit(0)
+            ).alias("s2"),
         ).collect()[0]
-        sig = (sig["n"], sig["sh"], sig["sl"], sig["sx"])
+        sig = (sig["n"], sig["s1"], sig["s2"])
         if sig == prev_sig:
             break
         prev_sig = sig

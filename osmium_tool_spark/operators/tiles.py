@@ -112,3 +112,76 @@ def zonal_stats(
         aggs.append(expr.alias(name))
     assigned = assign_extracts(points, extracts, payload_cols=payload_cols or [])
     return assigned.groupBy("extract_id").agg(*aggs)
+
+
+# 3x3 binomial (Gaussian-approximating) kernel; integer weights sum to 16
+BINOMIAL_3X3: dict[tuple[int, int], int] = {
+    (0, 0): 4,
+    (1, 0): 2, (-1, 0): 2, (0, 1): 2, (0, -1): 2,
+    (1, 1): 1, (1, -1): 1, (-1, 1): 1, (-1, -1): 1,
+}
+
+
+def density_surface(
+    points: DataFrame,
+    res: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    kernel: dict[tuple[int, int], int] | None = None,
+) -> DataFrame:
+    """Smoothed point-density raster (heatmap): rasterize + 3x3 convolve.
+
+    The raster half of the raster<->vector story: cell counts convolved
+    with an integer kernel (default binomial 1-2-1, the separable
+    Gaussian approximation) give the density surface a tile renderer or
+    a sampling-weight map reads. Integer weights keep the math exact —
+    no float accumulation to diverge between engines or reruns.
+
+    Scale shape: ONE corpus-sized hash aggregate (the rasterize), then
+    the convolution runs on the OCCUPIED-CELL frame — each cell scatters
+    count x weight to its 9 targets via one explode + one re-aggregate
+    (9x a cell-bounded frame, not the point count; no join, no window).
+    Longitude wraps at the antimeridian; latitude targets outside the
+    grid are dropped (clamping would double-count the pole rows).
+
+    Returns (ix, iy, n_points, density): every cell that RECEIVES any
+    contribution appears; n_points is its own raw count (0 if the cell
+    is empty but lit by a neighbor); density = sum of count x weight.
+    """
+    from ..functions.cells import _ix, _iy
+
+    kernel = BINOMIAL_3X3 if kernel is None else kernel
+    if not kernel:
+        raise ValueError("density_surface: empty kernel")
+    n = 1 << res
+    counts = points.select(
+        _ix(F.col(lon_col), res).alias("ix"), _iy(F.col(lat_col), res).alias("iy")
+    ).groupBy("ix", "iy").agg(F.count("*").alias("n_points"))
+
+    scatter = F.filter(
+        F.array(
+            *[
+                F.when(
+                    (F.col("iy") + dy >= 0) & (F.col("iy") + dy < n),
+                    F.struct(
+                        ((F.col("ix") + dx + n) % n).alias("tx"),
+                        (F.col("iy") + dy).alias("ty"),
+                        (F.col("n_points") * F.lit(w)).alias("contrib"),
+                    ),
+                )
+                for (dx, dy), w in sorted(kernel.items())
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    density = (
+        counts.select(F.explode(scatter).alias("s"))
+        .groupBy(F.col("s.tx").alias("ix"), F.col("s.ty").alias("iy"))
+        .agg(F.sum("s.contrib").alias("density"))
+    )
+    return density.join(counts, ["ix", "iy"], "left").select(
+        "ix",
+        "iy",
+        F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+        F.col("density").cast("long").alias("density"),
+    )

@@ -187,11 +187,74 @@ def run_bm25():
     bm25_topk(documents({n_docs}), qs, k=10).count()
 
 
+def run_lm_quality():
+    from osmium_tool_spark.operators.text import lm_quality_score
+
+    lm_quality_score(documents({n_docs})).count()
+
+
+def run_hybrid_rrf():
+    # the fuse stage in isolation (its bm25/ann inputs are benched on
+    # their own): two synthetic 20-deep rankings per query, fused to
+    # top-10 — union + hash agg + WindowGroupLimit over q x 20 x 2 rows
+    from osmium_tool_spark.operators.retrieval import rrf_fuse
+
+    def ranking(salt):
+        return (
+            spark.range(1, {n_docs} + 1)
+            .select(
+                F.col("id").alias("query_id"),
+                F.explode(F.sequence(F.lit(1), F.lit(20))).alias("rank"),
+            )
+            .select(
+                "query_id",
+                (F.abs(F.xxhash64(F.col("query_id"), F.col("rank"), F.lit(salt)))
+                 % 1000000).alias("doc_id"),
+                "rank",
+            )
+        )
+
+    rrf_fuse([ranking(1), ranking(2)], k=10).count()
+
+
+def run_cluster_assign():
+    from osmium_tool_spark.operators.similarity import cluster_assign
+
+    vecs = spark.range(1, {n_entities} + 1).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: ((F.xxhash64(F.col("vec_id"), i) % 1000) / 500.0 - 1.0).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    cents = vecs.filter(F.col("vec_id") % ({n_entities} // 16) == 1).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    cluster_assign(vecs, cents).count()
+
+
+def run_grid_cluster():
+    from osmium_tool_spark.operators.spatial_join import grid_cluster
+
+    pts = spark.range(1, {n_entities} + 1).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    grid_cluster(pts, res=8, min_pts=50).count()
+
+
 out = {{}}
 ops = {ops!r}
 for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("line_dedup", run_line_dedup), ("bm25_topk", run_bm25),
-                 ("spatial_join", run_spatial_join)):
+                 ("spatial_join", run_spatial_join),
+                 ("lm_quality_score", run_lm_quality),
+                 ("hybrid_rrf", run_hybrid_rrf),
+                 ("cluster_assign", run_cluster_assign),
+                 ("grid_cluster", run_grid_cluster)):
     if name not in ops:
         continue
     fn()  # warm-up: JVM, codegen, broadcast machinery

@@ -171,3 +171,91 @@ def test_bigram_features_multiplicity(spark):
     assert r.n_bigrams == 3
     assert r.sum_count == 2 + 2 + 1
     assert r.n_unique == 1
+
+
+# ----------------------------------------------------------- pack_sequences
+
+
+class TestPackSequences:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_fragments_tile_each_document_exactly(self, spark):
+        from osmium_tool_spark.operators.curation import pack_sequences
+        from pyspark.sql import functions as F
+
+        docs = self._docs(
+            spark, [(i, " ".join(f"t{j}" for j in range(7 + i * 13))) for i in range(40)]
+        )
+        out = pack_sequences(docs, capacity=64, n_packers=4)
+        # per doc: fragments are contiguous, disjoint, and cover [0, n_tokens)
+        per_doc = (
+            out.groupBy("doc_id")
+            .agg(
+                F.sum("n_tok").alias("tot"),
+                F.min("doc_begin").alias("first"),
+                F.count("*").alias("n_frags"),
+            )
+            .collect()
+        )
+        expected = {i: 7 + i * 13 for i in range(40)}
+        for r in per_doc:
+            assert r["first"] == 0
+            assert r["tot"] == expected[r["doc_id"]]
+
+    def test_sequences_full_except_stream_tail(self, spark):
+        from osmium_tool_spark.operators.curation import pack_sequences
+        from pyspark.sql import functions as F
+
+        docs = self._docs(
+            spark, [(i, " ".join(f"t{j}" for j in range(5 + i % 37))) for i in range(60)]
+        )
+        cap = 32
+        out = pack_sequences(docs, capacity=cap, n_packers=2)
+        seqs = out.groupBy("packer", "seq").agg(F.sum("n_tok").alias("fill")).collect()
+        last = {}
+        for r in seqs:
+            last[r["packer"]] = max(last.get(r["packer"], -1), r["seq"])
+        for r in seqs:
+            if r["seq"] < last[r["packer"]]:
+                assert r["fill"] == cap  # concat-and-chunk wastes nothing
+            else:
+                assert 0 < r["fill"] <= cap
+
+    def test_straddling_doc_splits_at_boundary(self, spark):
+        from osmium_tool_spark.operators.curation import pack_sequences
+
+        # one packer, one long doc: 2.5 sequences of capacity 10
+        docs = self._docs(spark, [(1, " ".join(f"t{j}" for j in range(25)))])
+        out = sorted(
+            pack_sequences(docs, capacity=10, n_packers=1).collect(),
+            key=lambda r: r["seq"],
+        )
+        assert [(r["seq"], r["doc_begin"], r["n_tok"]) for r in out] == [
+            (0, 0, 10), (1, 10, 10), (2, 20, 5),
+        ]
+
+    def test_zero_token_docs_dropped_and_args_validated(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.curation import pack_sequences
+
+        docs = self._docs(spark, [(1, "   "), (2, "a b")])
+        out = pack_sequences(docs, capacity=8, n_packers=1).collect()
+        assert [r["doc_id"] for r in out] == [2]
+        with _pytest.raises(ValueError, match="capacity"):
+            pack_sequences(docs, capacity=0)
+        with _pytest.raises(ValueError, match="n_packers"):
+            pack_sequences(docs, capacity=8, n_packers=0)
+
+    def test_deterministic_across_repartitions(self, spark):
+        from osmium_tool_spark.operators.curation import pack_sequences
+
+        docs = self._docs(
+            spark, [(i, " ".join(f"t{j}" for j in range(3 + i % 11))) for i in range(30)]
+        )
+        a = sorted(map(tuple, pack_sequences(docs, 16, n_packers=4).collect()))
+        b = sorted(
+            map(tuple, pack_sequences(docs.repartition(7), 16, n_packers=4).collect())
+        )
+        assert a == b

@@ -73,3 +73,77 @@ def test_bad_args(points):
         tile_pyramid(points, res=4, min_res=5)
     with pytest.raises(ValueError):
         tile_pyramid(points, res=4, min_res=-1)
+
+
+# ---------------------------------------------------------- density_surface
+
+
+class TestDensitySurface:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, lon long, lat long")
+
+    def test_single_cell_scatter_hand_computed(self, spark):
+        from osmium_tool_spark.operators.tiles import density_surface
+
+        S = 10_000_000
+        # 3 points in one interior cell: the 3x3 halo gets 3*w everywhere
+        pts = self._pts(spark, [(i, 10 * S + i, 10 * S) for i in range(3)])
+        out = {(r["ix"], r["iy"]): r for r in density_surface(pts, res=4).collect()}
+        cx = (10 + 180) * 16 // 360  # 8
+        cy = (10 + 90) * 16 // 180   # 8
+        assert len(out) == 9
+        assert out[(cx, cy)]["density"] == 12 and out[(cx, cy)]["n_points"] == 3
+        assert out[(cx + 1, cy)]["density"] == 6
+        assert out[(cx + 1, cy + 1)]["density"] == 3
+        # halo cells hold no points of their own
+        assert out[(cx + 1, cy)]["n_points"] == 0
+
+    def test_two_cells_sum(self, spark):
+        from osmium_tool_spark.operators.tiles import density_surface
+
+        S = 10_000_000
+        # horizontally adjacent cells with 1 and 2 points: the shared
+        # column gets cross contributions
+        pts = self._pts(spark, [(1, 10 * S, 10 * S),
+                                (2, 33 * S, 10 * S), (3, 33 * S + 1, 10 * S)])
+        out = {(r["ix"], r["iy"]): r for r in density_surface(pts, res=4).collect()}
+        # cell A (8,8): own 1*4 + neighbor 2*2 = 8; cell B (9,8): 2*4 + 1*2 = 10
+        assert out[(8, 8)]["density"] == 8 and out[(8, 8)]["n_points"] == 1
+        assert out[(9, 8)]["density"] == 10 and out[(9, 8)]["n_points"] == 2
+        # the diagonal halo of both: (8..9, 9) column sums
+        assert out[(8, 9)]["density"] == 1 * 2 + 2 * 1  # above A: w2 from A, w1 from B
+
+    def test_antimeridian_wrap_and_pole_clip(self, spark):
+        from osmium_tool_spark.operators.tiles import density_surface
+
+        S = 10_000_000
+        # a point in the last lon column wraps its halo into column 0;
+        # a point in the top lat row has no targets above it
+        pts = self._pts(spark, [(1, 179 * S, 89 * S)])
+        out = {(r["ix"], r["iy"]): r["density"] for r in
+               density_surface(pts, res=4).collect()}
+        assert out[(15, 15)] == 4
+        assert out[(0, 15)] == 2      # wrapped east neighbor
+        assert out[(0, 14)] == 1      # wrapped diagonal
+        assert not any(iy > 15 for _, iy in out)  # nothing past the pole
+        assert len(out) == 6          # 3x3 minus the 3 clipped above-pole cells
+
+    def test_total_mass_conserved_interior(self, spark):
+        from osmium_tool_spark.operators.tiles import density_surface
+        from pyspark.sql import functions as F
+
+        S = 10_000_000
+        # interior points far from poles: sum(density) == 16 * n_points
+        pts = self._pts(spark, [(i, (i * 7 - 60) * S, (i * 3 - 20) * S)
+                                for i in range(20)])
+        total = density_surface(pts, res=5).agg(F.sum("density")).collect()[0][0]
+        assert total == 16 * 20
+
+    def test_empty_kernel_raises(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.tiles import density_surface
+
+        pts = self._pts(spark, [(1, 0, 0)])
+        with _pytest.raises(ValueError, match="empty kernel"):
+            density_surface(pts, kernel={})
