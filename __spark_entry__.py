@@ -1520,6 +1520,43 @@ def q_density_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic polyline length per way: locations_join (posexplode ->
+    ref equi-join -> way-keyed re-agg) then a SEQUENTIAL codegen'd fold
+    of mm-quantized haversine segment distances — deterministic float
+    order, bit-stable across partitionings (a groupBy sum would not
+    replay)."""
+    from osmium_tool_spark.operators.export import way_length_m
+    from osmium_tool_spark.sources import testdata as td
+
+    out = way_length_m(
+        td.ways_from_orders(spark, sf_dir), td.nodes_from_part(spark, sf_dir)
+    )
+    return out.select(
+        _L("id").alias("id"),
+        _L("n_nodes").alias("n_nodes"),
+        F.col("length_m").cast("double").alias("length_m"),
+    )
+
+
+def q_tile_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered tile assignment (vector-tile cut): each point lands in its
+    home tile plus every neighbor whose buffer-expanded extent contains
+    it — integer-scaled edge tests, lon wraps, map-only explode (no
+    shuffle)."""
+    from osmium_tool_spark.operators.tiles import tile_buffer_assign
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = tile_buffer_assign(nodes, res=5, buffer=5_000_000)
+    return out.select(
+        _L("id").alias("id"),
+        _L("tile_ix").alias("tile_ix"),
+        _L("tile_iy").alias("tile_iy"),
+        F.col("is_core").alias("is_core"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon count/sum/min/max/avg of a point
     measure — two diamond polygons (closed-form |dx|+|dy| < r PIP for the
@@ -1732,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "grid_cluster": q_grid_cluster,
         "density_surface": q_density_surface,
+        "way_length": q_way_length,
+        "tile_buffer": q_tile_buffer,
         "pack_sequences": q_pack_sequences,
         "knn_geodesic": q_knn_geodesic,
         "sessionize": q_sessionize,
@@ -2967,6 +3006,53 @@ SELECT CAST(d.ix AS BIGINT) AS ix, CAST(d.iy AS BIGINT) AS iy,
        CAST(COALESCE(c.n_points, 0) AS BIGINT) AS n_points,
        CAST(d.density AS BIGINT) AS density
 FROM d LEFT JOIN cnt c ON d.ix = c.ix AND d.iy = c.iy
+"""
+
+    # way length: identical haversine term order as knn_geodesic, each
+    # segment mm-quantized, then a SEQUENTIAL left fold (list_reduce twin
+    # of F.aggregate) — float addition order is pinned in both engines.
+    hav_seg = """round(2 * 6371008.8 * asin(sqrt(
+             sin(radians((ys[i+1] - ys[i]) / 10000000.0) / 2)
+               * sin(radians((ys[i+1] - ys[i]) / 10000000.0) / 2)
+             + cos(radians(ys[i] / 10000000.0)) * cos(radians(ys[i+1] / 10000000.0))
+               * sin(radians((xs[i+1] - xs[i]) / 10000000.0) / 2)
+               * sin(radians((xs[i+1] - xs[i]) / 10000000.0) / 2)
+           )), 3)"""
+    o["way_length"] = f"""
+WITH {NODES_CTE},
+pts AS (SELECT l_orderkey, n.lon, n.lat, l_linenumber, l_partkey
+        FROM lineitem JOIN nodes n ON l_partkey = n.id),
+c AS (SELECT l_orderkey AS id,
+             list(lon ORDER BY l_linenumber, l_partkey) AS xs,
+             list(lat ORDER BY l_linenumber, l_partkey) AS ys
+      FROM pts GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS id, CAST(len(xs) AS BIGINT) AS n_nodes,
+       CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(range(1, len(xs)), i -> {hav_seg})),
+         (a, b) -> a + b), 3) AS DOUBLE) AS length_m
+FROM c WHERE len(xs) >= 2
+"""
+
+    # buffered tile assignment: integer-scaled edge tests (s = (coord -
+    # min) * 2^res vs edge * span and buffer * 2^res) — exact in both
+    # engines; lon wraps mod 32, lat candidates beyond the poles drop.
+    _bn = 5_000_000 * 32
+    o["tile_buffer"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT id, {_ix_sql('lon', 5)} AS hx, {_iy_sql('lat', 5)} AS hy,
+             (lon + 1800000000) * 32 AS sx, (lat + 900000000) * 32 AS sy
+      FROM nodes),
+off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT CAST(id AS BIGINT) AS id,
+       CAST((hx + dx + 32) % 32 AS BIGINT) AS tile_ix,
+       CAST(hy + dy AS BIGINT) AS tile_iy,
+       (dx = 0 AND dy = 0) AS is_core
+FROM g CROSS JOIN off
+WHERE hy + dy >= 0 AND hy + dy < 32
+  AND (dx = 0 OR (dx = -1 AND sx - hx * 3600000000 < {_bn})
+              OR (dx = 1 AND (hx + 1) * 3600000000 - sx <= {_bn}))
+  AND (dy = 0 OR (dy = -1 AND sy - hy * 1800000000 < {_bn})
+              OR (dy = 1 AND (hy + 1) * 1800000000 - sy <= {_bn}))
 """
 
     # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment

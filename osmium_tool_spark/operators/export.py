@@ -143,6 +143,57 @@ def locations_join(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return ways.join(coords, on=["id", "version"], how="left")
 
 
+def way_length_m(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Geodesic polyline length of each way: (id, n_nodes, length_m).
+
+    The measure half of the export geometry assembly (the reference
+    assembles way linestrings the same way, command_export.cpp:619-631,
+    but leaves length to downstream GIS); at training-data scale the
+    length IS the feature — road/track km per tile, trajectory length
+    distributions, way-size sampling weights.
+
+    Per-segment great-circle distance (similarity.haversine_m, IUGG
+    radius) quantized to mm (round 3) and folded SEQUENTIALLY in ref
+    order — a deterministic left fold, not a groupBy sum, so the result
+    is bit-stable across partitionings and engines (float addition is
+    order-sensitive; a shuffle-order sum would not replay). Ways with
+    any unresolved ref yield NULL length (the fold propagates NULL —
+    callers decide the error policy, mirroring export --show-errors);
+    ways with fewer than two resolved coords are dropped.
+
+    Scale shape: locations_join is the one corpus-sized exchange pair
+    (posexplode -> ref equi-join -> way-keyed re-agg); the fold itself
+    is a codegen'd higher-order function over the per-way array — zero
+    additional shuffle, no UDF, arrays bounded by the 2000-node way cap.
+    """
+    from .similarity import haversine_m
+
+    joined = locations_join(ways, nodes)
+    c = F.col("coords")
+
+    def seg(i: Column) -> Column:
+        p, q = F.element_at(c, i), F.element_at(c, i + F.lit(1))
+        return F.round(
+            haversine_m(p["__lon"], p["__lat"], q["__lon"], q["__lat"]), 3
+        )
+
+    return (
+        joined.filter(F.size("coords") >= 2)
+        .select(
+            "id",
+            F.size("coords").cast("long").alias("n_nodes"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.size("coords") - 1),
+                    F.lit(0.0),
+                    lambda acc, i: acc + seg(i),
+                ),
+                3,
+            ).alias("length_m"),
+        )
+    )
+
+
 def _ring_area2(coords) -> float:
     x = [c[0] for c in coords]
     y = [c[1] for c in coords]

@@ -99,6 +99,8 @@ def rrf_fuse(
 
     Returns (query_id, doc_id, rrf, rank).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings given")
     tagged = [
         r.select(
             F.col(query_id).alias("query_id"),

@@ -326,6 +326,15 @@ def grid_cluster(
     component — deterministic across engines and runs. Returns
     (id, gkey, cluster_id, cluster_size) with NULLs for noise points;
     cluster_size counts points, not cells.
+
+    Parameter note: min_pts must sit ABOVE the background cell density
+    (mean points per cell), or every cell is dense and the component
+    graph degenerates to the whole grid — correctness holds, but the CC
+    loop then runs O(log grid) rounds over a grid-sized edge frame and
+    its fixed per-round latency dominates (measured in BENCH.md). With
+    min_pts above background, the dense set is hotspot-sized and the
+    corpus-proportional stages (rasterize, label join) dominate — the
+    intended DBSCAN regime: clusters are the anomalously dense regions.
     """
     from ..functions.cells import _ix, _iy
     from .dedup import dup_clusters
@@ -337,10 +346,16 @@ def grid_cluster(
         _iy(F.col(lat_col), res).alias("iy"),
     ).withColumn("gkey", F.col("ix") * n + F.col("iy"))
 
+    # The dense-cell frame is consumed three times (neighbor explode, the
+    # edge join's build side, the CC seed) — materialize it ONCE so the
+    # corpus-sized rasterize aggregate runs exactly once, not per consumer.
+    # localCheckpoint is cheap here: the frame is hotspot-sized, orders of
+    # magnitude below the point count (same pattern as dup_clusters).
     dense = (
         pts.groupBy("gkey", "ix", "iy")
         .agg(F.count("*").alias("n_pts"))
         .filter(F.col("n_pts") >= min_pts)
+        .localCheckpoint(eager=True)
     )
 
     # 8-neighborhood keys: lon (ix) wraps modulo 2^res, lat (iy) does not —
@@ -367,14 +382,16 @@ def grid_cluster(
     labels = dup_clusters(
         edges, a="gkey", b="nkey", ids=dense.select("gkey"), max_iter=max_iter
     )
-    labeled = pts.select("id", "gkey").join(
-        labels.select(F.col("id").alias("gkey"), "cluster_id"), "gkey", "left"
-    )
+    # cluster_size (points per cluster) aggregates the DENSE-CELL counts,
+    # not the corpus: sum(n_pts) per component over the checkpointed cell
+    # frame — the labeled point frame is consumed exactly once, by the
+    # final label equi-join.
+    cell_labels = labels.select(F.col("id").alias("gkey"), "cluster_id")
     sizes = (
-        labeled.filter(F.col("cluster_id").isNotNull())
+        cell_labels.join(dense.select("gkey", "n_pts"), "gkey")
         .groupBy("cluster_id")
-        .agg(F.count("*").alias("cluster_size"))
+        .agg(F.sum("n_pts").alias("cluster_size"))
     )
-    return labeled.join(sizes, "cluster_id", "left").select(
-        "id", "gkey", "cluster_id", "cluster_size"
-    )
+    return pts.select("id", "gkey").join(
+        cell_labels.join(sizes, "cluster_id"), "gkey", "left"
+    ).select("id", "gkey", "cluster_id", "cluster_size")

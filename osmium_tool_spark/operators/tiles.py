@@ -128,6 +128,7 @@ def density_surface(
     lon_col: str = "lon",
     lat_col: str = "lat",
     kernel: dict[tuple[int, int], int] | None = None,
+    block_shift: int | None = 5,
 ) -> DataFrame:
     """Smoothed point-density raster (heatmap): rasterize + 3x3 convolve.
 
@@ -141,8 +142,23 @@ def density_surface(
     the convolution runs on the OCCUPIED-CELL frame — each cell scatters
     count x weight to its 9 targets via one explode + one re-aggregate
     (9x a cell-bounded frame, not the point count; no join, no window).
-    Longitude wraps at the antimeridian; latitude targets outside the
-    grid are dropped (clamping would double-count the pole rows).
+    The cell's own raw count rides INSIDE the scatter structs (self_n on
+    the (0,0) target, 0 elsewhere) so the re-aggregate produces both
+    density and n_points in one pass — no cell-frame self-join to fetch
+    the raw count back. Longitude wraps at the antimeridian; latitude
+    targets outside the grid are dropped (clamping would double-count
+    the pole rows).
+
+    ``block_shift`` (None disables): before the scatter, the cell frame
+    re-clusters by 2^block_shift-sized spatial block, so a task holds a
+    contiguous tile of cells and the 9x explosion collapses back to ~1x
+    in the map-side PARTIAL aggregate (a scatter target is almost
+    always inside the same block; only block-edge halos cross tasks).
+    Trades one cell-frame-sized exchange for a kernel-factor reduction
+    of the big one — at planet cell counts that is the difference
+    between shuffling 9x cells and ~1.1x cells. Results are identical
+    either way (aggregation is commutative; the clustering only moves
+    WHERE the combine happens).
 
     Returns (ix, iy, n_points, density): every cell that RECEIVES any
     contribution appears; n_points is its own raw count (0 if the cell
@@ -158,30 +174,146 @@ def density_surface(
         _ix(F.col(lon_col), res).alias("ix"), _iy(F.col(lat_col), res).alias("iy")
     ).groupBy("ix", "iy").agg(F.count("*").alias("n_points"))
 
-    scatter = F.filter(
+    # Each occupied cell scatters one struct per kernel offset; the (0,0)
+    # struct additionally carries the cell's raw count (self_n). A cell
+    # absent from the kernel's support still emits a (0,0) marker struct
+    # with contrib NULL so its raw count survives — sum(contrib) stays
+    # NULL for cells that received no real contribution, which the final
+    # filter drops (preserving the "appears iff it receives" contract
+    # without any join).
+    entries = dict(kernel)
+    emit_self_marker = (0, 0) not in entries
+    structs = []
+    for (dx, dy), w in sorted(entries.items()):
+        structs.append(
+            F.when(
+                (F.col("iy") + dy >= 0) & (F.col("iy") + dy < n),
+                F.struct(
+                    ((F.col("ix") + dx + n) % n).alias("tx"),
+                    (F.col("iy") + dy).alias("ty"),
+                    (F.col("n_points") * F.lit(w)).alias("contrib"),
+                    (
+                        F.col("n_points") if (dx, dy) == (0, 0) else F.lit(0)
+                    ).alias("self_n"),
+                ),
+            )
+        )
+    if emit_self_marker:
+        structs.append(
+            F.struct(
+                F.col("ix").alias("tx"),
+                F.col("iy").alias("ty"),
+                F.lit(None).cast("long").alias("contrib"),
+                F.col("n_points").alias("self_n"),
+            )
+        )
+    scatter = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    if block_shift is not None:
+        counts = counts.repartition(
+            F.shiftright("ix", block_shift), F.shiftright("iy", block_shift)
+        )
+    return (
+        counts.select(F.explode(scatter).alias("s"))
+        .groupBy(F.col("s.tx").alias("ix"), F.col("s.ty").alias("iy"))
+        .agg(
+            F.sum("s.self_n").cast("long").alias("n_points"),
+            F.sum("s.contrib").cast("long").alias("density"),
+        )
+        .filter(F.col("density").isNotNull())
+        .select("ix", "iy", "n_points", "density")
+    )
+
+
+def tile_buffer_assign(
+    points: DataFrame,
+    res: int,
+    buffer: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "id",
+) -> DataFrame:
+    """Buffered tile assignment (the vector-tile cut): each point lands in
+    its home tile plus every neighbor tile whose extent, expanded by
+    ``buffer`` fixed-point units per side, still contains it.
+
+    This is how every tile pipeline ships edge features: a tile is
+    rendered/processed standalone, so geometry within the buffer margin
+    of a shared edge must be DUPLICATED into both tiles or seams appear
+    (the reference cuts extracts one region at a time with overlapping
+    polygons by hand; at 10^12 features the margin-duplication must be
+    part of the one assignment pass). Returns one row per (point, tile):
+    (id, tile_ix, tile_iy, is_core) — is_core marks the home tile, so
+    downstream dedup after per-tile processing is `filter(is_core)`.
+
+    All edge tests run in the integer-scaled domain
+    s = (coord - min) * 2^res compared against edge*span and
+    buffer * 2^res — exact, no float cell-boundary ambiguity, and an
+    exact ANSI-SQL twin exists. Longitude wraps at the antimeridian
+    (a point near lon 180 duplicates into tile 0); latitude does not
+    wrap — margins beyond the poles are dropped.
+
+    Scale shape: one projection + an explode over <=9 candidate structs
+    (at most 4 survive when 2*buffer < cell size) — map-only, no
+    shuffle, no join; the per-tile fan-out factor is 1 + O(perimeter/
+    area), the same output inflation any tiler pays.
+    """
+    from ..functions.cells import _LAT_MIN, _LAT_SPAN, _LON_MIN, _LON_SPAN, _ix, _iy
+
+    n = 1 << res
+    if buffer < 0 or buffer * n >= min(_LON_SPAN, _LAT_SPAN):
+        raise ValueError(
+            f"tile_buffer_assign: buffer must be in [0, cell_size); got "
+            f"buffer={buffer} at res={res} (cell height "
+            f"{_LAT_SPAN // n} fixed-point units)"
+        )
+    sx = (F.col(lon_col).cast("long") - F.lit(_LON_MIN)) * n
+    sy = (F.col(lat_col).cast("long") - F.lit(_LAT_MIN)) * n
+    bxn = F.lit(buffer * n)
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        _ix(F.col(lon_col), res).alias("hx"),
+        _iy(F.col(lat_col), res).alias("hy"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+    )
+
+    def x_ok(dx: int):
+        if dx == 0:
+            return F.lit(True)
+        if dx < 0:  # within buffer of the home tile's low-x edge
+            return F.col("sx") - F.col("hx") * F.lit(_LON_SPAN) < bxn
+        return (F.col("hx") + 1) * F.lit(_LON_SPAN) - F.col("sx") <= bxn
+
+    def y_ok(dy: int):
+        if dy == 0:
+            return F.lit(True)
+        if dy < 0:
+            return F.col("sy") - F.col("hy") * F.lit(_LAT_SPAN) < bxn
+        return (F.col("hy") + 1) * F.lit(_LAT_SPAN) - F.col("sy") <= bxn
+
+    cands = F.filter(
         F.array(
             *[
                 F.when(
-                    (F.col("iy") + dy >= 0) & (F.col("iy") + dy < n),
+                    x_ok(dx)
+                    & y_ok(dy)
+                    & (F.col("hy") + dy >= 0)
+                    & (F.col("hy") + dy < n),
                     F.struct(
-                        ((F.col("ix") + dx + n) % n).alias("tx"),
-                        (F.col("iy") + dy).alias("ty"),
-                        (F.col("n_points") * F.lit(w)).alias("contrib"),
+                        ((F.col("hx") + dx + n) % n).alias("tile_ix"),
+                        (F.col("hy") + dy).alias("tile_iy"),
+                        F.lit(dx == 0 and dy == 0).alias("is_core"),
                     ),
                 )
-                for (dx, dy), w in sorted(kernel.items())
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
             ]
         ),
         lambda x: x.isNotNull(),
     )
-    density = (
-        counts.select(F.explode(scatter).alias("s"))
-        .groupBy(F.col("s.tx").alias("ix"), F.col("s.ty").alias("iy"))
-        .agg(F.sum("s.contrib").alias("density"))
-    )
-    return density.join(counts, ["ix", "iy"], "left").select(
-        "ix",
-        "iy",
-        F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
-        F.col("density").cast("long").alias("density"),
+    return pts.select("id", F.explode(cands).alias("t")).select(
+        "id",
+        F.col("t.tile_ix").alias("tile_ix"),
+        F.col("t.tile_iy").alias("tile_iy"),
+        F.col("t.is_core").alias("is_core"),
     )

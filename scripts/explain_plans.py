@@ -218,6 +218,94 @@ def main() -> None:
          capture_explain(spatial_join(nodes.select("id", "lon", "lat"), polys, res=6)))
     )
 
+    # 14. cluster_assign: ZERO exchanges — centroid literals inlined, the
+    # argmax is array_max over structs inside one WholeStageCodegen span.
+    from osmium_tool_spark.operators.similarity import cluster_assign
+
+    cents8 = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    sections.append(
+        ("cluster_assign (zero-shuffle codegen argmax)",
+         capture_explain(cluster_assign(emb, cents8)))
+    )
+
+    # 15. lm_quality_score: the bigram/context/vocab model frames must all
+    # BROADCAST (charset^2-bounded); the only corpus-keyed exchange is the
+    # final per-doc HashAggregate pair.
+    from osmium_tool_spark.operators.text import lm_quality_score
+
+    sections.append(
+        ("lm_quality_score (broadcast charset^2 model, one doc-keyed agg)",
+         capture_explain(lm_quality_score(docs)))
+    )
+
+    # 16. hybrid_rrf: union of two WindowGroupLimit-capped rankings ->
+    # hash agg -> final WindowGroupLimit; every frame is queries x K sized.
+    from osmium_tool_spark.operators.retrieval import rrf_fuse
+
+    lex = bm25_topk(docs, qset, k=20)
+    vec = ann_topk(emb, q, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    sections.append(
+        ("hybrid_rrf (rank-frame union + agg + WindowGroupLimit)",
+         capture_explain(rrf_fuse([lex, vec], k=10)))
+    )
+
+    # 17. grid_cluster label assignment: counts = ONE partial/final
+    # HashAggregate pair over the points; the CC loop runs on the dense-
+    # cell frame; the final label join is an equi-join on the cell key.
+    from osmium_tool_spark.operators.spatial_join import grid_cluster
+
+    sections.append(
+        ("grid_cluster (one corpus agg + cell-graph CC + key equi-join)",
+         capture_explain(grid_cluster(nodes, res=5, min_pts=4)))
+    )
+
+    # 18. density_surface: rasterize agg pair -> explode(9) on the CELL
+    # frame -> re-agg; no join bigger than the occupied-cell frame.
+    from osmium_tool_spark.operators.tiles import density_surface
+
+    sections.append(
+        ("density_surface (cell-frame scatter convolution)",
+         capture_explain(density_surface(nodes, res=5)))
+    )
+
+    # 19. pack_sequences: the running sum windows over hashpartitioning
+    # (packer, n_packers-way — balanced by construction); no
+    # SinglePartition exchange may appear.
+    from osmium_tool_spark.operators.curation import pack_sequences
+
+    sections.append(
+        ("pack_sequences (packer-partitioned cumsum windows)",
+         capture_explain(pack_sequences(docs, capacity=256, n_packers=8)))
+    )
+
+    # 20. way_length_m: ONE corpus exchange pair (posexplode -> ref
+    # equi-join -> way-keyed re-agg); the haversine fold is a codegen'd
+    # higher-order function over the per-way array — no UDF, no window.
+    from osmium_tool_spark.operators.export import way_length_m
+    from osmium_tool_spark.schema import NODE as _NODE
+    from osmium_tool_spark.schema import WAY as _WAY
+
+    ways_f = ents.filter(F.col("type") == _WAY)
+    nodes_f = ents.filter(F.col("type") == _NODE)
+    sections.append(
+        ("way_length_m (locations_join + sequential codegen fold)",
+         capture_explain(way_length_m(ways_f, nodes_f)))
+    )
+
+    # 21. tile_buffer_assign: map-only — projection + explode over <=9
+    # when-structs; ZERO Exchange nodes may appear.
+    from osmium_tool_spark.operators.tiles import tile_buffer_assign
+
+    sections.append(
+        ("tile_buffer_assign (map-only buffered vector-tile cut)",
+         capture_explain(tile_buffer_assign(
+             nodes.select("id", "lon", "lat"), res=5, buffer=5_000_000)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

@@ -201,10 +201,10 @@ def run_hybrid_rrf():
 
     def ranking(salt):
         return (
-            spark.range(1, {n_docs} + 1)
+            spark.range(1, 2 * {n_docs} + 1)
             .select(
                 F.col("id").alias("query_id"),
-                F.explode(F.sequence(F.lit(1), F.lit(20))).alias("rank"),
+                F.explode(F.sequence(F.lit(1), F.lit(50))).alias("rank"),
             )
             .select(
                 "query_id",
@@ -232,18 +232,76 @@ def run_cluster_assign():
     cents = vecs.filter(F.col("vec_id") % ({n_entities} // 16) == 1).select(
         F.col("vec_id").alias("cluster_id"), "embedding"
     )
-    cluster_assign(vecs, cents).count()
+    # sum over the outputs FORCES the cosine argmax per row — a bare
+    # count() lets Catalyst prune the whole select and measures nothing
+    cluster_assign(vecs, cents).agg(
+        F.sum("cluster_id"), F.sum("cos")
+    ).collect()
 
 
 def run_grid_cluster():
+    # Realistic skewed input (the planet-extract hotspot shape): 80% of
+    # 64M points uniform over the world, 20% inside a ~3.6 x 1.8 degree
+    # hotspot. At res 10 / min_pts 500 only hotspot cells are dense, so
+    # the CC loop runs on a ~100-node graph (2-3 rounds, negligible) and
+    # the measurement is the corpus-proportional stages: rasterize agg +
+    # the label equi-join. A uniform input at min_pts below the mean
+    # makes EVERY cell dense — a 1M-node all-connected CC graph whose
+    # ~13 fixed-latency driver rounds swamp the corpus stages (measured
+    # 0.41 efficiency: that shape measures driver latency, not the
+    # engine).
     from osmium_tool_spark.operators.spatial_join import grid_cluster
 
-    pts = spark.range(1, {n_entities} + 1).select(
+    n = 8 * {n_entities}
+    base = spark.range(1, n + 1)
+    uni = base.filter(F.col("id") % 5 != 0).select(
         F.col("id"),
         ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
         ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
     )
-    grid_cluster(pts, res=8, min_pts=50).count()
+    hot = base.filter(F.col("id") % 5 == 0).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 36000000 + 100000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 18000000 + 200000000).alias("lat"),
+    )
+    grid_cluster(uni.unionByName(hot), res=10, min_pts=500).count()
+
+
+def run_pack_sequences():
+    from osmium_tool_spark.operators.curation import pack_sequences
+
+    pack_sequences(documents({n_docs}), capacity=1024, n_packers=64).count()
+
+
+def run_agg_ceiling():
+    # minimal groupBy-count at the density_surface scatter shape (24x
+    # entities rows -> 2^24 int keys, the same row/key volume as its
+    # dominant explode->re-agg stage): no engine code at all, just
+    # Spark's own hash aggregate. Its N->4N efficiency is the HARDWARE
+    # ceiling for any aggregate-bound operator on this box (shared
+    # L3/memory bandwidth); an operator within a few points of this row
+    # is engine-optimal, whatever the absolute number says.
+    (
+        spark.range(1, 24 * {n_entities} + 1)
+        .groupBy(((F.col("id") * 2654435761) % 16777216).alias("k"))
+        .count()
+        .agg(F.sum("count"))
+        .collect()
+    )
+
+
+def run_density_surface():
+    # res 12 over 8x entities: ~16M occupied cells -> the scatter explode
+    # and re-agg carry ~140M rows (at res 9 the cell frame was so small
+    # the whole op ran in 2s and measured scheduler overhead)
+    from osmium_tool_spark.operators.tiles import density_surface
+
+    pts = spark.range(1, 8 * {n_entities} + 1).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    density_surface(pts, res=12).count()
 
 
 out = {{}}
@@ -254,7 +312,10 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("lm_quality_score", run_lm_quality),
                  ("hybrid_rrf", run_hybrid_rrf),
                  ("cluster_assign", run_cluster_assign),
-                 ("grid_cluster", run_grid_cluster)):
+                 ("grid_cluster", run_grid_cluster),
+                 ("pack_sequences", run_pack_sequences),
+                 ("density_surface", run_density_surface),
+                 ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
     fn()  # warm-up: JVM, codegen, broadcast machinery

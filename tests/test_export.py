@@ -278,3 +278,81 @@ def test_attributes_latest_version_wins_on_history(spark):
     out = with_attributes(f, e, ["version", "changeset"])
     tags = out.collect()[0].tags
     assert tags["@version"] == "2" and tags["@changeset"] == "200"
+
+
+# ---------------------------------------------------------------- way_length_m
+
+
+class TestWayLength:
+    def _hav(self, lon1, lat1, lon2, lat2):
+        # python mirror of similarity.haversine_m over degree inputs
+        import math
+
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = (
+            math.sin(dp / 2) * math.sin(dp / 2)
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+        )
+        return round(2 * 6_371_008.8 * math.asin(math.sqrt(a)), 3)
+
+    def test_two_node_equator_degree(self, spark):
+        from osmium_tool_spark.operators.export import way_length_m
+
+        ents = _df(spark, [_node(1, 0.0, 0.0), _node(2, 1.0, 0.0),
+                           _way(9, [1, 2], {})])
+        out = way_length_m(
+            ents.filter(F.col("type") == WAY), ents.filter(F.col("type") == NODE)
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_nodes"] == 2
+        assert r["length_m"] == pytest.approx(self._hav(0, 0, 1, 0), abs=1e-3)
+
+    def test_sequential_fold_matches_python(self, spark):
+        from osmium_tool_spark.operators.export import way_length_m
+
+        pts = [(0.0, 0.0), (0.5, 0.25), (1.0, 0.75), (2.0, 0.75)]
+        ents = _df(
+            spark,
+            [_node(i + 1, lo, la) for i, (lo, la) in enumerate(pts)]
+            + [_way(9, [1, 2, 3, 4], {})],
+        )
+        out = way_length_m(
+            ents.filter(F.col("type") == WAY), ents.filter(F.col("type") == NODE)
+        ).collect()[0]
+        want = 0.0
+        for (lo1, la1), (lo2, la2) in zip(pts[:-1], pts[1:]):
+            want += self._hav(lo1, la1, lo2, la2)
+        assert out["n_nodes"] == 4
+        assert out["length_m"] == pytest.approx(round(want, 3), abs=1e-3)
+
+    def test_missing_ref_nulls_length(self, spark):
+        from osmium_tool_spark.operators.export import way_length_m
+
+        ents = _df(spark, [_node(1, 0.0, 0.0), _way(9, [1, 999], {})])
+        out = way_length_m(
+            ents.filter(F.col("type") == WAY), ents.filter(F.col("type") == NODE)
+        ).collect()
+        assert len(out) == 1 and out[0]["length_m"] is None
+
+    def test_short_ways_dropped(self, spark):
+        from osmium_tool_spark.operators.export import way_length_m
+
+        ents = _df(spark, [_node(1, 0.0, 0.0), _way(8, [1], {}), _way(7, [], {})])
+        out = way_length_m(
+            ents.filter(F.col("type") == WAY), ents.filter(F.col("type") == NODE)
+        ).collect()
+        assert out == []
+
+    def test_ref_order_respected_not_sorted_by_id(self, spark):
+        from osmium_tool_spark.operators.export import way_length_m
+
+        # zig-zag visiting order vs sorted order give different lengths
+        ents = _df(spark, [_node(1, 0.0, 0.0), _node(2, 2.0, 0.0),
+                           _node(3, 1.0, 0.0), _way(9, [1, 3, 2], {})])
+        out = way_length_m(
+            ents.filter(F.col("type") == WAY), ents.filter(F.col("type") == NODE)
+        ).collect()[0]
+        want = self._hav(0, 0, 1, 0) + self._hav(1, 0, 2, 0)
+        assert out["length_m"] == pytest.approx(round(want, 3), abs=1e-3)

@@ -147,3 +147,71 @@ class TestDensitySurface:
         pts = self._pts(spark, [(1, 0, 0)])
         with _pytest.raises(ValueError, match="empty kernel"):
             density_surface(pts, kernel={})
+
+
+# ------------------------------------------------------- tile_buffer_assign
+
+
+class TestTileBufferAssign:
+    S = 10_000_000  # fixed-point units per degree
+
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, lon long, lat long")
+
+    def _run(self, spark, rows, res=4, buffer=2 * 10_000_000):
+        from osmium_tool_spark.operators.tiles import tile_buffer_assign
+
+        out = tile_buffer_assign(self._pts(spark, rows), res=res, buffer=buffer)
+        return sorted(
+            (r["id"], r["tile_ix"], r["tile_iy"], r["is_core"]) for r in out.collect()
+        )
+
+    def test_interior_point_single_tile(self, spark):
+        # res 4: cells are 22.5 x 11.25 degrees; (10,5) sits mid-cell
+        got = self._run(spark, [(1, 10 * self.S, 5 * self.S)])
+        assert got == [(1, 8, 8, True)]
+
+    def test_edge_point_duplicates_into_neighbor(self, spark):
+        # cell x edge at lon 0: point at lon 0.5 deg with 2-degree buffer
+        # belongs to home (8, 8) and west neighbor (7, 8)
+        got = self._run(spark, [(1, int(0.5 * self.S), 5 * self.S)])
+        assert got == [(1, 7, 8, False), (1, 8, 8, True)]
+
+    def test_corner_point_four_tiles(self, spark):
+        # near the (lon 0, lat 0) corner: home + W + S + SW
+        got = self._run(spark, [(1, int(0.5 * self.S), int(0.5 * self.S))])
+        assert got == [
+            (1, 7, 7, False), (1, 7, 8, False),
+            (1, 8, 7, False), (1, 8, 8, True),
+        ]
+
+    def test_antimeridian_wrap(self, spark):
+        # last lon column (15); within buffer of lon 180 -> duplicates to 0
+        got = self._run(spark, [(1, int(179.5 * self.S), 5 * self.S)])
+        assert (1, 0, 8, False) in got and (1, 15, 8, True) in got
+
+    def test_pole_clip(self, spark):
+        # top lat row: nothing above the pole
+        got = self._run(spark, [(1, 10 * self.S, int(89.5 * self.S))])
+        assert all(iy <= 15 for _, _, iy, _ in got)
+        assert (1, 8, 15, True) in got
+
+    def test_exactly_one_core_per_point(self, spark):
+        rows = [(i, ((i * 2654435761) % 3600000000) - 1800000000,
+                 ((i * 2246822519) % 1800000000) - 900000000) for i in range(200)]
+        got = self._run(spark, rows)
+        cores = [g for g in got if g[3]]
+        assert len(cores) == 200
+        assert len({g[0] for g in cores}) == 200
+
+    def test_buffer_guard(self, spark):
+        from osmium_tool_spark.operators.tiles import tile_buffer_assign
+
+        with pytest.raises(ValueError):
+            tile_buffer_assign(self._pts(spark, [(1, 0, 0)]), res=4,
+                               buffer=12 * self.S)  # >= lat cell size
+
+    def test_zero_buffer_no_duplication(self, spark):
+        got = self._run(spark, [(1, int(0.5 * self.S), int(0.5 * self.S))],
+                        buffer=0)
+        assert got == [(1, 8, 8, True)]
