@@ -1557,6 +1557,33 @@ def q_tile_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order shard manifest: geo-referenced images packed into
+    fixed-size training shards along the space-filling curve —
+    offset-based next-fit cuts, per-quadtree-prefix windows (shards
+    never cross a prefix), exact integer byte offsets."""
+    from osmium_tool_spark.operators.curation import shard_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id").cast("long")
+    phash = ((k * 2654435761) % 16777216) + ((k * 2246822519) % 16777216) * 16777216
+    imgs = docs.select(
+        k.alias("image_id"),
+        (phash % 3600000000 - 1800000000).alias("lon"),
+        (F.shiftright(phash, 16) % 1800000000 - 900000000).alias("lat"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    out = shard_manifest(imgs, target_bytes=4096, res=8, prefix_res=2)
+    return out.select(
+        _L("image_id").alias("image_id"),
+        _L("zcell").alias("zcell"),
+        _L("prefix").alias("prefix"),
+        _L("shard_id").alias("shard_id"),
+        _L("offset_bytes").alias("offset_bytes"),
+        _L("n_bytes").alias("n_bytes"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon count/sum/min/max/avg of a point
     measure — two diamond polygons (closed-form |dx|+|dy| < r PIP for the
@@ -1771,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_surface": q_density_surface,
         "way_length": q_way_length,
         "tile_buffer": q_tile_buffer,
+        "shard_manifest": q_shard_manifest,
         "pack_sequences": q_pack_sequences,
         "knn_geodesic": q_knn_geodesic,
         "sessionize": q_sessionize,
@@ -3053,6 +3081,41 @@ WHERE hy + dy >= 0 AND hy + dy < 32
               OR (dx = 1 AND (hx + 1) * 3600000000 - sx <= {_bn}))
   AND (dy = 0 OR (dy = -1 AND sy - hy * 1800000000 < {_bn})
               OR (dy = 1 AND (hy + 1) * 1800000000 - sy <= {_bn}))
+"""
+
+    # shard manifest: raw res-8 morton (no res<<56 pack — the operator
+    # uses the bare interleave), per-prefix running byte sums with ROWS
+    # frames (Spark's RANGE default equals ROWS here: (zcell, image_id)
+    # is unique), integer // cuts.
+    _z8 = "(" + " | ".join(
+        f"(((ix >> {b}) & 1) << {2 * b}) | (((iy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    ) + ")"
+    o["shard_manifest"] = f"""
+WITH img AS (
+  SELECT doc_id AS image_id,
+         (doc_id * 2654435761) % 16777216
+           + ((doc_id * 2246822519) % 16777216) * 16777216 AS phash,
+         strlen(text) AS n_bytes
+  FROM documents),
+geo AS (SELECT image_id, n_bytes,
+               phash % 3600000000 - 1800000000 AS lon,
+               (phash >> 16) % 1800000000 - 900000000 AS lat
+        FROM img WHERE n_bytes > 0),
+g AS (SELECT image_id, n_bytes, {_ix_sql('lon', 8)} AS ix, {_iy_sql('lat', 8)} AS iy
+      FROM geo),
+zc AS (SELECT image_id, n_bytes, {_z8} AS zcell FROM g),
+lay AS (SELECT image_id, zcell, n_bytes, zcell >> 12 AS prefix,
+               sum(n_bytes) OVER (PARTITION BY zcell >> 12
+                                  ORDER BY zcell, image_id
+                                  ROWS UNBOUNDED PRECEDING) - n_bytes AS cum_before
+        FROM zc)
+SELECT CAST(image_id AS BIGINT) AS image_id, CAST(zcell AS BIGINT) AS zcell,
+       CAST(prefix AS BIGINT) AS prefix,
+       CAST((prefix << 32) + cum_before // 4096 AS BIGINT) AS shard_id,
+       CAST(cum_before - (cum_before // 4096) * 4096 AS BIGINT) AS offset_bytes,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM lay
 """
 
     # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment

@@ -195,3 +195,86 @@ def pack_sequences(
         frag_begin.cast("long").alias("doc_begin"),
         (frag_end - frag_begin).cast("long").alias("n_tok"),
     )
+
+
+def shard_manifest(
+    images: DataFrame,
+    target_bytes: int,
+    res: int = 12,
+    prefix_res: int = 4,
+    id_col: str = "image_id",
+    bytes_col: str = "n_bytes",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Pack geo-referenced images into fixed-size training shards along
+    the Z-order curve — the webdataset/tar-shard layout with SPATIAL
+    LOCALITY: consecutive images in a shard are spatial neighbors, so a
+    training job streaming one shard reads one region (and a regional
+    extract touches few shards).
+
+    Shard cuts are OFFSET-BASED next-fit: images are laid out in
+    (zcell, id) order and a new shard starts at every ``target_bytes``
+    boundary of the running byte offset; every image stays whole (the
+    image straddling a boundary belongs to the shard its START offset
+    falls in), so shards may overrun by at most one image — the
+    standard manifest rule, exact in integer math, no bin-packing
+    recursion.
+
+    Distribution: one global layout order would need a single
+    unpartitioned running-sum window. Instead the Z-curve is split at
+    quadtree PREFIX granularity (``prefix_res``): each of the
+    4^prefix_res prefixes lays out independently (shards never cross a
+    prefix — a prefix IS a contiguous Z-range), so the running sum
+    windows over prefix-sized partitions. Same shape as
+    pack_sequences' hash-routed packer streams, but the router is the
+    space-filling curve, preserving locality instead of destroying it.
+    Pick prefix_res so a prefix's bytes fit one task (planet-scale:
+    prefix_res 6-8 -> 4k-65k streams). Skew note: a hot prefix (one
+    dense metro) bounds the window partition; raising prefix_res
+    splits it 4x per step.
+
+    Shard ids are (prefix << 32) | ordinal — stable across reruns and
+    partitionings; <2^32 shards per prefix (a prefix would need
+    4 exabytes at 1 GiB shards to overflow).
+
+    Returns (image_id, zcell, prefix, shard_id, offset_bytes, n_bytes):
+    offset_bytes is the image's start offset within the shard's nominal
+    byte window (shard k covers [k*target_bytes, (k+1)*target_bytes) of
+    its prefix stream; a straddler's payload overruns the window end).
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if not 0 <= prefix_res <= res:
+        raise ValueError(f"need 0 <= prefix_res <= res, got {prefix_res}..{res}")
+    from ..functions.cells import _interleave, _ix, _iy
+
+    z = _interleave(_ix(F.col(lon_col), res), _iy(F.col(lat_col), res), res)
+    base = images.select(
+        F.col(id_col).alias("image_id"),
+        z.alias("zcell"),
+        F.col(bytes_col).cast("long").alias("n_bytes"),
+    ).filter(F.col("n_bytes") > 0)
+    base = base.withColumn(
+        "prefix", F.shiftright("zcell", 2 * (res - prefix_res))
+    )
+
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("zcell").asc(), F.col("image_id").asc()
+    )
+    laid = base.select(
+        "image_id",
+        "zcell",
+        "prefix",
+        "n_bytes",
+        (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("cum_before"),
+    )
+    local = F.expr(f"cum_before DIV {target_bytes}")
+    return laid.select(
+        "image_id",
+        "zcell",
+        "prefix",
+        (F.shiftleft(F.col("prefix"), 32) + local).alias("shard_id"),
+        (F.col("cum_before") - local * target_bytes).cast("long").alias("offset_bytes"),
+        "n_bytes",
+    )

@@ -306,6 +306,21 @@ def main() -> None:
              nodes.select("id", "lon", "lat"), res=5, buffer=5_000_000)))
     )
 
+    # 22. shard_manifest: the running byte sum windows over
+    # hashpartitioning(prefix) — 4^prefix_res streams, NO SinglePartition
+    # exchange; everything else is codegen'd cell/offset math.
+    from osmium_tool_spark.operators.curation import shard_manifest
+
+    imgs_geo = nodes.select(
+        F.col("id").alias("image_id"), "lon", "lat",
+        (F.col("id") % 1000 + 64).alias("n_bytes"),
+    )
+    sections.append(
+        ("shard_manifest (per-prefix windows, z-order shard cuts)",
+         capture_explain(shard_manifest(imgs_geo, target_bytes=1 << 20,
+                                        res=10, prefix_res=3)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

@@ -273,6 +273,26 @@ def run_pack_sequences():
     pack_sequences(documents({n_docs}), capacity=1024, n_packers=64).count()
 
 
+def run_shard_manifest():
+    # 48M geo-referenced images -> ~46k 1MiB shards across 1024 prefix
+    # streams; the op is window-sort-bound (per-prefix running byte sum)
+    from osmium_tool_spark.operators.curation import shard_manifest
+
+    imgs = spark.range(1, 8 * {n_entities} + 1).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+        (F.col("id") % 1500 + 256).alias("n_bytes"),
+    )
+    # summing the outputs FORCES the per-prefix window cumsum — a bare
+    # count() lets ColumnPruning drop the window expression entirely.
+    # shard_id is reduced mod a small prime first: the raw ids embed
+    # prefix<<32, and their straight sum overflows ANSI longs at 48M rows
+    shard_manifest(imgs, target_bytes=1 << 20, res=12, prefix_res=5).agg(
+        F.sum(F.col("shard_id") % 97), F.sum("offset_bytes")
+    ).collect()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -315,6 +335,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("grid_cluster", run_grid_cluster),
                  ("pack_sequences", run_pack_sequences),
                  ("density_surface", run_density_surface),
+                 ("shard_manifest", run_shard_manifest),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue

@@ -259,3 +259,101 @@ class TestPackSequences:
             map(tuple, pack_sequences(docs.repartition(7), 16, n_packers=4).collect())
         )
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest
+# ---------------------------------------------------------------------------
+
+
+class TestShardManifest:
+    S = 10_000_000
+
+    def _imgs(self, spark, rows):
+        # rows: (image_id, lon_fp, lat_fp, n_bytes)
+        return spark.createDataFrame(
+            rows, "image_id long, lon long, lat long, n_bytes long"
+        )
+
+    def test_offset_next_fit_hand_case(self, spark):
+        from osmium_tool_spark.operators.curation import shard_manifest
+
+        # 4 images in ONE cell (same zcell, ordered by id), 4 bytes each,
+        # target 10: cum_before 0,4,8,12 -> shards 0,0,0,1; offsets 0,4,8,2
+        rows = [(i, 5 * self.S, 5 * self.S, 4) for i in range(1, 5)]
+        out = {
+            r["image_id"]: r
+            for r in shard_manifest(
+                self._imgs(spark, rows), target_bytes=10, res=4, prefix_res=0
+            ).collect()
+        }
+        assert [out[i]["shard_id"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+        assert [out[i]["offset_bytes"] for i in (1, 2, 3, 4)] == [0, 4, 8, 2]
+        # the straddler (id 3: starts at 8, 4 bytes) stays whole in shard 0
+        assert out[3]["shard_id"] == 0
+
+    def test_shards_never_cross_prefixes(self, spark):
+        from osmium_tool_spark.operators.curation import shard_manifest
+
+        rows = [
+            (i, ((i * 2654435761) % 3600000000) - 1800000000,
+             ((i * 2246822519) % 1800000000) - 900000000, 50 + i % 37)
+            for i in range(1, 400)
+        ]
+        out = shard_manifest(
+            self._imgs(spark, rows), target_bytes=256, res=6, prefix_res=2
+        )
+        bad = (
+            out.groupBy("shard_id")
+            .agg(F.count_distinct("prefix").alias("np"))
+            .filter("np > 1")
+            .count()
+        )
+        assert bad == 0
+        # shard_id embeds the prefix
+        assert out.filter(F.shiftright("shard_id", 32) != F.col("prefix")).count() == 0
+
+    def test_zorder_locality_within_stream(self, spark):
+        from osmium_tool_spark.operators.curation import shard_manifest
+
+        # within a prefix stream, offsets are laid in zcell order: a
+        # later zcell never has a smaller cumulative start
+        rows = [
+            (i, ((i * 97) % 360) * self.S - 180 * self.S,
+             ((i * 53) % 180) * self.S - 90 * self.S, 10)
+            for i in range(1, 200)
+        ]
+        out = shard_manifest(
+            self._imgs(spark, rows), target_bytes=64, res=5, prefix_res=1
+        ).collect()
+        by_prefix = {}
+        for r in sorted(out, key=lambda r: (r["prefix"], r["zcell"], r["image_id"])):
+            start = (r["shard_id"] & 0xFFFFFFFF) * 64 + r["offset_bytes"]
+            assert by_prefix.get(r["prefix"], -1) <= start
+            by_prefix[r["prefix"]] = start
+
+    def test_repartition_deterministic(self, spark):
+        from osmium_tool_spark.operators.curation import shard_manifest
+
+        rows = [
+            (i, ((i * 31) % 360) * self.S - 180 * self.S,
+             ((i * 17) % 180) * self.S - 90 * self.S, 20 + i % 11)
+            for i in range(1, 300)
+        ]
+        df = self._imgs(spark, rows)
+        a = sorted(map(tuple, shard_manifest(df, 128, res=5, prefix_res=1).collect()))
+        b = sorted(map(tuple, shard_manifest(
+            df.repartition(13), 128, res=5, prefix_res=1).collect()))
+        assert a == b
+
+    def test_guards(self, spark):
+        from osmium_tool_spark.operators.curation import shard_manifest
+
+        df = self._imgs(spark, [(1, 0, 0, 5)])
+        with pytest.raises(ValueError):
+            shard_manifest(df, 0)
+        with pytest.raises(ValueError):
+            shard_manifest(df, 10, res=4, prefix_res=5)
+        # zero/negative-byte rows drop
+        df2 = self._imgs(spark, [(1, 0, 0, 5), (2, 0, 0, 0)])
+        assert shard_manifest(df2, 10).count() == 1
