@@ -1766,13 +1766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never-oracled in r2 + new surface (rows 1-13) --
         "export_points": q_export_points,
         "export_lines": q_export_lines,
-        "export_geojson": q_export_geojson,
-        "export_text": q_export_text,
         "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "apply_changes_redact": q_apply_changes_redact,
         "pbf_roundtrip": q_pbf_roundtrip,
@@ -1803,6 +1800,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geodesic": q_knn_geodesic,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        # pulled up for the r04 window: fileinfo is the aggregates
+        # family's only gate row; ann_topk (r4 per-partition pre-top-k
+        # rework) and bernoulli_sample (r4 sample_hash fix) must be
+        # re-verified in-window
+        "fileinfo": q_fileinfo,
+        "ann_topk": q_ann_topk,
+        "bernoulli_sample": q_bernoulli_sample,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -1818,16 +1822,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_clean": q_cat_clean,
         "apply_changes_latest": q_apply_changes_latest,
         "diff_status": q_diff_status,
-        "fileinfo": q_fileinfo,
         "tile_rollup": q_tile_rollup,
         "knn_cellring": q_knn_cellring,
+        # rotated out in 4e (multi-round green; in-window family
+        # siblings: export_points/export_lines, multimodal_decode/
+        # resize/features)
+        "export_geojson": q_export_geojson,
+        "export_text": q_export_text,
+        "multimodal_frames": q_multimodal_frames,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # ann_topk was REWORKED in r4 (per-partition pre-top-k) and
-        # bernoulli_sample carries the r4 sample_hash fix — both must be
-        # re-verified in the CORRECTNESS_r04 window.
-        "ann_topk": q_ann_topk,
-        "bernoulli_sample": q_bernoulli_sample,
         # -- tail (51+): long-stable siblings past the driver window --
         # (r4c rotation: phash_near_dup, ann_topk_bucketed and
         # embedding_near_dup moved here to make room for bm25_topk,
