@@ -1557,6 +1557,24 @@ def q_tile_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ways_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way-crossing detection (segment-intersection join): distinct way
+    pairs whose segments PROPERLY cross — grid-cell candidate equi-join
+    (no cross product), exact DECIMAL(25,0) orientation determinants
+    (int64 would overflow on world-span diffs), endpoint touches and
+    collinear overlaps excluded by the strict sign test."""
+    from osmium_tool_spark.operators.spatial_join import segment_crossings
+    from osmium_tool_spark.sources import testdata as td
+
+    segs = td.local_way_segments(spark, sf_dir)
+    out = segment_crossings(segs, res=7)
+    return out.select(
+        _L("way_a").alias("way_a"),
+        _L("way_b").alias("way_b"),
+        _L("n_crossings").alias("n_crossings"),
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order shard manifest: geo-referenced images packed into
     fixed-size training shards along the space-filling curve —
@@ -1795,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_surface": q_density_surface,
         "way_length": q_way_length,
         "tile_buffer": q_tile_buffer,
+        "ways_crossing": q_ways_crossing,
         "shard_manifest": q_shard_manifest,
         "pack_sequences": q_pack_sequences,
         "knn_geodesic": q_knn_geodesic,
@@ -3085,6 +3104,56 @@ WHERE hy + dy >= 0 AND hy + dy < 32
               OR (dx = 1 AND (hx + 1) * 3600000000 - sx <= {_bn}))
   AND (dy = 0 OR (dy = -1 AND sy - hy * 1800000000 < {_bn})
               OR (dy = 1 AND (hy + 1) * 1800000000 - sy <= {_bn}))
+"""
+
+    # ways_crossing: local trajectories (testdata.local_way_segments twin),
+    # cell cover via LATERAL generate_series cross-unnest, orientation
+    # determinants in HUGEINT (the Spark side uses decimal(25,0) — both
+    # exact), proper crossings only (strict signs).
+    _oxc = lambda e: f"greatest({_ix_sql(e, 7)}, 0)"  # noqa: E731
+    _oyc = lambda e: f"greatest({_iy_sql(e, 7)}, 0)"  # noqa: E731
+    o["ways_crossing"] = f"""
+WITH v AS (SELECT l_orderkey AS wid, l_linenumber AS ln, l_partkey AS pk,
+  ((l_orderkey * 2654435761) % 3600000000 - 1800000000)
+    + ((l_partkey * 1013904223 + l_linenumber * 2654435761) % 20000001
+       - 10000000) AS x,
+  ((l_orderkey * 2246822519) % 1800000000 - 900000000)
+    + ((l_partkey * 1597334677 + l_linenumber * 2246822519) % 20000001
+       - 10000000) AS y
+ FROM lineitem),
+s AS (SELECT wid,
+        CAST(row_number() OVER (PARTITION BY wid ORDER BY ln, pk) AS BIGINT)
+          AS seq,
+        x AS x1, y AS y1,
+        lead(x) OVER (PARTITION BY wid ORDER BY ln, pk) AS x2,
+        lead(y) OVER (PARTITION BY wid ORDER BY ln, pk) AS y2 FROM v),
+seg AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+boxed AS (SELECT wid, seq, x1, y1, x2, y2,
+   {_oxc('least(x1,x2)')} AS cxmin, {_oxc('greatest(x1,x2)')} AS cxmax,
+   {_oyc('least(y1,y2)')} AS cymin, {_oyc('greatest(y1,y2)')} AS cymax
+ FROM seg),
+cells AS (SELECT wid, seq, x1, y1, x2, y2, cx, cy FROM boxed,
+   LATERAL (SELECT unnest(generate_series(cxmin, cxmax)) AS cx) u1,
+   LATERAL (SELECT unnest(generate_series(cymin, cymax)) AS cy) u2),
+p AS (SELECT DISTINCT
+        a.wid AS wa, a.seq AS sa, a.x1 AS ax1, a.y1 AS ay1,
+        a.x2 AS ax2, a.y2 AS ay2,
+        b.wid AS wb, b.seq AS sb, b.x1 AS bx1, b.y1 AS by1,
+        b.x2 AS bx2, b.y2 AS by2
+      FROM cells a JOIN cells b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.wid < b.wid),
+d AS (SELECT wa, wb,
+   CAST(ax2-ax1 AS HUGEINT)*(by1-ay1) - CAST(ay2-ay1 AS HUGEINT)*(bx1-ax1) AS d1,
+   CAST(ax2-ax1 AS HUGEINT)*(by2-ay1) - CAST(ay2-ay1 AS HUGEINT)*(bx2-ax1) AS d2,
+   CAST(bx2-bx1 AS HUGEINT)*(ay1-by1) - CAST(by2-by1 AS HUGEINT)*(ax1-bx1) AS d3,
+   CAST(bx2-bx1 AS HUGEINT)*(ay2-by1) - CAST(by2-by1 AS HUGEINT)*(ax2-bx1) AS d4
+ FROM p)
+SELECT CAST(wa AS BIGINT) AS way_a, CAST(wb AS BIGINT) AS way_b,
+       CAST(count(*) AS BIGINT) AS n_crossings
+FROM d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+GROUP BY 1, 2
 """
 
     # shard manifest: raw res-8 morton (no res<<56 pack — the operator

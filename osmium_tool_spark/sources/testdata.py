@@ -238,3 +238,55 @@ def changesets_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (clat - half).alias("min_lat"),
         (clat + half).alias("max_lat"),
     )
+
+
+# local-trajectory constants: vertex offsets stay within +-1 degree of the
+# way's base point so segment bboxes are cell-sized (no planet chords) —
+# the shape a segment-level spatial join is designed for. SQL twins below.
+TRAJ_D = 10_000_000  # 1 degree in fixed-point units
+A_DX = 1013904223
+A_DY = 1597334677
+
+
+def local_way_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LOCAL polyline per order: vertex k sits at the way's Knuth-mixed
+    base point plus a deterministic offset in [-1, 1] degrees, ordered by
+    l_linenumber; consecutive vertices become segments.
+
+    (way_id, seq, x1, y1, x2, y2) — fixed-point coords, seq = the leading
+    vertex's l_linenumber. Ways have <= 7 vertices (TPC-H line numbers),
+    segments <= ~2.8 degrees long: the localized-trajectory shape that
+    segment-intersection joins (operators/spatial_join.segment_crossings)
+    index by cell. Every expression is integer arithmetic with an exact
+    DuckDB twin (oracle_sql 'ways_crossing')."""
+    li = load(spark, sf_dir, "lineitem")
+    span = 2 * TRAJ_D + 1
+    v = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.col("l_partkey").cast("long").alias("pk"),
+        (
+            lon_expr(F.col("l_orderkey"))
+            + (F.col("l_partkey") * A_DX + F.col("l_linenumber") * A_LON) % span
+            - TRAJ_D
+        ).cast("long").alias("x"),
+        (
+            lat_expr(F.col("l_orderkey"))
+            + (F.col("l_partkey") * A_DY + F.col("l_linenumber") * A_LAT) % span
+            - TRAJ_D
+        ).cast("long").alias("y"),
+    )
+    # l_linenumber is NOT unique per order in this testdata (and a few
+    # (linenumber, partkey) pairs fully repeat) — order by (ln, pk), which
+    # is total UP TO rows with identical coords, so the vertex sequence is
+    # deterministic; seq = row_number gives segments a stable unique id.
+    w = Window.partitionBy("way_id").orderBy("ln", "pk")
+    return (
+        v.select(
+            "way_id",
+            F.row_number().over(w).cast("long").alias("seq"),
+            F.col("x").alias("x1"), F.col("y").alias("y1"),
+            F.lead("x").over(w).alias("x2"), F.lead("y").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
