@@ -1575,6 +1575,40 @@ def q_ways_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way self-intersection detection: per-way count of its own
+    PROPERLY-crossing segment pairs (the OSM-QA self-intersecting-way
+    check — the reference's area assembler rejects such rings). Same
+    cell-cover machinery as ways_crossing, but the candidate equi-join
+    keys on (way_id, cell): candidates never leave the way."""
+    from osmium_tool_spark.operators.spatial_join import way_self_intersections
+    from osmium_tool_spark.sources import testdata as td
+
+    segs = td.local_way_segments(spark, sf_dir)
+    out = way_self_intersections(segs, res=7)
+    return out.select(
+        _L("way_id").alias("way_id"),
+        _L("n_self_intersections").alias("n_self_intersections"),
+    )
+
+
+def q_way_junctions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junction detection (snap-tolerance vertex join): way pairs
+    sharing >= 1 snapped vertex — the connect-complement of
+    ways_crossing; integer pmod snapping with an identical DuckDB twin,
+    per-vertex degree capped loudly."""
+    from osmium_tool_spark.operators.spatial_join import way_junctions
+    from osmium_tool_spark.sources import testdata as td
+
+    segs = td.local_way_segments(spark, sf_dir)
+    out = way_junctions(segs, snap=1_000_000)
+    return out.select(
+        _L("way_a").alias("way_a"),
+        _L("way_b").alias("way_b"),
+        _L("n_shared").alias("n_shared"),
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order shard manifest: geo-referenced images packed into
     fixed-size training shards along the space-filling curve —
@@ -1814,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_length": q_way_length,
         "tile_buffer": q_tile_buffer,
         "ways_crossing": q_ways_crossing,
+        "self_intersections": q_self_intersections,
+        "way_junctions": q_way_junctions,
         "shard_manifest": q_shard_manifest,
         "pack_sequences": q_pack_sequences,
         "knn_geodesic": q_knn_geodesic,
@@ -3112,7 +3148,10 @@ WHERE hy + dy >= 0 AND hy + dy < 32
     # exact), proper crossings only (strict signs).
     _oxc = lambda e: f"greatest({_ix_sql(e, 7)}, 0)"  # noqa: E731
     _oyc = lambda e: f"greatest({_iy_sql(e, 7)}, 0)"  # noqa: E731
-    o["ways_crossing"] = f"""
+    # shared CTEs for the segment-topology oracles: local trajectories
+    # (testdata.local_way_segments twin), then — for the crossing ops —
+    # cell cover via LATERAL generate_series cross-unnest.
+    _seg_ctes = """
 WITH v AS (SELECT l_orderkey AS wid, l_linenumber AS ln, l_partkey AS pk,
   ((l_orderkey * 2654435761) % 3600000000 - 1800000000)
     + ((l_partkey * 1013904223 + l_linenumber * 2654435761) % 20000001
@@ -3127,14 +3166,25 @@ s AS (SELECT wid,
         x AS x1, y AS y1,
         lead(x) OVER (PARTITION BY wid ORDER BY ln, pk) AS x2,
         lead(y) OVER (PARTITION BY wid ORDER BY ln, pk) AS y2 FROM v),
-seg AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+seg AS (SELECT * FROM s WHERE x2 IS NOT NULL)"""
+    _cell_ctes = f""",
 boxed AS (SELECT wid, seq, x1, y1, x2, y2,
    {_oxc('least(x1,x2)')} AS cxmin, {_oxc('greatest(x1,x2)')} AS cxmax,
    {_oyc('least(y1,y2)')} AS cymin, {_oyc('greatest(y1,y2)')} AS cymax
  FROM seg),
 cells AS (SELECT wid, seq, x1, y1, x2, y2, cx, cy FROM boxed,
    LATERAL (SELECT unnest(generate_series(cxmin, cxmax)) AS cx) u1,
-   LATERAL (SELECT unnest(generate_series(cymin, cymax)) AS cy) u2),
+   LATERAL (SELECT unnest(generate_series(cymin, cymax)) AS cy) u2)"""
+    # orientation determinants in HUGEINT (the Spark side uses
+    # decimal(25,0) — both exact), proper crossings only (strict signs).
+    _dets = """
+   CAST(ax2-ax1 AS HUGEINT)*(by1-ay1) - CAST(ay2-ay1 AS HUGEINT)*(bx1-ax1) AS d1,
+   CAST(ax2-ax1 AS HUGEINT)*(by2-ay1) - CAST(ay2-ay1 AS HUGEINT)*(bx2-ax1) AS d2,
+   CAST(bx2-bx1 AS HUGEINT)*(ay1-by1) - CAST(by2-by1 AS HUGEINT)*(ax1-bx1) AS d3,
+   CAST(bx2-bx1 AS HUGEINT)*(ay2-by1) - CAST(by2-by1 AS HUGEINT)*(ax2-bx1) AS d4"""
+    _proper = """((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"""
+    o["ways_crossing"] = f"""{_seg_ctes}{_cell_ctes},
 p AS (SELECT DISTINCT
         a.wid AS wa, a.seq AS sa, a.x1 AS ax1, a.y1 AS ay1,
         a.x2 AS ax2, a.y2 AS ay2,
@@ -3142,17 +3192,48 @@ p AS (SELECT DISTINCT
         b.x2 AS bx2, b.y2 AS by2
       FROM cells a JOIN cells b
         ON a.cx = b.cx AND a.cy = b.cy AND a.wid < b.wid),
-d AS (SELECT wa, wb,
-   CAST(ax2-ax1 AS HUGEINT)*(by1-ay1) - CAST(ay2-ay1 AS HUGEINT)*(bx1-ax1) AS d1,
-   CAST(ax2-ax1 AS HUGEINT)*(by2-ay1) - CAST(ay2-ay1 AS HUGEINT)*(bx2-ax1) AS d2,
-   CAST(bx2-bx1 AS HUGEINT)*(ay1-by1) - CAST(by2-by1 AS HUGEINT)*(ax1-bx1) AS d3,
-   CAST(bx2-bx1 AS HUGEINT)*(ay2-by1) - CAST(by2-by1 AS HUGEINT)*(ax2-bx1) AS d4
+d AS (SELECT wa, wb,{_dets}
  FROM p)
 SELECT CAST(wa AS BIGINT) AS way_a, CAST(wb AS BIGINT) AS way_b,
        CAST(count(*) AS BIGINT) AS n_crossings
 FROM d
-WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
-  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+WHERE {_proper}
+GROUP BY 1, 2
+"""
+
+    # self_intersections: same cover, candidates keyed on (wid, cell),
+    # sa < sb; adjacent segments share a vertex and fail the strict test.
+    o["self_intersections"] = f"""{_seg_ctes}{_cell_ctes},
+p AS (SELECT DISTINCT
+        a.wid AS wid, a.seq AS sa, a.x1 AS ax1, a.y1 AS ay1,
+        a.x2 AS ax2, a.y2 AS ay2,
+        b.seq AS sb, b.x1 AS bx1, b.y1 AS by1,
+        b.x2 AS bx2, b.y2 AS by2
+      FROM cells a JOIN cells b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.wid = b.wid
+           AND a.seq < b.seq),
+d AS (SELECT wid,{_dets}
+ FROM p)
+SELECT CAST(wid AS BIGINT) AS way_id,
+       CAST(count(*) AS BIGINT) AS n_self_intersections
+FROM d
+WHERE {_proper}
+GROUP BY 1
+"""
+
+    # way_junctions: distinct snapped segment-endpoint vertices (integer
+    # pmod snap, exactly-divisible // — identical to the Spark Column
+    # math), vertex equi-join, way_a < way_b.
+    _Q = 1_000_000
+    _snap = lambda e: f"(({e}) - ((({e}) % {_Q} + {_Q}) % {_Q})) // {_Q}"  # noqa: E731
+    o["way_junctions"] = f"""{_seg_ctes},
+pts AS (SELECT DISTINCT wid, {_snap('x')} AS vx, {_snap('y')} AS vy
+ FROM (SELECT wid, x1 AS x, y1 AS y FROM seg
+       UNION ALL SELECT wid, x2 AS x, y2 AS y FROM seg) u)
+SELECT CAST(a.wid AS BIGINT) AS way_a, CAST(b.wid AS BIGINT) AS way_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM pts a JOIN pts b
+  ON a.vx = b.vx AND a.vy = b.vy AND a.wid < b.wid
 GROUP BY 1, 2
 """
 

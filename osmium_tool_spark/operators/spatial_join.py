@@ -397,6 +397,85 @@ def grid_cluster(
     ).select("id", "gkey", "cluster_id", "cluster_size")
 
 
+def _segment_cells(segs: DataFrame, res: int, cap: int) -> DataFrame:
+    """Bbox cell cover per segment: (way_id, seq, x1, y1, x2, y2, cx, cy),
+    one row per covering cell at `res` (same equirectangular ordinates as
+    functions/cells._ix). Map-side double explode; cells-per-segment is
+    capped LOUDLY at `cap` — a planet-chord input is a modelling bug, not
+    something to coarsen silently."""
+    n = 1 << res
+
+    def ord_x(c: Column) -> Column:
+        raw = ((c - F.lit(_LON_MIN)) * n) / F.lit(_LON_SPAN)
+        return F.greatest(
+            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
+        )
+
+    def ord_y(c: Column) -> Column:
+        raw = ((c - F.lit(_LAT_MIN)) * n) / F.lit(_LAT_SPAN)
+        return F.greatest(
+            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
+        )
+
+    boxed = segs.select(
+        "way_id", "seq", "x1", "y1", "x2", "y2",
+        ord_x(F.least("x1", "x2")).alias("cxmin"),
+        ord_x(F.greatest("x1", "x2")).alias("cxmax"),
+        ord_y(F.least("y1", "y2")).alias("cymin"),
+        ord_y(F.greatest("y1", "y2")).alias("cymax"),
+    ).filter(
+        # loud cap as a FILTER predicate (a projected assert column would
+        # be pruned away by Catalyst the moment it's dropped)
+        F.when(
+            (F.col("cxmax") - F.col("cxmin") + 1)
+            * (F.col("cymax") - F.col("cymin") + 1)
+            > cap,
+            F.raise_error(
+                F.lit(
+                    f"segment covers more than {cap} cells at res {res}: "
+                    "raise max_cells_per_seg or coarsen res"
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+    )
+    return boxed.select(
+        "way_id", "seq", "x1", "y1", "x2", "y2",
+        F.explode(F.sequence("cxmin", "cxmax")).alias("cx"),
+        "cymin", "cymax",
+    ).select(
+        "way_id", "seq", "x1", "y1", "x2", "y2", "cx",
+        F.explode(F.sequence("cymin", "cymax")).alias("cy"),
+    )
+
+
+# exact orientation math: long coordinate DIFFS are exact (span <= 4e9)
+# but their products reach 1.3e19 > 2^63 on world-span inputs — int64
+# would overflow silently. decimal(12,0) x decimal(12,0) -> decimal(25,0)
+# stays exact in Spark (DuckDB oracle twins use HUGEINT) and the
+# predicate remains whole-stage-codegen'd Column math, no UDF.
+_DEC = "decimal(12,0)"
+
+
+def _orient(px, py, qx, qy, rx, ry) -> Column:
+    return (F.col(qx) - F.col(px)).cast(_DEC) * (F.col(ry) - F.col(py)).cast(
+        _DEC
+    ) - (F.col(qy) - F.col(py)).cast(_DEC) * (F.col(rx) - F.col(px)).cast(_DEC)
+
+
+def _proper_cross() -> Column:
+    """Strict proper-intersection predicate over columns a{x,y}{1,2} /
+    b{x,y}{1,2}: endpoint touches and collinear overlaps fail (orientation
+    zeros fail the strict sign test)."""
+    d1 = _orient("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    d2 = _orient("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    d3 = _orient("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    d4 = _orient("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    return (
+        ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+        & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+    )
+
+
 def segment_crossings(
     segs: DataFrame,
     res: int = 7,
@@ -436,51 +515,7 @@ def segment_crossings(
     exact in Spark (and the DuckDB oracle twin uses HUGEINT); the
     predicate remains whole-stage-codegen'd Column math, no UDF.
     """
-    n = 1 << res
-    cap = int(max_cells_per_seg)
-
-    def ord_x(c: Column) -> Column:
-        raw = ((c - F.lit(_LON_MIN)) * n) / F.lit(_LON_SPAN)
-        return F.greatest(
-            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
-        )
-
-    def ord_y(c: Column) -> Column:
-        raw = ((c - F.lit(_LAT_MIN)) * n) / F.lit(_LAT_SPAN)
-        return F.greatest(
-            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
-        )
-
-    boxed = segs.select(
-        "way_id", "seq", "x1", "y1", "x2", "y2",
-        ord_x(F.least("x1", "x2")).alias("cxmin"),
-        ord_x(F.greatest("x1", "x2")).alias("cxmax"),
-        ord_y(F.least("y1", "y2")).alias("cymin"),
-        ord_y(F.greatest("y1", "y2")).alias("cymax"),
-    ).filter(
-        # loud cap as a FILTER predicate (a projected assert column would
-        # be pruned away by Catalyst the moment it's dropped)
-        F.when(
-            (F.col("cxmax") - F.col("cxmin") + 1)
-            * (F.col("cymax") - F.col("cymin") + 1)
-            > cap,
-            F.raise_error(
-                F.lit(
-                    f"segment covers more than {cap} cells at res {res}: "
-                    "raise max_cells_per_seg or coarsen res"
-                )
-            ).isNull(),
-        ).otherwise(F.lit(True))
-    )
-    cells = boxed.select(
-        "way_id", "seq", "x1", "y1", "x2", "y2",
-        F.explode(F.sequence("cxmin", "cxmax")).alias("cx"),
-        "cymin", "cymax",
-    ).select(
-        "way_id", "seq", "x1", "y1", "x2", "y2", "cx",
-        F.explode(F.sequence("cymin", "cymax")).alias("cy"),
-    )
-
+    cells = _segment_cells(segs, res, int(max_cells_per_seg))
     a = cells.select(
         F.col("way_id").alias("wa"), F.col("seq").alias("sa"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
@@ -499,24 +534,132 @@ def segment_crossings(
         .drop("cx", "cy")
         .distinct()
     )
-
-    DEC = "decimal(12,0)"
-
-    def orient(px, py, qx, qy, rx, ry) -> Column:
-        return (F.col(qx) - F.col(px)).cast(DEC) * (F.col(ry) - F.col(py)).cast(DEC) - (
-            F.col(qy) - F.col(py)
-        ).cast(DEC) * (F.col(rx) - F.col(px)).cast(DEC)
-
-    d1 = orient("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
-    d2 = orient("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
-    d3 = orient("bx1", "by1", "bx2", "by2", "ax1", "ay1")
-    d4 = orient("bx1", "by1", "bx2", "by2", "ax2", "ay2")
-    proper = (
-        ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
-        & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
-    )
     return (
-        pairs.filter(proper)
+        pairs.filter(_proper_cross())
         .groupBy(F.col("wa").alias("way_a"), F.col("wb").alias("way_b"))
         .agg(F.count(F.lit(1)).alias("n_crossings"))
+    )
+
+
+def way_self_intersections(
+    segs: DataFrame,
+    res: int = 7,
+    max_cells_per_seg: int = 256,
+) -> DataFrame:
+    """Self-intersection detection: per way, the count of its own
+    segment pairs that PROPERLY cross (the OSM-QA "self-intersecting
+    way" check; the reference's area assembler REJECTS such rings —
+    osmium/area/assembler.hpp flags them as invalid locations — so
+    surfacing them at corpus scale is the upstream QA pass that decides
+    which ways can become polygons at all).
+
+    Input/coordinates as segment_crossings. Output: (way_id,
+    n_self_intersections), ways with zero omitted. ADJACENT segments
+    share a vertex, so they can never properly cross — the strict sign
+    test excludes them with no explicit seq-adjacency rule; closed
+    rings (last vertex == first) are likewise not flagged for the
+    closure touch. Zero-length segments have all orientations 0 and
+    drop out.
+
+    Plan shape: the same cell cover as segment_crossings, but the
+    candidate equi-join keys on (way_id, cx, cy) — candidates never
+    leave the way, so the join output is bounded by per-way geometry,
+    not by cell density; (sa < sb) halves the pair space and the
+    multi-cell dedup runs per way. One corpus exchange on the join
+    key; AQE splits long-way skew.
+    """
+    cells = _segment_cells(segs, res, int(max_cells_per_seg))
+    a = cells.select(
+        "way_id", F.col("seq").alias("sa"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+        "cx", "cy",
+    )
+    b = cells.select(
+        "way_id", F.col("seq").alias("sb"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+        "cx", "cy",
+    )
+    pairs = (
+        a.join(b, on=["way_id", "cx", "cy"])
+        .filter(F.col("sa") < F.col("sb"))
+        .drop("cx", "cy")
+        .distinct()
+    )
+    return (
+        pairs.filter(_proper_cross())
+        .groupBy("way_id")
+        .agg(F.count(F.lit(1)).alias("n_self_intersections"))
+    )
+
+
+def way_junctions(
+    segs: DataFrame,
+    snap: int = 1,
+    max_ways_per_vertex: int = 10_000,
+) -> DataFrame:
+    """Junction detection: pairs of ways sharing >= 1 vertex — the
+    complement of segment_crossings (ways that CONNECT rather than
+    cross; together they are the OSM-QA crossing/junction matrix, and
+    the junction graph is the road-network adjacency the reference's
+    downstream routers consume). `snap` > 1 coarsens vertices to a
+    snap-unit grid first (map-conflation tolerance matching); snap=1 is
+    exact node identity.
+
+    Input as segment_crossings (vertices are recovered from segment
+    endpoints). Output: (way_a, way_b, n_shared) with way_a < way_b,
+    n_shared = count of DISTINCT shared (snapped) vertex points.
+
+    Plan shape: distinct (way, vertex) -> vertex equi-join, way_a <
+    way_b. A vertex of degree d emits d*(d-1)/2 pairs — real road
+    junctions have single-digit degree, but a too-coarse `snap` can
+    manufacture mega-vertices, so per-vertex degree is capped LOUDLY
+    at `max_ways_per_vertex` (the degree aggregate shares the join's
+    (vx, vy) exchange). Snapping uses pure integer math —
+    x - pmod(x, snap) is exactly divisible by snap — with identical
+    expressions in the DuckDB oracle twin.
+    """
+    s = int(snap)
+    cap = int(max_ways_per_vertex)
+
+    def snapc(c: str) -> Column:
+        x = F.col(c)
+        pm = ((x % s) + s) % s
+        return ((x - pm) / s).cast("long")
+
+    # three consumers below (degree agg + both join sides) would each
+    # re-run the scan+window+distinct otherwise — checkpoint the
+    # vertex frame once (it is input-sized, not pair-sized)
+    verts = (
+        segs.select(
+            "way_id", snapc("x1").alias("vx"), snapc("y1").alias("vy")
+        )
+        .unionAll(
+            segs.select(
+                "way_id", snapc("x2").alias("vx"), snapc("y2").alias("vy")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = verts.groupBy("vx", "vy").agg(F.count(F.lit(1)).alias("deg")).filter(
+        F.when(
+            F.col("deg") > cap,
+            F.raise_error(
+                F.lit(
+                    f"vertex shared by more than {cap} ways at snap {s}: "
+                    "raise max_ways_per_vertex or refine snap"
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+    )
+    capped = verts.join(deg.select("vx", "vy"), on=["vx", "vy"])
+    a = capped.select(F.col("way_id").alias("way_a"), "vx", "vy")
+    b = capped.select(F.col("way_id").alias("way_b"), "vx", "vy")
+    return (
+        a.join(b, on=["vx", "vy"])
+        .filter(F.col("way_a") < F.col("way_b"))
+        .groupBy("way_a", "way_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
