@@ -293,6 +293,35 @@ def run_shard_manifest():
     ).collect()
 
 
+def run_segment_crossings():
+    # n_entities localized trajectory segments (6 per way, consecutive
+    # vertices shared via hash(way, seq) column math — no Window in the
+    # input, so the measurement is the operator: cell-cover explode,
+    # (cx, cy) candidate equi-join, pair dedup, exact decimal
+    # orientation predicate). Spans are +-0.1 deg so a segment covers
+    # <= 4 res-10 cells; ~6 segments/cell -> the candidate join does
+    # real per-cell work without an all-pairs blow-up.
+    from osmium_tool_spark.operators.spatial_join import segment_crossings
+
+    wid = F.expr("id div 6")
+    sq = F.col("id") % 6 + 1
+    bx = (wid * 2654435761) % 3600000000 - 1800000000
+    by = (wid * 2246822519) % 1800000000 - 900000000
+
+    def vx(s):
+        return bx + F.abs(F.xxhash64(wid, s)) % 2000001 - 1000000
+
+    def vy(s):
+        return by + F.abs(F.xxhash64(wid, s, F.lit(77))) % 2000001 - 1000000
+
+    segs = spark.range({n_entities}).select(
+        wid.alias("way_id"), sq.cast("long").alias("seq"),
+        vx(sq).alias("x1"), vy(sq).alias("y1"),
+        vx(sq + 1).alias("x2"), vy(sq + 1).alias("y2"),
+    )
+    segment_crossings(segs, res=10).count()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -336,6 +365,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("pack_sequences", run_pack_sequences),
                  ("density_surface", run_density_surface),
                  ("shard_manifest", run_shard_manifest),
+                 ("segment_crossings", run_segment_crossings),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
