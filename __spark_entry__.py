@@ -1575,6 +1575,48 @@ def q_ways_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygon_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational vector->raster conversion: res-9 cells whose center is
+    inside each of 48 diamond polygons — y-banded edge equi-join (the
+    reference's extract_polygon y-band index as a JOIN KEY), exact
+    2n-scaled integer raycast in decimal(29,0). The oracle is the
+    ALGORITHM-INDEPENDENT closed form |dx|+|dy| < r on cell centers;
+    both sides drop centers within 4 scaled units of the boundary (an
+    exact tie is classified by ray direction, not distance)."""
+    from osmium_tool_spark.operators.tiles import polygon_rasterize
+
+    k = F.col("id")
+    cx0 = (k * 2654435761) % 3_200_000_000 - 1_600_000_000
+    cy0 = (k * 2246822519) % 1_600_000_000 - 800_000_000
+    rr = 20_000_000 + (k % 5) * 10_000_000
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    polys = spark.range(48).select(
+        k.alias("poly_id"),
+        F.array(
+            F.array(pt(cx0 + rr, cy0), pt(cx0, cy0 + rr), pt(cx0 - rr, cy0),
+                    pt(cx0, cy0 - rr), pt(cx0 + rr, cy0))
+        ).alias("rings"),
+    )
+    out = polygon_rasterize(polys, res=9)
+
+    n = 1 << 9
+    p = F.col("poly_id")
+    bx = (p * 2654435761) % 3_200_000_000 - 1_600_000_000
+    by = (p * 2246822519) % 1_600_000_000 - 800_000_000
+    br = 20_000_000 + (p % 5) * 10_000_000
+    px = F.lit(2 * n * -1_800_000_000) + (2 * F.col("cx") + 1) * F.lit(3_600_000_000)
+    py = F.lit(2 * n * -900_000_000) + (2 * F.col("cy") + 1) * F.lit(1_800_000_000)
+    sd = F.abs(px - 2 * n * bx) + F.abs(py - 2 * n * by)
+    return out.filter(F.abs(sd - 2 * n * br) > 4).select(
+        _L("poly_id").alias("poly_id"),
+        _L("cx").alias("cx"),
+        _L("cy").alias("cy"),
+    )
+
+
 def q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Way self-intersection detection: per-way count of its own
     PROPERLY-crossing segment pairs (the OSM-QA self-intersecting-way
@@ -1848,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_length": q_way_length,
         "tile_buffer": q_tile_buffer,
         "ways_crossing": q_ways_crossing,
+        "polygon_rasterize": q_polygon_rasterize,
         "self_intersections": q_self_intersections,
         "way_junctions": q_way_junctions,
         "shard_manifest": q_shard_manifest,
@@ -3199,6 +3242,37 @@ SELECT CAST(wa AS BIGINT) AS way_a, CAST(wb AS BIGINT) AS way_b,
 FROM d
 WHERE {_proper}
 GROUP BY 1, 2
+"""
+
+    # polygon_rasterize: ALGORITHM-INDEPENDENT closed-form diamond
+    # containment |dx|+|dy| < r on 2n-scaled integer cell centers (the
+    # engine runs y-banded crossing parity); both sides drop the
+    # +-4-scaled-unit boundary band where an exact tie would be
+    # classified by ray direction rather than distance.
+    _rn = 2 * (1 << 9)
+    o["polygon_rasterize"] = f"""
+WITH p AS (SELECT k AS poly_id,
+   (k*2654435761) % 3200000000 - 1600000000 AS cx0,
+   (k*2246822519) % 1600000000 - 800000000 AS cy0,
+   20000000 + (k % 5)*10000000 AS r
+ FROM range(48) t(k)),
+b AS (SELECT poly_id, cx0, cy0, r,
+   greatest({_ix_sql('cx0 - r', 9)}, 0) AS ix0,
+   greatest({_ix_sql('cx0 + r', 9)}, 0) AS ix1,
+   greatest({_iy_sql('cy0 - r', 9)}, 0) AS iy0,
+   greatest({_iy_sql('cy0 + r', 9)}, 0) AS iy1 FROM p),
+c AS (SELECT poly_id, cx0, cy0, r, cx, cy FROM b,
+   LATERAL (SELECT unnest(generate_series(ix0, ix1)) AS cx) u1,
+   LATERAL (SELECT unnest(generate_series(iy0, iy1)) AS cy) u2),
+s AS (SELECT poly_id, cx, cy,
+   abs((CAST({_rn} AS BIGINT)*(-1800000000) + (2*cx+1)*3600000000)
+       - CAST({_rn} AS BIGINT)*cx0)
+   + abs((CAST({_rn} AS BIGINT)*(-900000000) + (2*cy+1)*1800000000)
+       - CAST({_rn} AS BIGINT)*cy0) AS sd,
+   CAST({_rn} AS BIGINT)*r AS rs FROM c)
+SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(cx AS BIGINT) AS cx,
+       CAST(cy AS BIGINT) AS cy
+FROM s WHERE sd < rs AND abs(sd - rs) > 4
 """
 
     # self_intersections: same cover, candidates keyed on (wid, cell),

@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_id, cell_parent
+from ..functions.cells import (
+    _LAT_MIN,
+    _LAT_SPAN,
+    _LON_MIN,
+    _LON_SPAN,
+    cell_id,
+    cell_parent,
+)
 
 
 def tile_pyramid(
@@ -316,4 +323,147 @@ def tile_buffer_assign(
         F.col("t.tile_ix").alias("tile_ix"),
         F.col("t.tile_iy").alias("tile_iy"),
         F.col("t.is_core").alias("is_core"),
+    )
+
+
+def polygon_rasterize(
+    polygons: DataFrame,
+    res: int = 9,
+    poly_id: str = "poly_id",
+    rings_col: str = "rings",
+    max_cells_per_polygon: int = 1 << 24,
+) -> DataFrame:
+    """Vector->raster conversion: the res-`res` cells whose CENTER lies
+    inside the polygon (pooled even-odd over all rings — the engine's
+    multipolygon model; cf. the reference's extract_polygon y-band
+    segment index, extract_polygon.cpp:77-84, and the export tiling
+    surface). Output: (poly_id, cx, cy), one row per interior cell.
+
+    This is the RELATIONAL rasterizer: spatial_join's
+    build_polygon_cell_index rasterizes each polygon inside one Pandas
+    batch — the polygon is the parallelism unit, fine for <=65k cells —
+    whereas here a single continent-scale polygon distributes across
+    the cluster, because the unit of work is the (band, edge) pair:
+
+      1. rings -> edges (arrays_zip of shifted slices, zero-length
+         dropped) -> each edge explodes to the y-bands its y-range
+         covers. This mirrors the reference's y-band index as a JOIN
+         KEY instead of a per-polygon in-RAM structure.
+      2. polygon bbox -> candidate cells, exploded band-first with a
+         repartition on (poly_id, cy) BETWEEN the two explodes, so one
+         giant polygon's cell stream is produced by many tasks, not one.
+         Bbox cells are capped LOUDLY at `max_cells_per_polygon`.
+      3. candidates join edges on (poly_id, cy): an edge that straddles
+         a center's y always shares its band (the ordinate is monotone),
+         so the crossing count per cell is exact; cells in edge-free
+         bands are outside by definition and die in the inner join.
+      4. per (poly_id, cx, cy): even-odd parity of the strict raycast
+         count (+ the center-on-vertex => inside rule, matching
+         spatial_join's numpy raycast kernel exactly).
+
+    Exactness: centers are represented in 2n-scaled integer space
+    (PX = 2n*lon_min + (2cx+1)*lon_span — no floats anywhere); the
+    raycast comparison products reach ~5e25 at res 12, so they are
+    computed in decimal(14,0) x decimal(14,0) -> decimal(29,0), still
+    whole-stage codegen. At 100 TB: one exchange for the band
+    repartition, one for the (poly_id, cy) equi-join, one for the
+    parity aggregate — all keyed, no cross product; AQE splits
+    wide-polygon band skew.
+    """
+    r = int(res)
+    n = 1 << r
+    cap = int(max_cells_per_polygon)
+    pid = F.col(poly_id).alias("pid")
+
+    def ord_x(c: Column) -> Column:
+        raw = ((c - F.lit(_LON_MIN)) * n) / F.lit(_LON_SPAN)
+        return F.greatest(
+            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
+        )
+
+    def ord_y(c: Column) -> Column:
+        raw = ((c - F.lit(_LAT_MIN)) * n) / F.lit(_LAT_SPAN)
+        return F.greatest(
+            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
+        )
+
+    # -- edges, banded by the y-range each covers ------------------------
+    ring = polygons.select(pid, F.explode(rings_col).alias("ring"))
+    k = F.greatest(F.size("ring") - 1, F.lit(0))
+    segs = (
+        ring.select(
+            "pid",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ring", F.lit(1), k).alias("p"),
+                    F.slice("ring", F.lit(2), k).alias("q"),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "pid",
+            F.col("s.p.x").alias("x1"), F.col("s.p.y").alias("y1"),
+            F.col("s.q.x").alias("x2"), F.col("s.q.y").alias("y2"),
+        )
+        .filter((F.col("x1") != F.col("x2")) | (F.col("y1") != F.col("y2")))
+    )
+    edges = segs.select(
+        "pid", "x1", "y1", "x2", "y2",
+        F.explode(
+            F.sequence(ord_y(F.least("y1", "y2")), ord_y(F.greatest("y1", "y2")))
+        ).alias("cy"),
+    )
+
+    # -- candidate cells: bbox explode, band-first, redistributed --------
+    flat = F.flatten(F.col(rings_col))
+    xs = F.transform(flat, lambda p: p["x"])
+    ys = F.transform(flat, lambda p: p["y"])
+    boxed = polygons.select(
+        pid,
+        ord_x(F.array_min(xs)).alias("ix0"), ord_x(F.array_max(xs)).alias("ix1"),
+        ord_y(F.array_min(ys)).alias("iy0"), ord_y(F.array_max(ys)).alias("iy1"),
+    ).filter(
+        F.when(
+            (F.col("ix1") - F.col("ix0") + 1) * (F.col("iy1") - F.col("iy0") + 1)
+            > cap,
+            F.raise_error(
+                F.lit(
+                    f"polygon bbox covers more than {cap} cells at res {r}: "
+                    "coarsen res or raise max_cells_per_polygon"
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+    )
+    bands = boxed.select(
+        "pid", "ix0", "ix1",
+        F.explode(F.sequence("iy0", "iy1")).alias("cy"),
+    ).repartition("pid", "cy")
+    cand = bands.select(
+        "pid", "cy", F.explode(F.sequence("ix0", "ix1")).alias("cx")
+    )
+
+    # -- exact raycast in 2n-scaled integer space ------------------------
+    DEC = "decimal(14,0)"
+    px = F.lit(2 * n * _LON_MIN) + (2 * F.col("cx") + 1) * F.lit(_LON_SPAN)
+    py = F.lit(2 * n * _LAT_MIN) + (2 * F.col("cy") + 1) * F.lit(_LAT_SPAN)
+    sx1, sy1 = F.col("x1") * (2 * n), F.col("y1") * (2 * n)
+    sx2, sy2 = F.col("x2") * (2 * n), F.col("y2") * (2 * n)
+    straddle = (sy1 > py) != (sy2 > py)
+    ax, ay = sx1 - sx2, sy1 - sy2
+    comp = (px - sx2).cast(DEC) * ay.cast(DEC) < ax.cast(DEC) * (py - sy2).cast(DEC)
+    toggle = straddle & ((ay > 0) == comp)
+    on_vertex = ((px == sx1) & (py == sy1)) | ((px == sx2) & (py == sy2))
+
+    joined = cand.join(edges, on=["pid", "cy"])
+    return (
+        joined.groupBy(
+            F.col("pid").alias(poly_id), F.col("cx").alias("cx"),
+            F.col("cy").alias("cy"),
+        )
+        .agg(
+            F.sum(toggle.cast("int")).alias("_n"),
+            F.max(on_vertex).alias("_v"),
+        )
+        .filter((F.col("_n") % 2 == 1) | F.col("_v"))
+        .drop("_n", "_v")
     )
