@@ -321,6 +321,32 @@ def main() -> None:
                                         res=10, prefix_res=3)))
     )
 
+    # 23. polygon_rasterize: banded-edge equi-join — expect ONE
+    # repartition exchange on (pid, cy), ONE shuffled hash join on the
+    # same key, ONE partial/final aggregate pair for the parity count;
+    # the raycast decimal products stay inside codegen (no UDF, no
+    # cross join, no window).
+    from osmium_tool_spark.operators.tiles import polygon_rasterize
+
+    def _pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    _k = F.col("id")
+    _cx = (_k * 2654435761) % 3_200_000_000 - 1_600_000_000
+    _cy = (_k * 2246822519) % 1_600_000_000 - 800_000_000
+    _r = F.lit(40_000_000)
+    polys = spark.range(16).select(
+        _k.alias("poly_id"),
+        F.array(F.array(
+            _pt(_cx + _r, _cy), _pt(_cx, _cy + _r), _pt(_cx - _r, _cy),
+            _pt(_cx, _cy - _r), _pt(_cx + _r, _cy),
+        )).alias("rings"),
+    )
+    sections.append(
+        ("polygon_rasterize (banded-edge join, decimal raycast parity agg)",
+         capture_explain(polygon_rasterize(polys, res=9)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

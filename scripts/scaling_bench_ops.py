@@ -293,6 +293,33 @@ def run_shard_manifest():
     ).collect()
 
 
+def run_polygon_rasterize():
+    # 4,096 diamond polygons at res 12: each bbox is ~137x273 cells
+    # (~37k candidates), so the (pid, cy) band join carries ~150M
+    # candidate rows against ~2.2M banded edge rows — the same row
+    # volume as the density_surface scatter, but join-bound instead of
+    # aggregate-bound. Polygon geometry is hash-derived column math
+    # (no Window, no driver data), identical at both levels.
+    from osmium_tool_spark.operators.tiles import polygon_rasterize
+
+    k = F.col("id")
+    cx0 = (k * 2654435761) % 3_200_000_000 - 1_600_000_000
+    cy0 = (k * 2246822519) % 1_600_000_000 - 800_000_000
+    rr = 40_000_000 + (k % 5) * 10_000_000
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    polys = spark.range(4096).select(
+        k.alias("poly_id"),
+        F.array(
+            F.array(pt(cx0 + rr, cy0), pt(cx0, cy0 + rr), pt(cx0 - rr, cy0),
+                    pt(cx0, cy0 - rr), pt(cx0 + rr, cy0))
+        ).alias("rings"),
+    )
+    polygon_rasterize(polys, res=12).count()
+
+
 def run_segment_crossings():
     # n_entities localized trajectory segments (6 per way, consecutive
     # vertices shared via hash(way, seq) column math — no Window in the
@@ -366,6 +393,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("density_surface", run_density_surface),
                  ("shard_manifest", run_shard_manifest),
                  ("segment_crossings", run_segment_crossings),
+                 ("polygon_rasterize", run_polygon_rasterize),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
