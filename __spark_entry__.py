@@ -1617,6 +1617,27 @@ def q_polygon_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-renderer pixel math (vector->raster->image): per-tile 8-bit
+    pixel values for the grayscale PNG map tiles — world res-10 pixel
+    grid, 64px tiles, exact integer saturation ramp, IMAGE row order
+    (py 0 = top). The PNG encode itself is pinned byte-level by
+    tests/test_tile_render.py's spec-written decoder; this gate oracles
+    every pixel the encoder receives."""
+    from osmium_tool_spark.operators.tiles import density_pixels
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = density_pixels(nodes, res=10, tile_shift=6, saturation=4)
+    return out.select(
+        _L("tile_ix").alias("tile_ix"),
+        _L("tile_iy").alias("tile_iy"),
+        _L("px").alias("px"),
+        _L("py").alias("py"),
+        _L("val").alias("val"),
+    )
+
+
 def q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Way self-intersection detection: per-way count of its own
     PROPERLY-crossing segment pairs (the OSM-QA self-intersecting-way
@@ -1891,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_buffer": q_tile_buffer,
         "ways_crossing": q_ways_crossing,
         "polygon_rasterize": q_polygon_rasterize,
+        "tile_render": q_tile_render,
         "self_intersections": q_self_intersections,
         "way_junctions": q_way_junctions,
         "shard_manifest": q_shard_manifest,
@@ -1914,7 +1936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_filter_plain": q_tags_filter_plain,
         "tags_filter_closure": q_tags_filter_closure,
         "getid_recursive": q_getid_recursive,
-        "getparents": q_getparents,
         "renumber": q_renumber,
         "sort_canonical": q_sort_canonical,
         "cat_clean": q_cat_clean,
@@ -1928,6 +1949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
+        # rotated out for tile_render (multi-round green; in-window
+        # family sibling getid_recursive covers the id-closure family)
+        "getparents": q_getparents,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # -- tail (51+): long-stable siblings past the driver window --
@@ -3273,6 +3297,20 @@ s AS (SELECT poly_id, cx, cy,
 SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(cx AS BIGINT) AS cx,
        CAST(cy AS BIGINT) AS cy
 FROM s WHERE sd < rs AND abs(sd - rs) > 4
+"""
+
+    # tile_render: density_pixels pixel math — res-10 world grid, 64px
+    # tiles, y-flip to image rows, exact integer ramp least(255,
+    # n*255 div 4). The PNG byte stream is pinned by the spec-written
+    # decoder in tests/test_tile_render.py.
+    o["tile_render"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT {_ix_sql('lon', 10)} AS wx, {_iy_sql('lat', 10)} AS wy FROM nodes),
+c AS (SELECT wx, wy, count(*) AS n FROM g GROUP BY 1, 2)
+SELECT CAST(wx // 64 AS BIGINT) AS tile_ix, CAST(wy // 64 AS BIGINT) AS tile_iy,
+       CAST(wx % 64 AS BIGINT) AS px, CAST(63 - (wy % 64) AS BIGINT) AS py,
+       CAST(least(255, (n * 255) // 4) AS BIGINT) AS val
+FROM c
 """
 
     # self_intersections: same cover, candidates keyed on (wid, cell),

@@ -467,3 +467,139 @@ def polygon_rasterize(
         .filter((F.col("_n") % 2 == 1) | F.col("_v"))
         .drop("_n", "_v")
     )
+
+
+def density_pixels(
+    points: DataFrame,
+    res: int = 10,
+    tile_shift: int = 8,
+    saturation: int = 16,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Rasterize points into per-tile 8-bit pixels (the math half of the
+    tile renderer; `render_density_tiles` encodes these into PNG bytes).
+
+    World pixel grid = 2^res x 2^res (`functions/cells` equirectangular
+    ordinates); a tile is 2^tile_shift x 2^tile_shift pixels, so
+    tile_ix = world_px >> tile_shift. Pixel value is the exact integer
+    ramp least(255, n * 255 div saturation): `saturation` points (or
+    weight, with `weight_col`) saturate a pixel to white — a fixed
+    contract, not a data-dependent normalization, so tiles render
+    identically across partitions, reruns and engines (no global max
+    aggregate, no floats). `py` is in IMAGE row order (row 0 = top =
+    max latitude), i.e. the y-flip happens here, not in the encoder.
+
+    Returns (tile_ix, tile_iy, px, py, val): one row per OCCUPIED pixel
+    (empty pixels are background and never materialize). Scale shape:
+    ONE corpus-sized hash aggregate (map-side combine absorbs dense-
+    pixel skew); everything downstream is bounded by occupied pixels,
+    not points.
+    """
+    if not 0 < tile_shift <= res:
+        raise ValueError("density_pixels: need 0 < tile_shift <= res")
+    if saturation < 1:
+        raise ValueError("density_pixels: saturation must be >= 1")
+    from ..functions.cells import _ix, _iy
+
+    mask = (1 << tile_shift) - 1
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    px = points.select(
+        _ix(F.col(lon_col), res).alias("wx"),
+        _iy(F.col(lat_col), res).alias("wy"),
+        *([weight_col] if weight_col else []),
+    ).groupBy("wx", "wy").agg(w.cast("long").alias("n"))
+    return px.select(
+        F.shiftright("wx", tile_shift).alias("tile_ix"),
+        F.shiftright("wy", tile_shift).alias("tile_iy"),
+        F.col("wx").bitwiseAND(F.lit(mask)).alias("px"),
+        (F.lit(mask) - F.col("wy").bitwiseAND(F.lit(mask))).alias("py"),
+        F.least(F.lit(255), (F.col("n") * 255) / F.lit(saturation))
+        .cast("long")
+        .alias("val"),
+    )
+
+
+def render_density_tiles(
+    points: DataFrame,
+    res: int = 10,
+    tile_shift: int = 8,
+    saturation: int = 16,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Vector -> raster -> IMAGE: render point density as grayscale PNG
+    map tiles (the standard tile-server heatmap pipeline — points in,
+    one 2^tile_shift-square 8-bit PNG per occupied tile out), entirely
+    distributed. The reference's export/tiling surface hands features
+    to a downstream renderer; at 10^12 points the rendering itself must
+    ride the cluster, so the tile image becomes just another binary
+    column (the same contract as `sources/images.py` payloads — the
+    tiles can feed straight back into phash dedup or the shard packer).
+
+    Plan shape: `density_pixels` (one corpus hash agg) -> groupBy tile
+    -> applyInPandas. A group is AT MOST 4^tile_shift pixel rows
+    (65,536 at the default 256px) REGARDLESS of corpus size — the
+    renderer's memory is bounded by the tile contract, not the data.
+    PNG encoding is stdlib zlib over a numpy scanline buffer (PNG spec:
+    8-bit grayscale, filter 0), deterministic bytes for a given pixel
+    set; no image library, no driver collect.
+
+    Returns (tile_ix, tile_iy, n_px, max_val, png): n_px = occupied
+    pixels, max_val = brightest value, png = the encoded tile.
+    """
+    import pandas as pd
+
+    pixels = density_pixels(
+        points, res=res, tile_shift=tile_shift, saturation=saturation,
+        lon_col=lon_col, lat_col=lat_col, weight_col=weight_col,
+    )
+    ts = 1 << tile_shift
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nested imports + by-value closure: executors need no repo path
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        img = np.zeros((ts, ts), np.uint8)
+        img[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = np.clip(
+            pdf["val"].to_numpy(), 0, 255
+        ).astype(np.uint8)
+        # PNG (public spec, RFC 2083): signature + IHDR + IDAT + IEND;
+        # scanlines are filter-byte 0 + raw row, zlib level 9.
+        raw = np.concatenate(
+            [np.zeros((ts, 1), np.uint8), img], axis=1
+        ).tobytes()
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", ts, ts, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b"")
+        )
+        return pd.DataFrame(
+            {
+                "tile_ix": [int(pdf["tile_ix"].iloc[0])],
+                "tile_iy": [int(pdf["tile_iy"].iloc[0])],
+                "n_px": [len(pdf)],
+                "max_val": [int(pdf["val"].max())],
+                "png": [png],
+            }
+        )
+
+    return pixels.groupBy("tile_ix", "tile_iy").applyInPandas(
+        render,
+        schema="tile_ix long, tile_iy long, n_px long, max_val long, png binary",
+    )

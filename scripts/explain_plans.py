@@ -347,6 +347,18 @@ def main() -> None:
          capture_explain(polygon_rasterize(polys, res=9)))
     )
 
+    # 24. render_density_tiles: one partial/final HashAggregate pair
+    # (the corpus rasterize), shift/mask tile coords in codegen, ONE
+    # exchange on (tile_ix, tile_iy), FlatMapGroupsInPandas for the
+    # PNG encode (group size bounded at 4^tile_shift pixels).
+    from osmium_tool_spark.operators.tiles import render_density_tiles
+
+    sections.append(
+        ("render_density_tiles (bounded-group PNG tile encode)",
+         capture_explain(render_density_tiles(
+             nodes.select("lon", "lat"), res=8, tile_shift=5)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

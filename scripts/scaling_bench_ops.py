@@ -320,6 +320,21 @@ def run_polygon_rasterize():
     polygon_rasterize(polys, res=12).count()
 
 
+def run_tile_render():
+    # 48M points -> res-12 pixel raster (16M keys, the agg_ceiling
+    # 16M-key shape) -> 256 tile groups -> applyInPandas PNG encode.
+    # Summing png lengths forces full materialization of the images.
+    from osmium_tool_spark.operators.tiles import render_density_tiles
+
+    pts = spark.range(1, 8 * {n_entities} + 1).select(
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    render_density_tiles(pts, res=12, tile_shift=8).agg(
+        F.sum(F.length("png")), F.sum("n_px")
+    ).collect()
+
+
 def run_segment_crossings():
     # n_entities localized trajectory segments (6 per way, consecutive
     # vertices shared via hash(way, seq) column math — no Window in the
@@ -394,6 +409,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("shard_manifest", run_shard_manifest),
                  ("segment_crossings", run_segment_crossings),
                  ("polygon_rasterize", run_polygon_rasterize),
+                 ("tile_render", run_tile_render),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
