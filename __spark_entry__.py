@@ -1638,6 +1638,35 @@ def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_render_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image loop: render point density to grayscale PNG map
+    tiles (applyInPandas, from-spec encoder), then DECODE the PNG bytes
+    back inside Spark with the independent from-spec codec
+    (functions/png.py: chunk CRC walk, inflate, unfilter) — while the
+    DuckDB oracle predicts the decoded mean luma by pure arithmetic
+    (background pixels are 0, so mean = sum(val)/tile_area, exact in
+    binary doubles). A wrong byte anywhere in encode OR decode breaks
+    the hash."""
+    from osmium_tool_spark.operators.tiles import render_density_tiles
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.images import decode_png_meta
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    tiles = render_density_tiles(nodes, res=10, tile_shift=6, saturation=4)
+    imgs = tiles.select(
+        F.concat_ws("_", "tile_ix", "tile_iy").alias("image_id"),
+        F.col("png").alias("bytes"),
+        F.lit("png").alias("fmt"),
+    )
+    meta = decode_png_meta(imgs)
+    return meta.select(
+        F.col("image_id").alias("image_id"),
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.col("mean_luma").alias("mean_luma"),
+    )
+
+
 def q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Way self-intersection detection: per-way count of its own
     PROPERLY-crossing segment pairs (the OSM-QA self-intersecting-way
@@ -1913,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ways_crossing": q_ways_crossing,
         "polygon_rasterize": q_polygon_rasterize,
         "tile_render": q_tile_render,
+        "tile_render_decode": q_tile_render_decode,
         "self_intersections": q_self_intersections,
         "way_junctions": q_way_junctions,
         "shard_manifest": q_shard_manifest,
@@ -1932,7 +1962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_complete_ways": q_extract_complete_ways,
         "extract_polygon": q_extract_polygon,
         "extract_multi_tile": q_extract_multi_tile,
-        "extract_history": q_extract_history,
         "tags_filter_plain": q_tags_filter_plain,
         "tags_filter_closure": q_tags_filter_closure,
         "getid_recursive": q_getid_recursive,
@@ -1952,6 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out for tile_render (multi-round green; in-window
         # family sibling getid_recursive covers the id-closure family)
         "getparents": q_getparents,
+        # rotated out for tile_render_decode (multi-round green; the
+        # extract family keeps 4 in-window rows incl. complete_ways)
+        "extract_history": q_extract_history,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # -- tail (51+): long-stable siblings past the driver window --
@@ -3311,6 +3343,23 @@ SELECT CAST(wx // 64 AS BIGINT) AS tile_ix, CAST(wy // 64 AS BIGINT) AS tile_iy,
        CAST(wx % 64 AS BIGINT) AS px, CAST(63 - (wy % 64) AS BIGINT) AS py,
        CAST(least(255, (n * 255) // 4) AS BIGINT) AS val
 FROM c
+"""
+
+    # tile_render_decode: the oracle never sees PNG bytes — it predicts
+    # the DECODED tile's mean luma arithmetically (background = 0, so
+    # mean = sum(val) / 64^2; both divisions by a power of two are
+    # exact in binary doubles).
+    o["tile_render_decode"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT {_ix_sql('lon', 10)} AS wx, {_iy_sql('lat', 10)} AS wy FROM nodes),
+c AS (SELECT wx, wy, count(*) AS n FROM g GROUP BY 1, 2),
+t AS (SELECT wx // 64 AS tx, wy // 64 AS ty,
+             sum(least(255, (n * 255) // 4)) AS sv
+      FROM c GROUP BY 1, 2)
+SELECT CAST(tx AS VARCHAR) || '_' || CAST(ty AS VARCHAR) AS image_id,
+       CAST(64 AS INT) AS w, CAST(64 AS INT) AS h,
+       CAST(sv / 4096.0 AS DOUBLE) AS mean_luma
+FROM t
 """
 
     # self_intersections: same cover, candidates keyed on (wid, cell),
