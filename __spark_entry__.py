@@ -1667,6 +1667,26 @@ def q_tile_render_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares density contours (raster -> vector, the inverse
+    of polygon_rasterize): res-5 cell counts sampled at grid nodes,
+    isoline at 2.5 via the 16-case table with the fixed "separated"
+    saddle convention; endpoints linearly interpolated as node +
+    (t-a)/(b-a) — the single-division IEEE form both engines evaluate
+    bit-identically."""
+    from osmium_tool_spark.operators.tiles import contour_segments
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = contour_segments(nodes, res=5, threshold=2.5)
+    return out.select(
+        _L("bx").alias("bx"),
+        _L("by").alias("by"),
+        F.col("x1").alias("x1"), F.col("y1").alias("y1"),
+        F.col("x2").alias("x2"), F.col("y2").alias("y2"),
+    )
+
+
 def q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Way self-intersection detection: per-way count of its own
     PROPERLY-crossing segment pairs (the OSM-QA self-intersecting-way
@@ -1915,7 +1935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
-        "apply_changes_redact": q_apply_changes_redact,
         "pbf_roundtrip": q_pbf_roundtrip,
         "osc_sections": q_osc_sections,
         "decontaminate": q_decontaminate,
@@ -1943,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_rasterize": q_polygon_rasterize,
         "tile_render": q_tile_render,
         "tile_render_decode": q_tile_render_decode,
+        "contour": q_contour,
         "self_intersections": q_self_intersections,
         "way_junctions": q_way_junctions,
         "shard_manifest": q_shard_manifest,
@@ -1978,6 +1998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
+        # rotated out for contour (multi-round green; in-window sibling
+        # apply_changes_latest covers the changes family, redact pinned
+        # by goldens + the tail oracle)
+        "apply_changes_redact": q_apply_changes_redact,
         # rotated out for tile_render (multi-round green; in-window
         # family sibling getid_recursive covers the id-closure family)
         "getparents": q_getparents,
@@ -3360,6 +3384,48 @@ SELECT CAST(tx AS VARCHAR) || '_' || CAST(ty AS VARCHAR) AS image_id,
        CAST(64 AS INT) AS w, CAST(64 AS INT) AS h,
        CAST(sv / 4096.0 AS DOUBLE) AS mean_luma
 FROM t
+"""
+
+    # contour: marching squares over res-5 cell counts — scatter to the
+    # <=4 cornered blocks, max-pivot corners (0 default), 16-case table
+    # with the fixed saddle convention; endpoints via the identical
+    # single-division double form as the Spark Columns.
+    o["contour"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT {_ix_sql('lon', 5)} AS ix, {_iy_sql('lat', 5)} AS iy FROM nodes),
+c AS (SELECT ix, iy, count(*) AS v FROM g GROUP BY 1, 2),
+off(dx, dy) AS (VALUES (0,0),(1,0),(0,1),(1,1)),
+sc AS (SELECT ix - dx AS bx, iy - dy AS by, dx, dy, v FROM c CROSS JOIN off),
+b AS (SELECT bx, by,
+  CAST(coalesce(max(CASE WHEN dx=0 AND dy=0 THEN v END), 0) AS DOUBLE) AS v00,
+  CAST(coalesce(max(CASE WHEN dx=1 AND dy=0 THEN v END), 0) AS DOUBLE) AS v10,
+  CAST(coalesce(max(CASE WHEN dx=1 AND dy=1 THEN v END), 0) AS DOUBLE) AS v11,
+  CAST(coalesce(max(CASE WHEN dx=0 AND dy=1 THEN v END), 0) AS DOUBLE) AS v01
+ FROM sc GROUP BY 1, 2),
+e AS (SELECT bx, by, v00, v10, v11, v01,
+  (CASE WHEN v00 >= 2.5 THEN 1 ELSE 0 END) + (CASE WHEN v10 >= 2.5 THEN 2 ELSE 0 END)
+  + (CASE WHEN v11 >= 2.5 THEN 4 ELSE 0 END) + (CASE WHEN v01 >= 2.5 THEN 8 ELSE 0 END) AS cs,
+  CAST(bx AS DOUBLE) AS bxd, CAST(by AS DOUBLE) AS byd FROM b),
+s AS (SELECT bx, by, unnest(CASE cs
+   WHEN 1 THEN [{{'x1': bxd, 'y1': byd + (2.5 - v00)/(v01 - v00), 'x2': bxd + (2.5 - v00)/(v10 - v00), 'y2': byd}}]
+   WHEN 2 THEN [{{'x1': bxd + (2.5 - v00)/(v10 - v00), 'y1': byd, 'x2': bxd + 1, 'y2': byd + (2.5 - v10)/(v11 - v10)}}]
+   WHEN 3 THEN [{{'x1': bxd, 'y1': byd + (2.5 - v00)/(v01 - v00), 'x2': bxd + 1, 'y2': byd + (2.5 - v10)/(v11 - v10)}}]
+   WHEN 4 THEN [{{'x1': bxd + 1, 'y1': byd + (2.5 - v10)/(v11 - v10), 'x2': bxd + (2.5 - v01)/(v11 - v01), 'y2': byd + 1}}]
+   WHEN 5 THEN [{{'x1': bxd, 'y1': byd + (2.5 - v00)/(v01 - v00), 'x2': bxd + (2.5 - v00)/(v10 - v00), 'y2': byd}}, {{'x1': bxd + 1, 'y1': byd + (2.5 - v10)/(v11 - v10), 'x2': bxd + (2.5 - v01)/(v11 - v01), 'y2': byd + 1}}]
+   WHEN 6 THEN [{{'x1': bxd + (2.5 - v00)/(v10 - v00), 'y1': byd, 'x2': bxd + (2.5 - v01)/(v11 - v01), 'y2': byd + 1}}]
+   WHEN 7 THEN [{{'x1': bxd, 'y1': byd + (2.5 - v00)/(v01 - v00), 'x2': bxd + (2.5 - v01)/(v11 - v01), 'y2': byd + 1}}]
+   WHEN 8 THEN [{{'x1': bxd + (2.5 - v01)/(v11 - v01), 'y1': byd + 1, 'x2': bxd, 'y2': byd + (2.5 - v00)/(v01 - v00)}}]
+   WHEN 9 THEN [{{'x1': bxd + (2.5 - v00)/(v10 - v00), 'y1': byd, 'x2': bxd + (2.5 - v01)/(v11 - v01), 'y2': byd + 1}}]
+   WHEN 10 THEN [{{'x1': bxd + (2.5 - v00)/(v10 - v00), 'y1': byd, 'x2': bxd + 1, 'y2': byd + (2.5 - v10)/(v11 - v10)}}, {{'x1': bxd + (2.5 - v01)/(v11 - v01), 'y1': byd + 1, 'x2': bxd, 'y2': byd + (2.5 - v00)/(v01 - v00)}}]
+   WHEN 11 THEN [{{'x1': bxd + 1, 'y1': byd + (2.5 - v10)/(v11 - v10), 'x2': bxd + (2.5 - v01)/(v11 - v01), 'y2': byd + 1}}]
+   WHEN 12 THEN [{{'x1': bxd, 'y1': byd + (2.5 - v00)/(v01 - v00), 'x2': bxd + 1, 'y2': byd + (2.5 - v10)/(v11 - v10)}}]
+   WHEN 13 THEN [{{'x1': bxd + (2.5 - v00)/(v10 - v00), 'y1': byd, 'x2': bxd + 1, 'y2': byd + (2.5 - v10)/(v11 - v10)}}]
+   WHEN 14 THEN [{{'x1': bxd, 'y1': byd + (2.5 - v00)/(v01 - v00), 'x2': bxd + (2.5 - v00)/(v10 - v00), 'y2': byd}}]
+   END) AS sg FROM e WHERE cs NOT IN (0, 15))
+SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+       CAST(sg.x1 AS DOUBLE) AS x1, CAST(sg.y1 AS DOUBLE) AS y1,
+       CAST(sg.x2 AS DOUBLE) AS x2, CAST(sg.y2 AS DOUBLE) AS y2
+FROM s
 """
 
     # self_intersections: same cover, candidates keyed on (wid, cell),

@@ -603,3 +603,117 @@ def render_density_tiles(
         render,
         schema="tile_ix long, tile_iy long, n_px long, max_val long, png binary",
     )
+
+
+def contour_segments(
+    points: DataFrame,
+    res: int = 6,
+    threshold: float = 2.5,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Marching-squares contour extraction: the raster -> VECTOR inverse
+    of `polygon_rasterize` (isolines of the point-density field at
+    `threshold`, the standard cartographic density-contour layer).
+
+    Field samples are the res-`res` cell counts (or weight sums) taken
+    at integer grid nodes; every 2x2 node block whose corners straddle
+    the threshold emits 1-2 line segments with linear interpolation
+    along the crossed edges (the classic 16-case table; the two
+    ambiguous saddle cases 5/10 use the fixed "separated" convention,
+    identical in the DuckDB twin). The field is 0 outside the grid and
+    beyond the antimeridian (no lon wrap — contours CLOSE around data
+    at the world edge; a wrapping variant would scatter edge cells to
+    (ix+n) blocks).
+
+    Plan shape: ONE corpus-sized hash aggregate (rasterize) -> each
+    occupied cell scatters to the <=4 blocks it corners (explode 4,
+    cell-frame-sized) -> block re-aggregate (max-pivot the 4 corners)
+    -> 16-way codegen'd CASE emits segment structs -> explode. No join,
+    no window, no UDF; everything after the rasterize is bounded by
+    occupied cells, not points.
+
+    Returns (bx, by, x1, y1, x2, y2): block lower-left node coords and
+    segment endpoints, all in GRID units (node (i,j) = cell (i,j)'s
+    index; multiply by the cell span to georeference). Interpolated
+    coordinates are IEEE doubles computed as node + (t-a)/(b-a) — the
+    single-division form both engines evaluate bit-identically.
+    """
+    from ..functions.cells import _ix, _iy
+
+    t = float(threshold)
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    cells = points.select(
+        _ix(F.col(lon_col), res).alias("ix"),
+        _iy(F.col(lat_col), res).alias("iy"),
+        *([weight_col] if weight_col else []),
+    ).groupBy("ix", "iy").agg(w.cast("long").alias("v"))
+
+    # scatter: cell (ix,iy) is corner (dx,dy) of block (ix-dx, iy-dy)
+    scat = F.array(*[
+        F.struct(
+            (F.col("ix") - dx).alias("bx"),
+            (F.col("iy") - dy).alias("by"),
+            F.lit(dx).alias("dx"),
+            F.lit(dy).alias("dy"),
+            F.col("v").alias("v"),
+        )
+        for dx in (0, 1) for dy in (0, 1)
+    ])
+    blocks = (
+        cells.select(F.explode(scat).alias("s"))
+        .groupBy(F.col("s.bx").alias("bx"), F.col("s.by").alias("by"))
+        .agg(*[
+            F.coalesce(
+                F.max(F.when((F.col("s.dx") == dx) & (F.col("s.dy") == dy),
+                             F.col("s.v"))),
+                F.lit(0).cast("long"),
+            ).alias(f"v{dx}{dy}")
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1))
+        ])
+    )
+
+    v00, v10, v11, v01 = (F.col(c).cast("double")
+                          for c in ("v00", "v10", "v11", "v01"))
+    case = (
+        (v00 >= t).cast("int")
+        + (v10 >= t).cast("int") * 2
+        + (v11 >= t).cast("int") * 4
+        + (v01 >= t).cast("int") * 8
+    )
+    bx, by = F.col("bx").cast("double"), F.col("by").cast("double")
+    # edge crossing points (evaluated lazily — only referenced by cases
+    # where the two corners straddle t, so the denominator is never 0)
+    eb = (bx + (F.lit(t) - v00) / (v10 - v00), by)            # bottom
+    er = (bx + 1, by + (F.lit(t) - v10) / (v11 - v10))        # right
+    et = (bx + (F.lit(t) - v01) / (v11 - v01), by + 1)        # top
+    el = (bx, by + (F.lit(t) - v00) / (v01 - v00))            # left
+
+    def seg(p, q):
+        return F.struct(p[0].alias("x1"), p[1].alias("y1"),
+                        q[0].alias("x2"), q[1].alias("y2"))
+
+    table = {
+        1: [seg(el, eb)], 2: [seg(eb, er)], 3: [seg(el, er)],
+        4: [seg(er, et)], 5: [seg(el, eb), seg(er, et)],
+        6: [seg(eb, et)], 7: [seg(el, et)], 8: [seg(et, el)],
+        9: [seg(eb, et)], 10: [seg(eb, er), seg(et, el)],
+        11: [seg(er, et)], 12: [seg(el, er)], 13: [seg(eb, er)],
+        14: [seg(el, eb)],
+    }
+    segs = F.lit(None)
+    expr = None
+    for k, ss in table.items():
+        branch = F.array(*ss)
+        expr = (F.when(case == k, branch) if expr is None
+                else expr.when(case == k, branch))
+    segs = expr  # cases 0/15 fall through to NULL -> no rows after explode
+    return (
+        blocks.select("bx", "by", F.explode(segs).alias("s"))
+        .select(
+            F.col("bx"), F.col("by"),
+            F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
+            F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
+        )
+    )
