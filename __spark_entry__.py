@@ -1687,6 +1687,50 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker polyline simplification over localized
+    trajectories (the local_way_segments vertex derivation): exact
+    integer geometry — split at max |cross| (ties to smallest index),
+    keep iff |cross|^2 > eps^2 * |chord|^2, degenerate (ring) chords
+    fall back to point distance — so the kept set hash-matches a
+    recursive-CTE DuckDB twin computing the same recursion in
+    HUGEINT."""
+    from osmium_tool_spark.operators.simplify import simplify_polylines
+    from osmium_tool_spark.sources import testdata as td
+
+    li = td.load(spark, sf_dir, "lineitem")
+    span = 2 * td.TRAJ_D + 1
+    v = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.col("l_partkey").cast("long").alias("pk"),
+        (td.lon_expr(F.col("l_orderkey"))
+         + (F.col("l_partkey") * td.A_DX + F.col("l_linenumber") * td.A_LON)
+         % span - td.TRAJ_D).cast("long").alias("x"),
+        (td.lat_expr(F.col("l_orderkey"))
+         + (F.col("l_partkey") * td.A_DY + F.col("l_linenumber") * td.A_LAT)
+         % span - td.TRAJ_D).cast("long").alias("y"),
+    )
+    lines = (
+        v.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("ln", "pk", "x", "y")))
+             .alias("vs"))
+        .filter(F.size("vs") >= 2)
+        .select(
+            "id",
+            F.transform("vs", lambda s: s["x"]).alias("xs"),
+            F.transform("vs", lambda s: s["y"]).alias("ys"),
+        )
+    )
+    out = simplify_polylines(lines, epsilon=2_000_000)
+    return out.select(
+        _L("id").alias("id"),
+        F.col("pos").cast("int").alias("pos"),
+        _L("x").alias("x"),
+        _L("y").alias("y"),
+    )
+
+
 def q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Way self-intersection detection: per-way count of its own
     PROPERLY-crossing segment pairs (the OSM-QA self-intersecting-way
@@ -1933,7 +1977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
         "pbf_roundtrip": q_pbf_roundtrip,
         "osc_sections": q_osc_sections,
@@ -1963,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render": q_tile_render,
         "tile_render_decode": q_tile_render_decode,
         "contour": q_contour,
+        "simplify": q_simplify,
         "self_intersections": q_self_intersections,
         "way_junctions": q_way_junctions,
         "shard_manifest": q_shard_manifest,
@@ -2002,6 +2046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply_changes_latest covers the changes family, redact pinned
         # by goldens + the tail oracle)
         "apply_changes_redact": q_apply_changes_redact,
+        # rotated out for simplify (multi-round green; in-window siblings
+        # multimodal_decode/features + the tile_render_decode image loop)
+        "multimodal_resize": q_multimodal_resize,
         # rotated out for tile_render (multi-round green; in-window
         # family sibling getid_recursive covers the id-closure family)
         "getparents": q_getparents,
@@ -3384,6 +3431,61 @@ SELECT CAST(tx AS VARCHAR) || '_' || CAST(ty AS VARCHAR) AS image_id,
        CAST(64 AS INT) AS w, CAST(64 AS INT) AS h,
        CAST(sv / 4096.0 AS DOUBLE) AS mean_luma
 FROM t
+"""
+
+
+    # simplify: the SAME Douglas-Peucker recursion as the kernel,
+    # expressed as a recursive CTE — every dp row is a chord of the
+    # recursion tree, split rows fan out two children via the (0,1)
+    # cross join; kept vertices = distinct chord endpoints. Squares in
+    # HUGEINT (cross^2 reaches ~6e29 at the 1-degree trajectory span).
+    o["simplify"] = """
+WITH RECURSIVE v AS (SELECT l_orderkey AS wid, l_linenumber AS ln, l_partkey AS pk,
+  ((l_orderkey * 2654435761) % 3600000000 - 1800000000)
+    + ((l_partkey * 1013904223 + l_linenumber * 2654435761) % 20000001
+       - 10000000) AS x,
+  ((l_orderkey * 2246822519) % 1800000000 - 900000000)
+    + ((l_partkey * 1597334677 + l_linenumber * 2246822519) % 20000001
+       - 10000000) AS y
+ FROM lineitem),
+w AS (SELECT wid AS id, list(x ORDER BY ln, pk) AS xs,
+             list(y ORDER BY ln, pk) AS ys, count(*) AS n
+      FROM v GROUP BY wid HAVING count(*) >= 2),
+dp AS (
+  SELECT id, CAST(1 AS BIGINT) AS i, n AS j FROM w
+  UNION ALL
+  SELECT sp.id,
+         CASE WHEN h.h = 0 THEN sp.i ELSE sp.k END AS i,
+         CASE WHEN h.h = 0 THEN sp.k ELSE sp.j END AS j
+  FROM (
+    SELECT d.id, d.i, d.j, m.k
+    FROM dp d JOIN w USING (id),
+         LATERAL (
+           SELECT k, c FROM (
+             SELECT u.k,
+               CASE WHEN w.xs[d.j] = w.xs[d.i] AND w.ys[d.j] = w.ys[d.i]
+                 THEN (w.xs[u.k]-w.xs[d.i])*(w.xs[u.k]-w.xs[d.i])
+                      + (w.ys[u.k]-w.ys[d.i])*(w.ys[u.k]-w.ys[d.i])
+                 ELSE abs((w.xs[d.j]-w.xs[d.i])*(w.ys[u.k]-w.ys[d.i])
+                        - (w.ys[d.j]-w.ys[d.i])*(w.xs[u.k]-w.xs[d.i]))
+               END AS c
+             FROM (SELECT unnest(generate_series(d.i+1, d.j-1)) AS k) u
+           ) ORDER BY c DESC, k LIMIT 1
+         ) m
+    WHERE d.j > d.i + 1
+      AND CASE WHEN w.xs[d.j] = w.xs[d.i] AND w.ys[d.j] = w.ys[d.i]
+            THEN m.c > 4000000000000
+            ELSE CAST(m.c AS HUGEINT) * m.c > CAST(4000000000000 AS HUGEINT) *
+                 ((w.xs[d.j]-w.xs[d.i])*(w.xs[d.j]-w.xs[d.i])
+                  + (w.ys[d.j]-w.ys[d.i])*(w.ys[d.j]-w.ys[d.i]))
+          END
+  ) sp CROSS JOIN (VALUES (0), (1)) h(h)
+),
+kept AS (SELECT DISTINCT id, p FROM
+  (SELECT id, i AS p FROM dp UNION ALL SELECT id, j FROM dp) ep)
+SELECT CAST(k.id AS BIGINT) AS id, CAST(k.p - 1 AS INT) AS pos,
+       CAST(w.xs[k.p] AS BIGINT) AS x, CAST(w.ys[k.p] AS BIGINT) AS y
+FROM kept k JOIN w USING (id)
 """
 
     # contour: marching squares over res-5 cell counts — scatter to the

@@ -359,6 +359,16 @@ def main() -> None:
              nodes.select("lon", "lat"), res=8, tile_shift=5)))
     )
 
+    # 25. contour_segments: rasterize HashAggregate pair -> explode(4)
+    # on the CELL frame -> corner-pivot aggregate pair -> 16-case
+    # projection + explode; no join, no window, no UDF.
+    from osmium_tool_spark.operators.tiles import contour_segments
+
+    sections.append(
+        ("contour_segments (cell scatter -> corner pivot -> case table)",
+         capture_explain(contour_segments(nodes, res=5, threshold=2.5)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

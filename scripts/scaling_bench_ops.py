@@ -335,6 +335,31 @@ def run_tile_render():
     ).collect()
 
 
+def run_simplify():
+    # 400k localized polylines x 24 vertices (9.6M points): the way is
+    # the parallelism unit — Arrow batches into the numpy DP kernel.
+    # Vertices derive from hash column math (no Window, no driver data).
+    from osmium_tool_spark.operators.simplify import simplify_polylines
+
+    k = F.col("id")
+    bx = (k * 2654435761) % 3400000000 - 1700000000
+    by = (k * 2246822519) % 1600000000 - 800000000
+
+    def coord(base, salt):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda i: base + F.abs(F.xxhash64(k, i, F.lit(salt))) % 2000001
+            - 1000000,
+        )
+
+    lines = spark.range(400_000).select(
+        k.alias("id"), coord(bx, 1).alias("xs"), coord(by, 2).alias("ys")
+    )
+    simplify_polylines(lines, epsilon=300_000).agg(
+        F.count("*"), F.sum("pos")
+    ).collect()
+
+
 def run_segment_crossings():
     # n_entities localized trajectory segments (6 per way, consecutive
     # vertices shared via hash(way, seq) column math — no Window in the
@@ -410,6 +435,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("segment_crossings", run_segment_crossings),
                  ("polygon_rasterize", run_polygon_rasterize),
                  ("tile_render", run_tile_render),
+                 ("simplify", run_simplify),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
