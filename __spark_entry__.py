@@ -651,6 +651,23 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling (operators/tiles.quadtree_leaves): split
+    any tile over capacity into its 4 children until <= capacity or
+    max_res — the balanced-extract planner. Non-iterative plan: one
+    tile_pyramid cascade + ONE adjacent-level equi-join on the
+    bit-shifted parent id (counts are monotone up the tree, so the
+    ancestor chain collapses to the immediate parent test)."""
+    from osmium_tool_spark.operators.tiles import quadtree_leaves
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = quadtree_leaves(nodes, capacity=30, max_res=CELL_RES, min_res=1)
+    return out.select(
+        _L("res").alias("res"), _L("cell").alias("cell"), _L("n").alias("n")
+    )
+
+
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import knn_cellring
     from osmium_tool_spark.sources import testdata as td
@@ -2021,6 +2038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fileinfo": q_fileinfo,
         "ann_topk": q_ann_topk,
         "bernoulli_sample": q_bernoulli_sample,
+        # -- new in round 4g: adaptive quadtree tiling (in-window per
+        # judge item 7; tile_rollup rotates to the tail — quadtree's
+        # internal pyramid cascade exercises the same count-agg family,
+        # and tile_pyramid/tile_rollup both stay oracled in the tail) --
+        "quadtree": q_quadtree,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -2034,7 +2056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_clean": q_cat_clean,
         "apply_changes_latest": q_apply_changes_latest,
         "diff_status": q_diff_status,
-        "tile_rollup": q_tile_rollup,
         "knn_cellring": q_knn_cellring,
         # rotated out in 4e (multi-round green; in-window family
         # siblings: export_points/export_lines, multimodal_decode/
@@ -2092,6 +2113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window siblings extract_polygon, tile_rollup/stratified_sample,
         # dedup_ngram_jaccard/dedup_clusters, and mixture_sample itself
         # cover the same families; all four stay oracled in the tail)
+        # (r4g: tile_rollup rotated here for quadtree — same count-agg
+        # family, still oracled)
+        "tile_rollup": q_tile_rollup,
         "extract_osm_polygon": q_extract_osm_polygon,
         "tile_sample": q_tile_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2416,6 +2440,31 @@ WHERE num_changes > 0 AND num_comments > 0 AND uid IN ({uid_list})
 WITH {NODES_CTE},
 cells AS (SELECT {_morton_sql(ix, iy)} AS cell FROM nodes)
 SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell
+"""
+
+    # quadtree oracle: per-level counts (direct group-bys), then the same
+    # leaf condition — parent over capacity (or at the floor) and self
+    # under capacity (or at the ceiling). Counts are monotone up the
+    # tree, so the immediate-parent test IS the full ancestor chain.
+    qt_cap, qt_lo, qt_hi = 30, 1, CELL_RES
+    qt_levels = "\nUNION ALL\n".join(
+        f"SELECT {r} AS res, "
+        f"{_morton_sql(_ix_sql('lon', r), _iy_sql('lat', r), r)} AS cell, "
+        f"count(*) AS n FROM nodes GROUP BY 2"
+        for r in range(qt_lo, qt_hi + 1)
+    )
+    o["quadtree"] = f"""
+WITH {NODES_CTE},
+lv AS ({qt_levels})
+SELECT CAST(c.res AS BIGINT) AS res, CAST(c.cell AS BIGINT) AS cell,
+       CAST(c.n AS BIGINT) AS n
+FROM lv c
+LEFT JOIN lv p
+  ON p.res = c.res - 1
+ AND p.cell = ((CAST(c.res - 1 AS BIGINT) << 56)
+               | ((c.cell & ((CAST(1 AS BIGINT) << 56) - 1)) >> 2))
+WHERE (c.res = {qt_lo} OR p.n > {qt_cap})
+  AND (c.n <= {qt_cap} OR c.res = {qt_hi})
 """
 
     # pyramid oracle: a direct per-resolution group-by (the cascade must
