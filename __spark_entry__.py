@@ -651,6 +651,55 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile contact sheets END-TO-END over real PNG payloads
+    (operators/multimodal.mosaic_tiles): encode constant-gray source
+    PNGs with the from-spec codec, pick the first grid² images per
+    res-4 cell (WindowGroupLimit pre-trim), decode+thumbnail+paste into
+    one mosaic PNG per cell, then DECODE the mosaic back
+    (decode_png_meta) — the oracle predicts the decoded mean luma by
+    pure arithmetic: thumbnails of constants are constants and the
+    mosaic area is a power of two, so mean == sum(vals)/grid² exactly
+    in binary doubles. A wrong byte anywhere in either codec direction,
+    the ranking, or the paste geometry breaks the hash."""
+    from osmium_tool_spark.operators.multimodal import mosaic_tiles
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.images import (
+        decode_png_meta,
+        encode_gray_png_images,
+    )
+
+    nodes = td.nodes_from_part(spark, sf_dir).select(
+        F.col("id"),
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        ((F.col("id") * 37) % 256).cast("int").alias("val"),
+        (6 + F.col("id") % 11).cast("int").alias("w"),
+        (6 + F.col("id") % 7).cast("int").alias("h"),
+        "lon", "lat",
+    )
+    imgs = encode_gray_png_images(nodes)
+    tiles = mosaic_tiles(imgs, res=4, grid=2, thumb=8, order_col="id").persist()
+    meta = decode_png_meta(
+        tiles.select(
+            F.col("cell").cast("string").alias("image_id"),
+            F.col("png").alias("bytes"),
+            F.lit("png").alias("fmt"),
+        )
+    )
+    return tiles.select("cell", "n_imgs").join(
+        meta.select(
+            F.col("image_id").cast("long").alias("cell"),
+            F.col("w").cast("long").alias("w"),
+            F.col("h").cast("long").alias("h"),
+            F.col("mean_luma").alias("mean_luma"),
+        ),
+        "cell",
+    ).select(
+        _L("cell").alias("cell"), _L("n_imgs").alias("n_imgs"),
+        _L("w").alias("w"), _L("h").alias("h"), F.col("mean_luma"),
+    )
+
+
 def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree tiling (operators/tiles.quadtree_leaves): split
     any tile over capacity into its 4 children until <= capacity or
@@ -1993,7 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_lines": q_export_lines,
         "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
-        "multimodal_decode": q_multimodal_decode,
+        # (r4g: multimodal_decode rotated to the tail — the in-window
+        # image loop is now covered by mosaic (REAL decode both ways) +
+        # tile_render_decode + multimodal_features)
         "multimodal_features": q_multimodal_features,
         "pbf_roundtrip": q_pbf_roundtrip,
         "osc_sections": q_osc_sections,
@@ -2011,7 +2062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_score": q_lm_quality_score,
         "cluster_assign": q_cluster_assign,
         "zonal_stats": q_zonal_stats,
-        "semantic_dedup": q_semantic_dedup,
+        # (r4g: semantic_dedup rotated to the tail — it is rows-only
+        # (iterative k-means, no SQL oracle) so a window slot adds no
+        # oracle signal; the embedding-dedup family keeps in-window
+        # siblings via ann_topk + cluster_assign)
         "normalize_text": q_normalize_text,
         "spatial_join": q_spatial_join,
         "grid_cluster": q_grid_cluster,
@@ -2043,6 +2097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # internal pyramid cascade exercises the same count-agg family,
         # and tile_pyramid/tile_rollup both stay oracled in the tail) --
         "quadtree": q_quadtree,
+        # -- new in round 4g: per-tile contact sheets over real PNG
+        # payloads (in-window) --
+        "mosaic": q_mosaic,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -2114,8 +2171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_ngram_jaccard/dedup_clusters, and mixture_sample itself
         # cover the same families; all four stay oracled in the tail)
         # (r4g: tile_rollup rotated here for quadtree — same count-agg
-        # family, still oracled)
+        # family, still oracled; multimodal_decode + semantic_dedup
+        # rotated here for mosaic and to keep getid_recursive/renumber
+        # in-window — see the in-window comments)
         "tile_rollup": q_tile_rollup,
+        "multimodal_decode": q_multimodal_decode,
+        "semantic_dedup": q_semantic_dedup,
         "extract_osm_polygon": q_extract_osm_polygon,
         "tile_sample": q_tile_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2440,6 +2501,26 @@ WHERE num_changes > 0 AND num_comments > 0 AND uid IN ({uid_list})
 WITH {NODES_CTE},
 cells AS (SELECT {_morton_sql(ix, iy)} AS cell FROM nodes)
 SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell
+"""
+
+    # mosaic oracle: pure arithmetic end-to-end — source images are
+    # constant-gray (val = id*37 % 256), nearest-neighbor thumbnails of
+    # constants are constants, empty mosaic slots are 0, and the mosaic
+    # area is a power of two, so decoded mean == sum(first-4 vals)/4
+    # exactly in binary doubles. Rank order mirrors order_col=id.
+    o["mosaic"] = f"""
+WITH {NODES_CTE},
+imgs AS (SELECT id, (id * 37) % 256 AS val,
+         {_morton_sql(_ix_sql('lon', 4), _iy_sql('lat', 4), 4)} AS cell
+         FROM nodes),
+r AS (SELECT cell, val,
+        row_number() OVER (PARTITION BY cell ORDER BY id) AS rk
+      FROM imgs)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(least(count(*), 4) AS BIGINT) AS n_imgs,
+       CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+       sum(CASE WHEN rk <= 4 THEN val ELSE 0 END) / 4.0 AS mean_luma
+FROM r GROUP BY cell
 """
 
     # quadtree oracle: per-level counts (direct group-bys), then the same

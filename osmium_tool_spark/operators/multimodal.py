@@ -142,3 +142,91 @@ def extract_features(images: DataFrame, dim: int = 64) -> DataFrame:
     return images.select("image_id", "phash", "bytes").mapInPandas(
         fake_encode, schema="image_id string, embedding array<double>"
     )
+
+
+def mosaic_tiles(
+    images: DataFrame,
+    res: int,
+    grid: int = 4,
+    thumb: int = 32,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "image_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-map-tile CONTACT SHEET: pick the first grid² images of every
+    occupied cell (deterministic order), DECODE each PNG payload with
+    the from-spec codec, nearest-neighbor-resample its luma to a
+    thumb×thumb thumbnail, paste row-major into one (grid·thumb)²
+    grayscale mosaic, and re-encode as PNG — the visual-QA artifact a
+    10^12-image corpus needs per tile (eyeball a region's training data
+    without pulling the region's rows).
+
+    Scale shape: cell assignment and the per-cell top-k are pure
+    Column/window ops — `row_number() <= grid²` compiles to
+    WindowGroupLimit, so each map task pre-trims to grid² rows per cell
+    BEFORE the exchange; the shuffle carries at most grid²·cells rows
+    of (small) image payloads, independent of corpus size. The paste
+    kernel is groupBy(cell).applyInPandas over groups bounded at grid²
+    rows — executor memory is bounded by the mosaic contract
+    (grid²·thumb² + payload bytes), never by the data. Decode/encode is
+    `functions/png.py` shipped by value (no repo on executor paths).
+
+    Nearest-neighbor index math is exact integer floor division
+    (src_row = y·h // thumb), identical for up- and down-sampling, so a
+    constant-valued source stays constant through the thumbnail — the
+    property the arithmetic oracle rides.
+
+    Returns (cell:long, n_imgs:int, w:int, h:int, png:binary).
+    """
+    if grid < 1 or thumb < 1:
+        raise ValueError(f"need grid, thumb >= 1, got {grid}, {thumb}")
+    from pyspark.sql import Window
+
+    from ..functions.cells import cell_id
+    from ..sources.images import _png_by_value
+
+    _png_by_value()
+    from ..functions import png as _png
+
+    k = grid * grid
+    side = grid * thumb
+    order = [F.col(order_col)] if order_col else []
+    w_rank = Window.partitionBy("cell").orderBy(*order, F.col(id_col))
+    ranked = (
+        images.withColumn(
+            "cell", cell_id(F.col(lon_col), F.col(lat_col), res)
+        )
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= k)
+        .select("cell", "__rk", "bytes")
+    )
+
+    def paste(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mosaic = np.zeros((side, side), np.uint8)
+        n = 0
+        for rk, payload in zip(pdf["__rk"], pdf["bytes"]):
+            img = _png.luma(_png.decode(bytes(payload)))
+            h, w = img.shape
+            ys = np.arange(thumb) * h // thumb
+            xs = np.arange(thumb) * w // thumb
+            th = np.clip(np.rint(img[np.ix_(ys, xs)]), 0, 255).astype(np.uint8)
+            slot = int(rk) - 1
+            r, c = (slot // grid) * thumb, (slot % grid) * thumb
+            mosaic[r:r + thumb, c:c + thumb] = th
+            n += 1
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_imgs": [n],
+                "w": [side],
+                "h": [side],
+                "png": [_png.encode_gray(mosaic)],
+            }
+        )
+
+    return ranked.groupBy("cell").applyInPandas(
+        paste, schema="cell long, n_imgs int, w int, h int, png binary"
+    )

@@ -301,3 +301,35 @@ def decode_png_pixels(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(png_pixels, schema=PIXELS_SCHEMA)
+
+
+def encode_gray_png_images(df: DataFrame) -> DataFrame:
+    """REAL synthetic PNG payloads: for each row (image_id, w, h, val)
+    encode a constant-gray w×h image with the from-spec codec — the
+    binary column is genuine spec-conformant PNG bytes any decoder can
+    open, while every pixel stays an arithmetic function of the row, so
+    SQL oracles can predict downstream decoded statistics exactly.
+    Passthrough of all other columns; adds `bytes` + fmt='png'."""
+    _png_by_value()
+    from ..functions import png as _png
+
+    keep = [c for c in df.columns if c not in ("bytes", "fmt")]
+    cols = df.select(*keep)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cols.schema.fields
+    ) + ", bytes binary, fmt string"
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [
+                _png.encode_gray(np.full((int(h), int(w)), int(v) & 0xFF, np.uint8))
+                for w, h, v in zip(pdf["w"], pdf["h"], pdf["val"])
+            ]
+            pdf = pdf.copy()
+            pdf["bytes"] = payloads
+            pdf["fmt"] = "png"
+            yield pdf
+
+    return cols.mapInPandas(enc, schema=schema)
