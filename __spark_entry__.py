@@ -1605,6 +1605,31 @@ def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_way_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact signed ring area + centroid per way
+    (operators/export.way_area_centroid): shoelace on coordinates
+    translated to the first vertex (closing terms vanish — one formula
+    for closed and auto-closed rings), every product/sum in
+    decimal(38,0) because world-span cross products exceed int64;
+    area2 emitted as exact decimal digits, centroid in the
+    single-division IEEE form (HUGEINT->double and decimal->double are
+    both correctly rounded, so the doubles hash bit-identically)."""
+    from osmium_tool_spark.operators.export import way_area_centroid
+    from osmium_tool_spark.sources import testdata as td
+
+    out = way_area_centroid(
+        td.ways_from_orders(spark, sf_dir), td.nodes_from_part(spark, sf_dir)
+    )
+    return out.select(
+        _L("id").alias("id"),
+        _L("n_nodes").alias("n_nodes"),
+        F.col("area2").alias("area2"),
+        F.col("is_ccw").alias("is_ccw"),
+        F.col("cx").alias("cx"),
+        F.col("cy").alias("cy"),
+    )
+
+
 def q_tile_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffered tile assignment (vector-tile cut): each point lands in its
     home tile plus every neighbor whose buffer-expanded extent contains
@@ -2055,7 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "mixture_sample": q_mixture_sample,
         "leakage_split": q_leakage_split,
-        "bigram_features": q_bigram_features,
+        # (r4g: bigram_features rotated to the tail for way_area —
+        # lm_quality_score keeps the char-bigram machinery in-window)
         # -- new in round 4c: retrieval + zonal stats + SemDeDup --
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2100,6 +2126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4g: per-tile contact sheets over real PNG
         # payloads (in-window) --
         "mosaic": q_mosaic,
+        # -- new in round 4g: exact ring area + centroid (in-window;
+        # bigram_features rotates to the tail — lm_quality_score keeps
+        # the char-bigram machinery in-window, bigram_features stays
+        # oracled in the tail) --
+        "way_area": q_way_area,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
@@ -2177,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "multimodal_decode": q_multimodal_decode,
         "semantic_dedup": q_semantic_dedup,
+        "bigram_features": q_bigram_features,
         "extract_osm_polygon": q_extract_osm_polygon,
         "tile_sample": q_tile_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3418,6 +3450,47 @@ SELECT CAST(id AS BIGINT) AS id, CAST(len(xs) AS BIGINT) AS n_nodes,
          list_transform(range(1, len(xs)), i -> {hav_seg})),
          (a, b) -> a + b), 3) AS DOUBLE) AS length_m
 FROM c WHERE len(xs) >= 2
+"""
+
+    # way area/centroid: shoelace on coords translated to the first
+    # vertex (closing terms vanish), HUGEINT twin of the decimal(38,0)
+    # folds; area2 compared as exact digit strings, centroid doubles in
+    # the single-division IEEE form (HUGEINT->DOUBLE and
+    # decimal->double are both correctly rounded — verified empirically
+    # over 2000 random wide integers).
+    def _wa_cross(i: str) -> str:
+        return (
+            f"(CAST(xs[{i}] - xs[1] AS HUGEINT) * CAST(ys[{i}+1] - ys[1] AS HUGEINT)"
+            f" - CAST(xs[{i}+1] - xs[1] AS HUGEINT) * CAST(ys[{i}] - ys[1] AS HUGEINT))"
+        )
+
+    def _wa_fold(term: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            f"list_transform(range(1, len(xs)), i -> {term})), (a, b) -> a + b)"
+        )
+
+    o["way_area"] = f"""
+WITH {NODES_CTE},
+pts AS (SELECT l_orderkey, n.lon, n.lat, l_linenumber, l_partkey
+        FROM lineitem JOIN nodes n ON l_partkey = n.id),
+c AS (SELECT l_orderkey AS id,
+             list(lon ORDER BY l_linenumber, l_partkey) AS xs,
+             list(lat ORDER BY l_linenumber, l_partkey) AS ys
+      FROM pts GROUP BY 1),
+t AS (SELECT id, len(xs) AS n_nodes, xs[1] AS x1, ys[1] AS y1,
+        {_wa_fold(_wa_cross('i'))} AS a2,
+        {_wa_fold(f"(CAST(xs[i] - xs[1] AS HUGEINT) + CAST(xs[i+1] - xs[1] AS HUGEINT)) * {_wa_cross('i')}")} AS nx,
+        {_wa_fold(f"(CAST(ys[i] - ys[1] AS HUGEINT) + CAST(ys[i+1] - ys[1] AS HUGEINT)) * {_wa_cross('i')}")} AS ny
+      FROM c WHERE len(xs) >= 3)
+SELECT CAST(id AS BIGINT) AS id, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(a2 AS VARCHAR) AS area2,
+       (a2 > 0) AS is_ccw,
+       CASE WHEN a2 <> 0 THEN CAST(x1 AS DOUBLE)
+            + CAST(nx AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) END AS cx,
+       CASE WHEN a2 <> 0 THEN CAST(y1 AS DOUBLE)
+            + CAST(ny AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) END AS cy
+FROM t
 """
 
     # buffered tile assignment: integer-scaled edge tests (s = (coord -

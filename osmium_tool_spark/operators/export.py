@@ -925,3 +925,95 @@ def to_pg(feats: DataFrame, geometry: str = "ewkb") -> DataFrame:
             )
 
     return staged.mapInPandas(batches, schema="row string")
+
+
+def way_area_centroid(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """EXACT signed ring area + centroid per way:
+    (id, n_nodes, area2, is_ccw, cx, cy).
+
+    The area half of the export geometry assembly — the reference
+    computes ring orientation the same way to assemble multipolygons
+    (area::detail CCW test; our `functions/geometry.py:38-52` uses it
+    for ring pooling) but leaves the area VALUE to downstream GIS; at
+    training-data scale the value is the feature (building footprint
+    m², region weights, size-stratified sampling).
+
+    Exactness: shoelace on coordinates TRANSLATED to the first vertex.
+    Translation is mathematically area-invariant and makes both closing
+    terms vanish (dx₁ = dy₁ = 0), so ONE index range — pairs
+    (vᵢ, vᵢ₊₁), i = 1..m-1 — handles closed rings (last==first) and
+    open rings (implicit close) identically, no branches. Cross
+    products reach ~1.3e19 at world span (> int64), so every product
+    and sum rides decimal(38,0): exact for rings up to 2000 vertices at
+    full world coordinates (sums bounded ~1e32 << 1e38). `area2` is
+    twice the signed area in fixed-point units², emitted as its exact
+    decimal digits (a string both engines print identically);
+    `is_ccw` = area2 > 0 (the reference's orientation rule). The
+    centroid is the single-division IEEE form — exact-integer
+    numerators/denominator cast to double once, one divide, one add —
+    so both engines produce bit-identical doubles; NULL for degenerate
+    (zero-area) rings. Unresolved refs propagate NULL through the fold
+    (callers decide error policy, mirroring export --show-errors).
+
+    Scale shape: identical to way_length_m — locations_join is the one
+    corpus-sized exchange pair; the folds are codegen'd higher-order
+    functions over per-way arrays, zero extra shuffle, no UDF.
+    """
+    joined = locations_join(ways, nodes).filter(F.size("coords") >= 3)
+    c = F.col("coords")
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    x1, y1 = F.element_at(c, 1)["__lon"], F.element_at(c, 1)["__lat"]
+
+    def pair(i: Column):
+        p, q = F.element_at(c, i), F.element_at(c, i + F.lit(1))
+        dxp = (p["__lon"] - x1).cast(d19)
+        dyp = (p["__lat"] - y1).cast(d19)
+        dxq = (q["__lon"] - x1).cast(d19)
+        dyq = (q["__lat"] - y1).cast(d19)
+        return dxp, dyp, dxq, dyq
+
+    def cross(i: Column) -> Column:
+        dxp, dyp, dxq, dyq = pair(i)
+        return (dxp * dyq - dxq * dyp).cast(d38)
+
+    def fold(term) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            F.lit(0).cast(d38),
+            lambda acc, i: (acc + term(i)).cast(d38),
+        )
+
+    def num_term(sel):
+        def term(i: Column) -> Column:
+            dxp, dyp, dxq, dyq = pair(i)
+            s = (dxp + dxq) if sel == "x" else (dyp + dyq)
+            return (s.cast(d38) * (dxp * dyq - dxq * dyp).cast(d38)).cast(d38)
+
+        return term
+
+    area2 = fold(cross)
+    nx = fold(num_term("x"))
+    ny = fold(num_term("y"))
+    staged = joined.select(
+        "id",
+        F.size(c).cast("long").alias("n_nodes"),
+        x1.alias("__x1"),
+        y1.alias("__y1"),
+        area2.alias("__a2"),
+        nx.alias("__nx"),
+        ny.alias("__ny"),
+    )
+    a2d = F.col("__a2").cast("double")
+    return staged.select(
+        "id",
+        "n_nodes",
+        F.col("__a2").cast("string").alias("area2"),
+        F.when(F.col("__a2").isNotNull(), F.col("__a2") > 0).alias("is_ccw"),
+        F.when(F.col("__a2") != 0,
+               F.col("__x1").cast("double")
+               + F.col("__nx").cast("double") / (F.lit(3.0) * a2d)).alias("cx"),
+        F.when(F.col("__a2") != 0,
+               F.col("__y1").cast("double")
+               + F.col("__ny").cast("double") / (F.lit(3.0) * a2d)).alias("cy"),
+    )

@@ -389,6 +389,31 @@ def run_segment_crossings():
     segment_crossings(segs, res=10).count()
 
 
+def run_mosaic():
+    # n_docs/3 real PNG payloads encoded, window-trimmed to grid^2 per
+    # res-6 cell, decoded + thumbnailed + pasted + re-encoded per cell:
+    # the image-kernel path (Python/numpy/zlib inside mapInPandas) is
+    # the cost center and embarrassingly parallel — the scaling row for
+    # the codec-bound family (tile_render measures the agg-bound one).
+    from osmium_tool_spark.operators.multimodal import mosaic_tiles
+    from osmium_tool_spark.sources.images import encode_gray_png_images
+
+    k = F.col("id")
+    src = spark.range(1, {n_docs} // 3 + 1).select(
+        k.alias("id"),
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        ((k * 37) % 256).cast("int").alias("val"),
+        (6 + k % 11).cast("int").alias("w"),
+        (6 + k % 7).cast("int").alias("h"),
+        ((k * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((k * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    imgs = encode_gray_png_images(src)
+    mosaic_tiles(imgs, res=6, grid=2, thumb=8, order_col="id").agg(
+        F.sum(F.length("png")), F.sum("n_imgs")
+    ).collect()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -436,6 +461,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("polygon_rasterize", run_polygon_rasterize),
                  ("tile_render", run_tile_render),
                  ("simplify", run_simplify),
+                 ("mosaic", run_mosaic),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
