@@ -717,6 +717,21 @@ def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash encode (functions/cells.geohash_col): the third
+    cell-index family next to the Morton quadtree and kNN cell rings —
+    pure integer Column arithmetic + one substring per character, whole
+    stage codegen, exact SQL twin."""
+    from osmium_tool_spark.functions.cells import geohash_col
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    return nodes.select(
+        _L("id").alias("id"),
+        geohash_col(F.col("lon"), F.col("lat"), 7).alias("gh"),
+    )
+
+
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.operators.similarity import knn_cellring
     from osmium_tool_spark.sources import testdata as td
@@ -2140,6 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_filter_closure": q_tags_filter_closure,
         "getid_recursive": q_getid_recursive,
         "renumber": q_renumber,
+        # -- tail from here (51+): geohash (r4g scalar function — the
+        # export gates cover the §2.7 family in-window; oracled here) --
+        "geohash": q_geohash,
         "sort_canonical": q_sort_canonical,
         "cat_clean": q_cat_clean,
         "apply_changes_latest": q_apply_changes_latest,
@@ -2553,6 +2571,33 @@ SELECT CAST(cell AS BIGINT) AS cell,
        CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
        sum(CASE WHEN rk <= 4 THEN val ELSE 0 END) / 4.0 AS mean_luma
 FROM r GROUP BY cell
+"""
+
+    # geohash oracle: same exact arithmetic — int64 bin multiply, ONE
+    # double division, floor, clamp (the _ix_sql shape), then per-char
+    # 5-bit extraction into the base32 alphabet.
+    gh_p = 7
+    gh_bits = 5 * gh_p
+    gh_nlon, gh_nlat = (gh_bits + 1) // 2, gh_bits // 2
+    gh_alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    gh_chars = []
+    for k in range(gh_p):
+        bits = []
+        for j in range(5):
+            i = 5 * k + j
+            src = "lonb" if i % 2 == 0 else "latb"
+            sh = (gh_nlon - 1 - i // 2) if i % 2 == 0 else (gh_nlat - 1 - i // 2)
+            bits.append(f"((({src} >> {sh}) & 1) << {4 - j})")
+        gh_chars.append(
+            f"substring('{gh_alpha}', CAST({' | '.join(bits)} AS INT) + 1, 1)"
+        )
+    o["geohash"] = f"""
+WITH {NODES_CTE},
+b AS (SELECT id,
+        {_ix_sql('lon', gh_nlon)} AS lonb,
+        {_iy_sql('lat', gh_nlat)} AS latb
+      FROM nodes)
+SELECT CAST(id AS BIGINT) AS id, ({' || '.join(gh_chars)}) AS gh FROM b
 """
 
     # quadtree oracle: per-level counts (direct group-bys), then the same
