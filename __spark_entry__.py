@@ -1871,6 +1871,26 @@ def q_way_junctions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment->tile cut: tiles each local-trajectory segment TRULY
+    intersects (separating-axis test on the segment's normal, refining
+    the bbox cell cover that over-assigns diagonal chords) — closed-
+    closed semantics so edge-touching segments land in both tiles.
+    Scaled-integer corner orientations in decimal(31,0); map-only
+    (projection -> bounded double explode -> codegen predicate)."""
+    from osmium_tool_spark.operators.tiles import segment_tile_assign
+    from osmium_tool_spark.sources import testdata as td
+
+    segs = td.local_way_segments(spark, sf_dir)
+    out = segment_tile_assign(segs, res=7)
+    return out.select(
+        _L("way_id").alias("way_id"),
+        _L("seq").alias("seq"),
+        _L("tile_ix").alias("tile_ix"),
+        _L("tile_iy").alias("tile_iy"),
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order shard manifest: geo-referenced images packed into
     fixed-size training shards along the space-filling curve —
@@ -2120,7 +2140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour": q_contour,
         "simplify": q_simplify,
         "self_intersections": q_self_intersections,
-        "way_junctions": q_way_junctions,
+        # -- new in round 4h: exact segment->tile cut (in-window per
+        # judge item 7; way_junctions rotates to the tail — the
+        # segment-topology family keeps ways_crossing +
+        # self_intersections in-window, and way_junctions stays oracled
+        # in the tail + pinned in tests/test_crossings.py) --
+        "segment_tile": q_segment_tile,
         "shard_manifest": q_shard_manifest,
         "pack_sequences": q_pack_sequences,
         "knn_geodesic": q_knn_geodesic,
@@ -2192,6 +2217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters/dedup_ngram_jaccard (pair families), ann_topk
         # (ann family) and semantic_dedup/knn_cellring (embedding dedup)
         # cover the same operators; all three stay oracled in the tail)
+        # (r4h: way_junctions rotated here for segment_tile — in-window
+        # siblings ways_crossing/self_intersections cover the segment-
+        # topology family; still oracled in the tail)
+        "way_junctions": q_way_junctions,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "tags_count": q_tags_count,
@@ -3812,6 +3841,43 @@ SELECT CAST(a.wid AS BIGINT) AS way_a, CAST(b.wid AS BIGINT) AS way_b,
 FROM pts a JOIN pts b
   ON a.vx = b.vx AND a.vy = b.vy AND a.wid < b.wid
 GROUP BY 1, 2
+"""
+
+    # segment_tile: exact closed-closed segment-vs-tile in the scaled
+    # domain s = (coord - min) * 2^7 where tile (cx,cy) spans
+    # [cx*3.6e9,(cx+1)*3.6e9] x [cy*1.8e9,(cy+1)*1.8e9] with integer
+    # corners; CLOSED cover cxmin = ceil(smin/S)-1 = (smin-1)//S (the
+    # smin=0 floor/trunc mismatch clamps away at 0), then the
+    # separating-axis sign-span of the four corner orientations in
+    # HUGEINT (Spark twin: decimal(31,0)).
+    o["segment_tile"] = f"""{_seg_ctes},
+sc AS (SELECT wid, seq,
+        (x1 + 1800000000) * 128 AS sx1, (y1 + 900000000) * 128 AS sy1,
+        (x2 + 1800000000) * 128 AS sx2, (y2 + 900000000) * 128 AS sy2
+       FROM seg),
+boxed AS (SELECT wid, seq, sx1, sy1, sx2, sy2,
+   greatest((least(sx1, sx2) - 1) // 3600000000, 0) AS cxmin,
+   least(greatest(sx1, sx2) // 3600000000, 127) AS cxmax,
+   greatest((least(sy1, sy2) - 1) // 1800000000, 0) AS cymin,
+   least(greatest(sy1, sy2) // 1800000000, 127) AS cymax
+ FROM sc),
+cells AS (SELECT wid, seq, sx1, sy1, sx2, sy2, cx, cy FROM boxed,
+   LATERAL (SELECT unnest(generate_series(cxmin, cxmax)) AS cx) u1,
+   LATERAL (SELECT unnest(generate_series(cymin, cymax)) AS cy) u2),
+o AS (SELECT wid, seq, cx, cy,
+   CAST(sx2-sx1 AS HUGEINT)*(cy*1800000000 - sy1)
+     - CAST(sy2-sy1 AS HUGEINT)*(cx*3600000000 - sx1) AS o1,
+   CAST(sx2-sx1 AS HUGEINT)*((cy+1)*1800000000 - sy1)
+     - CAST(sy2-sy1 AS HUGEINT)*(cx*3600000000 - sx1) AS o2,
+   CAST(sx2-sx1 AS HUGEINT)*(cy*1800000000 - sy1)
+     - CAST(sy2-sy1 AS HUGEINT)*((cx+1)*3600000000 - sx1) AS o3,
+   CAST(sx2-sx1 AS HUGEINT)*((cy+1)*1800000000 - sy1)
+     - CAST(sy2-sy1 AS HUGEINT)*((cx+1)*3600000000 - sx1) AS o4
+ FROM cells)
+SELECT CAST(wid AS BIGINT) AS way_id, CAST(seq AS BIGINT) AS seq,
+       CAST(cx AS BIGINT) AS tile_ix, CAST(cy AS BIGINT) AS tile_iy
+FROM o
+WHERE least(o1, o2, o3, o4) <= 0 AND greatest(o1, o2, o3, o4) >= 0
 """
 
     # shard manifest: raw res-8 morton (no res<<56 pack — the operator

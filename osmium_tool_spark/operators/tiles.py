@@ -778,3 +778,121 @@ def quadtree_leaves(
         ((F.col("res") == min_res) | (F.col("parent_n") > capacity))
         & ((F.col("n") <= capacity) | (F.col("res") == max_res))
     ).select("res", "cell", "n")
+
+
+def segment_tile_assign(
+    segs: DataFrame,
+    res: int,
+    max_cells_per_seg: int = 4096,
+) -> DataFrame:
+    """Exact segment→tile cut: one row per (segment, tile) where the CLOSED
+    segment truly intersects the CLOSED tile rectangle — the line-feature
+    analogue of `tile_buffer_assign` and the vector-tile cut the reference
+    performs one extract at a time (extract bbox cutting, osmium-tool
+    extract/strategy_simple.cpp; export tiling surface SURVEY.md §2.9).
+
+    A bbox cell cover over-assigns diagonal segments (a 45° chord's bbox
+    covers O(L²) cells but the segment passes through O(L)); this operator
+    refines the cover with the exact separating-axis test, so per-tile
+    work downstream is proportional to geometry actually present in the
+    tile. Two candidate separating axes exist for segment-vs-AABB: the
+    box axes (excluded by the cover) and the segment's normal — the
+    segment intersects the tile iff the tile's four corners do not lie
+    strictly on one side of the segment's supporting line.
+
+    All math is exact: scaled domain s = (coord - min) * 2^res puts tile
+    (cx, cy) at [cx·LON_SPAN, (cx+1)·LON_SPAN] × [cy·LAT_SPAN,
+    (cy+1)·LAT_SPAN] with integer corners; corner orientations are
+    decimal(15,0)×decimal(15,0) → decimal(31,0) Column determinants
+    (DuckDB twin uses HUGEINT). Closed-closed semantics: a segment
+    touching a shared tile edge lands in BOTH tiles (seam-free cut —
+    downstream per-tile rendering needs edge features on each side).
+
+    Scale shape: projection → bounded double explode (loudly capped at
+    `max_cells_per_seg`) → codegen'd predicate. Map-only: no shuffle, no
+    join, no Python. Output inflation is the O(L/cell) pass-through
+    count every tiler pays.
+
+    Input: (way_id, seq, x1, y1, x2, y2) long fixed-point coords.
+    Output: (way_id, seq, tile_ix, tile_iy).
+    """
+    if not 0 <= res <= 16:
+        raise ValueError(f"segment_tile_assign: res must be in [0,16], got {res}")
+    n = 1 << res
+    dec = "decimal(15,0)"
+
+    def sx(c: str) -> Column:
+        return (F.col(c).cast("long") - F.lit(_LON_MIN)) * n
+
+    def sy(c: str) -> Column:
+        return (F.col(c).cast("long") - F.lit(_LAT_MIN)) * n
+
+    s = segs.select(
+        "way_id", "seq",
+        sx("x1").alias("sx1"), sy("y1").alias("sy1"),
+        sx("x2").alias("sx2"), sy("y2").alias("sy2"),
+    )
+    # CLOSED cover: cell cx intersects [smin, smax] iff cx*SPAN <= smax
+    # and (cx+1)*SPAN >= smin -> cxmin = ceil(smin/SPAN)-1 = (smin-1) div
+    # SPAN for smin >= 1 (the smin = 0 truncation mismatch clamps away).
+    boxed = s.select(
+        "way_id", "seq", "sx1", "sy1", "sx2", "sy2",
+        F.greatest(
+            F.expr(f"(least(sx1, sx2) - 1) div {_LON_SPAN}"), F.lit(0)
+        ).alias("cxmin"),
+        F.least(
+            F.expr(f"greatest(sx1, sx2) div {_LON_SPAN}"), F.lit(n - 1)
+        ).alias("cxmax"),
+        F.greatest(
+            F.expr(f"(least(sy1, sy2) - 1) div {_LAT_SPAN}"), F.lit(0)
+        ).alias("cymin"),
+        F.least(
+            F.expr(f"greatest(sy1, sy2) div {_LAT_SPAN}"), F.lit(n - 1)
+        ).alias("cymax"),
+    ).filter(
+        # A segment wholly outside the tile domain (e.g. antimeridian-
+        # unwrapped lon > 180) clamps to an inverted range (cxmin >
+        # cxmax); drop it here — F.sequence would otherwise generate a
+        # DESCENDING sequence where SQL generate_series is empty.
+        (F.col("cxmin") <= F.col("cxmax"))
+        & (F.col("cymin") <= F.col("cymax"))
+    ).filter(
+        F.when(
+            (F.col("cxmax") - F.col("cxmin") + 1)
+            * (F.col("cymax") - F.col("cymin") + 1)
+            > max_cells_per_seg,
+            F.raise_error(
+                F.lit(
+                    f"segment covers more than {max_cells_per_seg} tiles at "
+                    f"res {res}: raise max_cells_per_seg or coarsen res"
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+    )
+    cells = boxed.select(
+        "way_id", "seq", "sx1", "sy1", "sx2", "sy2",
+        F.explode(F.sequence("cxmin", "cxmax")).alias("cx"),
+        "cymin", "cymax",
+    ).select(
+        "way_id", "seq", "sx1", "sy1", "sx2", "sy2", "cx",
+        F.explode(F.sequence("cymin", "cymax")).alias("cy"),
+    )
+    dx = (F.col("sx2") - F.col("sx1")).cast(dec)
+    dy = (F.col("sy2") - F.col("sy1")).cast(dec)
+
+    def orient(rx: Column, ry: Column) -> Column:
+        return dx * (ry - F.col("sy1")).cast(dec) - dy * (
+            rx - F.col("sx1")
+        ).cast(dec)
+
+    x0 = F.col("cx") * F.lit(_LON_SPAN)
+    x1 = (F.col("cx") + 1) * F.lit(_LON_SPAN)
+    y0 = F.col("cy") * F.lit(_LAT_SPAN)
+    y1 = (F.col("cy") + 1) * F.lit(_LAT_SPAN)
+    o1, o2 = orient(x0, y0), orient(x0, y1)
+    o3, o4 = orient(x1, y0), orient(x1, y1)
+    hit = (F.least(o1, o2, o3, o4) <= 0) & (F.greatest(o1, o2, o3, o4) >= 0)
+    return cells.filter(hit).select(
+        "way_id", "seq",
+        F.col("cx").alias("tile_ix"), F.col("cy").alias("tile_iy"),
+    )
