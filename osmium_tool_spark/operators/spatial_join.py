@@ -397,32 +397,38 @@ def grid_cluster(
     ).select("id", "gkey", "cluster_id", "cluster_size")
 
 
-def _segment_cells(segs: DataFrame, res: int, cap: int) -> DataFrame:
+def _ord_x(c: Column, res: int) -> Column:
+    """Clamped x cell ordinate at `res` (same equirectangular math as
+    functions/cells._ix; double division of exactly-representable longs,
+    mirrored verbatim in the DuckDB oracle twins)."""
+    n = 1 << res
+    raw = ((c - F.lit(_LON_MIN)) * n) / F.lit(_LON_SPAN)
+    return F.greatest(F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0))
+
+
+def _ord_y(c: Column, res: int) -> Column:
+    n = 1 << res
+    raw = ((c - F.lit(_LAT_MIN)) * n) / F.lit(_LAT_SPAN)
+    return F.greatest(F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0))
+
+
+def _segment_cells(
+    segs: DataFrame, res: int, cap: int, pad_x: int = 0, pad_y: int = 0
+) -> DataFrame:
     """Bbox cell cover per segment: (way_id, seq, x1, y1, x2, y2, cx, cy),
     one row per covering cell at `res` (same equirectangular ordinates as
     functions/cells._ix). Map-side double explode; cells-per-segment is
     capped LOUDLY at `cap` — a planet-chord input is a modelling bug, not
-    something to coarsen silently."""
+    something to coarsen silently. `pad_x`/`pad_y` widen the cover by
+    whole cells on each side (clamped at the domain edge) — the
+    within-distance completeness pad used by snap_points."""
     n = 1 << res
-
-    def ord_x(c: Column) -> Column:
-        raw = ((c - F.lit(_LON_MIN)) * n) / F.lit(_LON_SPAN)
-        return F.greatest(
-            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
-        )
-
-    def ord_y(c: Column) -> Column:
-        raw = ((c - F.lit(_LAT_MIN)) * n) / F.lit(_LAT_SPAN)
-        return F.greatest(
-            F.least(F.floor(raw).cast("long"), F.lit(n - 1)), F.lit(0)
-        )
-
     boxed = segs.select(
         "way_id", "seq", "x1", "y1", "x2", "y2",
-        ord_x(F.least("x1", "x2")).alias("cxmin"),
-        ord_x(F.greatest("x1", "x2")).alias("cxmax"),
-        ord_y(F.least("y1", "y2")).alias("cymin"),
-        ord_y(F.greatest("y1", "y2")).alias("cymax"),
+        F.greatest(_ord_x(F.least("x1", "x2"), res) - pad_x, F.lit(0)).alias("cxmin"),
+        F.least(_ord_x(F.greatest("x1", "x2"), res) + pad_x, F.lit(n - 1)).alias("cxmax"),
+        F.greatest(_ord_y(F.least("y1", "y2"), res) - pad_y, F.lit(0)).alias("cymin"),
+        F.least(_ord_y(F.greatest("y1", "y2"), res) + pad_y, F.lit(n - 1)).alias("cymax"),
     ).filter(
         # loud cap as a FILTER predicate (a projected assert column would
         # be pruned away by Catalyst the moment it's dropped)
@@ -662,4 +668,104 @@ def way_junctions(
         .filter(F.col("way_a") < F.col("way_b"))
         .groupBy("way_a", "way_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def snap_points(
+    points: DataFrame,
+    segs: DataFrame,
+    res: int = 10,
+    max_dist: int = 1_000_000,
+    max_cells_per_seg: int = 1024,
+) -> DataFrame:
+    """Map-matching: snap each point to its nearest way segment within
+    `max_dist` fixed-point units (planar, same equirectangular frame as
+    every cell op) — the GPS-trace→road join. The reference answers "what
+    is here" through its location index (create/query-locations-index,
+    command_query_locations_index.cpp) one coordinate at a time; at
+    training-data scale the inverse question — attach every image/ping to
+    road geometry — is a corpus-sized join, built here from the same
+    cell-cover machinery as segment_crossings (SURVEY.md §2.4 spatial
+    join family).
+
+    Candidate generation is COMPLETE by construction: each segment emits
+    its bbox cell cover at `res` padded by ceil(max_dist / cell_span)
+    whole cells per axis; any point within max_dist of the segment lies
+    inside the segment's bbox inflated by max_dist, hence inside the
+    padded cover — so the single-cell point side equi-joins (cx, cy)
+    without ring expansion or a second pass. Domain-edge clamping is
+    identical on both sides, so boundary cells still meet.
+
+    Distance is EXACT where it decides: the projection parameter
+    comparisons (t_num vs 0 vs t_den) and all dot/cross products are
+    decimal(25,0) integer math (DuckDB twin: HUGEINT); only the final
+    dist², t are doubles, converted from the SAME exact integers in both
+    engines (IEEE round-to-nearest — bitwise-reproducible), so the
+    argmin and the hash-compared output are deterministic. Ties break by
+    (way_id, seq).
+
+    Scale shape: map-side bounded explode (cover, capped LOUDLY) →
+    ONE equi-join on (cx, cy) (AQE splits dense-cell skew) → ONE
+    partial-aggregatable min(struct) per point. No window over the
+    candidate set, no cross join, no Python.
+
+    Input `points`: (point_id:long, lon:long, lat:long);
+    `segs`: (way_id, seq, x1, y1, x2, y2) fixed-point.
+    Output: (point_id, way_id, seq, dist2:double, t:double) — points
+    with no segment within max_dist are absent (inner-join semantics);
+    t is the clamped projection parameter along (x1,y1)→(x2,y2).
+    """
+    if max_dist <= 0:
+        raise ValueError(f"snap_points: max_dist must be positive, got {max_dist}")
+    n = 1 << res
+    pad_x = -((-max_dist * n) // _LON_SPAN)
+    pad_y = -((-max_dist * n) // _LAT_SPAN)
+    if max(pad_x, pad_y) > 8:
+        raise ValueError(
+            f"snap_points: max_dist {max_dist} spans {max(pad_x, pad_y)} cells "
+            f"at res {res} — coarsen res (pad is capped at 8 cells/axis)"
+        )
+    cells = _segment_cells(segs, res, int(max_cells_per_seg), pad_x, pad_y)
+    pts = points.select(
+        F.col("point_id"),
+        F.col("lon").alias("px"), F.col("lat").alias("py"),
+        _ord_x(F.col("lon"), res).alias("cx"),
+        _ord_y(F.col("lat"), res).alias("cy"),
+    )
+    cand = pts.join(cells, on=["cx", "cy"])
+
+    wx = (F.col("px") - F.col("x1")).cast(_DEC)
+    wy = (F.col("py") - F.col("y1")).cast(_DEC)
+    dxx = (F.col("x2") - F.col("x1")).cast(_DEC)
+    dyy = (F.col("y2") - F.col("y1")).cast(_DEC)
+    vx = (F.col("px") - F.col("x2")).cast(_DEC)
+    vy = (F.col("py") - F.col("y2")).cast(_DEC)
+    tnum = wx * dxx + wy * dyy
+    tden = dxx * dxx + dyy * dyy
+    cross = wx * dyy - wy * dxx
+    dist2 = (
+        F.when(tnum <= 0, (wx * wx + wy * wy).cast("double"))
+        .when(tnum >= tden, (vx * vx + vy * vy).cast("double"))
+        .otherwise(
+            cross.cast("double") * cross.cast("double") / tden.cast("double")
+        )
+    )
+    t = (
+        F.when(tnum <= 0, F.lit(0.0))
+        .when(tnum >= tden, F.lit(1.0))
+        .otherwise(tnum.cast("double") / tden.cast("double"))
+    )
+    md2 = float(max_dist) * float(max_dist)
+    scored = cand.select(
+        "point_id", "way_id", "seq", dist2.alias("dist2"), t.alias("t")
+    ).filter(F.col("dist2") <= F.lit(md2))
+    best = scored.groupBy("point_id").agg(
+        F.min(F.struct("dist2", "way_id", "seq", "t")).alias("m")
+    )
+    return best.select(
+        "point_id",
+        F.col("m.way_id").alias("way_id"),
+        F.col("m.seq").alias("seq"),
+        F.col("m.dist2").alias("dist2"),
+        F.col("m.t").alias("t"),
     )

@@ -369,6 +369,38 @@ def main() -> None:
          capture_explain(contour_segments(nodes, res=5, threshold=2.5)))
     )
 
+    # 26. segment_tile_assign: map-only like tile_buffer_assign — a
+    # projection, two bounded Generate (explode) nodes, and the
+    # decimal(31,0) separating-axis predicate in one codegen span;
+    # ZERO Exchange nodes may appear.
+    from osmium_tool_spark.operators.tiles import segment_tile_assign
+
+    segs_in = nodes.select(
+        F.col("id").alias("way_id"), F.lit(1).alias("seq"),
+        F.col("lon").alias("x1"), F.col("lat").alias("y1"),
+        (F.col("lon") + 100_000).alias("x2"), (F.col("lat") + 70_000).alias("y2"),
+    )
+    sections.append(
+        ("segment_tile_assign (map-only exact segment->tile cut)",
+         capture_explain(segment_tile_assign(segs_in, res=7)))
+    )
+
+    # 27. snap_points: padded-cover candidate equi-join on (cx, cy) —
+    # ONE join, then ONE partial/final ObjectHashAggregate pair
+    # (min(struct) per point); the decimal projection math and the
+    # double conversions stay codegen'd. No window over candidates.
+    from osmium_tool_spark.operators.spatial_join import snap_points
+
+    pts_in = nodes.select(
+        F.col("id").alias("point_id"), "lon", "lat"
+    )
+    sections.append(
+        ("snap_points (map-matching: padded-cover join + min-struct argmin)",
+         capture_explain(snap_points(pts_in, segs_in.select(
+             "way_id", "seq", "x1", "y1", "x2", "y2"), res=7,
+             max_dist=5_000_000)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

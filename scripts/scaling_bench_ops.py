@@ -389,6 +389,32 @@ def run_segment_crossings():
     segment_crossings(segs, res=10).count()
 
 
+def run_segment_tile():
+    # same 6-per-way localized trajectory input as segment_crossings
+    # (hash column math, no Window); the op is map-only — bounded cell
+    # explode + decimal(31,0) separating-axis predicate, no shuffle —
+    # so this row measures the codegen kernel, not exchange machinery.
+    from osmium_tool_spark.operators.tiles import segment_tile_assign
+
+    wid = F.expr("id div 6")
+    sq = F.col("id") % 6 + 1
+    bx = (wid * 2654435761) % 3600000000 - 1800000000
+    by = (wid * 2246822519) % 1800000000 - 900000000
+
+    def vx(s):
+        return bx + F.abs(F.xxhash64(wid, s)) % 2000001 - 1000000
+
+    def vy(s):
+        return by + F.abs(F.xxhash64(wid, s, F.lit(77))) % 2000001 - 1000000
+
+    segs = spark.range({n_entities}).select(
+        wid.alias("way_id"), sq.cast("long").alias("seq"),
+        vx(sq).alias("x1"), vy(sq).alias("y1"),
+        vx(sq + 1).alias("x2"), vy(sq + 1).alias("y2"),
+    )
+    segment_tile_assign(segs, res=10).count()
+
+
 def run_mosaic():
     # n_docs/3 real PNG payloads encoded, window-trimmed to grid^2 per
     # res-6 cell, decoded + thumbnailed + pasted + re-encoded per cell:
@@ -458,6 +484,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("density_surface", run_density_surface),
                  ("shard_manifest", run_shard_manifest),
                  ("segment_crossings", run_segment_crossings),
+                 ("segment_tile", run_segment_tile),
                  ("polygon_rasterize", run_polygon_rasterize),
                  ("tile_render", run_tile_render),
                  ("simplify", run_simplify),
