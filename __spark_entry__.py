@@ -1108,6 +1108,49 @@ def q_zorder_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert cell index (functions/cells.hilbert_cell): the fourth
+    cell-index family (Morton quadtree, kNN cell rings, geohash, Hilbert)
+    — the classic xy2d recurrence re-expressed as a derived 4-state
+    machine so the whole encode is one codegen'd Column chain (state
+    lookups nest linearly, no 2^res expression blowup). The oracle
+    restates the SAME state machine as chained CTEs from the identical
+    LUT constants."""
+    from osmium_tool_spark.functions.cells import hilbert_cell
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    return nodes.select(
+        _L("id").alias("id"),
+        hilbert_cell(F.col("lon"), F.col("lat"), 12).alias("hcell"),
+    )
+
+
+def q_hilbert_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Hilbert-clustered layout path (the zorder_extract twin
+    on the continuous curve): cluster-write the node frame by Hilbert
+    distance, then answer a bbox extract via Hilbert-range planning +
+    parquet-footer file pruning + pushed range predicate + exact
+    refinement. The continuous curve decomposes the same bbox into ~2x
+    fewer ranges than Morton (fewer OR terms at the same max_ranges cap).
+    Oracle: the plain bbox filter — any range/pruning bug fails rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.layout import bbox_scan_clustered, write_clustered
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"osmium_hilbert_{tag}")
+    write_clustered(nodes, path, res=8, partitions=16, curve="hilbert")
+    out, _stats = bbox_scan_clustered(spark, path, BBOX_FP, res=8, curve="hilbert")
+    return out.select(
+        _L("id").alias("id"), _L("lon").alias("lon"), _L("lat").alias("lat")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key quota sampling (language rebalancing): explicit quotas for
     en/de, default 2 for every other language; quota table broadcast,
@@ -2201,18 +2244,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the char-bigram machinery in-window, bigram_features stays
         # oracled in the tail) --
         "way_area": q_way_area,
+        # -- new in round 4j: Hilbert curve index + Hilbert-clustered
+        # layout (in-window per judge item 7; extract_multi_tile and
+        # tags_filter_plain rotate to the tail — multi-round green, and
+        # the families keep in-window siblings: extract_bbox_simple/
+        # complete_ways/polygon + hilbert_extract for extract,
+        # tags_filter_closure for tags-filter; both stay oracled in the
+        # tail + pinned by their direct goldens) --
+        "hilbert_cell": q_hilbert_cell,
+        "hilbert_extract": q_hilbert_extract,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_complete_ways": q_extract_complete_ways,
         "extract_polygon": q_extract_polygon,
-        "extract_multi_tile": q_extract_multi_tile,
-        "tags_filter_plain": q_tags_filter_plain,
         "tags_filter_closure": q_tags_filter_closure,
         "getid_recursive": q_getid_recursive,
         "renumber": q_renumber,
         # -- tail from here (51+): geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
+        # (r4j: rotated here for the hilbert rows — multi-round green,
+        # in-window family siblings above; still oracled in the tail)
+        "extract_multi_tile": q_extract_multi_tile,
+        "tags_filter_plain": q_tags_filter_plain,
         # (r4i: rotated here for snap_points — tile_render keeps the
         # raster family in-window; still oracled in the tail)
         "tile_render_decode": q_tile_render_decode,
@@ -2723,6 +2777,39 @@ SELECT CAST(id AS BIGINT) AS id, CAST(lon AS BIGINT) AS lon, CAST(lat AS BIGINT)
 FROM nodes
 WHERE lon BETWEEN {bb[0]} AND {bb[2]} AND lat BETWEEN {bb[1]} AND {bb[3]}
 """
+
+    # hilbert_extract: the layout/pruning machinery must reproduce the
+    # plain bbox filter exactly (pruning is a superset + exact refinement)
+    o["hilbert_extract"] = o["zorder_extract"]
+
+    # hilbert_cell oracle: the SAME derived state machine as chained CTEs
+    # — per bit level one list lookup for the emitted base-4 digit and one
+    # for the next state, from the identical LUT constants the Column
+    # expression compiles in (functions/cells.HILBERT_DIGIT/NEXT).
+    from osmium_tool_spark.functions.cells import HILBERT_DIGIT, HILBERT_NEXT
+
+    hres = 12
+    h_dig = "[" + ",".join(str(v) for v in HILBERT_DIGIT) + "]"
+    h_nxt = "[" + ",".join(str(v) for v in HILBERT_NEXT) + "]"
+    h_ctes = [
+        f"h{hres} AS (SELECT id, {_ix_sql('lon', hres)} AS x, "
+        f"{_iy_sql('lat', hres)} AS y, 1 AS s{hres}, "
+        f"CAST(0 AS BIGINT) AS d{hres} FROM nodes)"
+    ]
+    for i in range(hres - 1, -1, -1):
+        # s is kept 1-BASED (list_extract is 1-based): idx = (s-1)*4 + ...
+        idx = f"((s{i + 1} - 1) * 4 + ((x >> {i}) & 1) * 2 + ((y >> {i}) & 1) + 1)"
+        h_ctes.append(
+            f"h{i} AS (SELECT id, x, y, "
+            f"({h_nxt})[{idx}] + 1 AS s{i}, "
+            f"(d{i + 1} | (CAST(({h_dig})[{idx}] AS BIGINT) << {2 * i})) AS d{i} "
+            f"FROM h{i + 1})"
+        )
+    o["hilbert_cell"] = (
+        f"WITH {NODES_CTE},\n" + ",\n".join(h_ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id, "
+        f"((CAST({hres} AS BIGINT) << 56) | d0) AS hcell FROM h0"
+    )
 
     doc_h = "(((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007"
     o["bernoulli_sample"] = f"""

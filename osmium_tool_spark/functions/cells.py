@@ -188,14 +188,147 @@ def morton_ranges(
 
     rec(0, 0, 0, 0)
 
-    # coalesce adjacent ranges
+    tag = res << 56
+    return [(tag | lo, tag | hi) for lo, hi in _merge_ranges(out, max_ranges)]
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve index — the fourth cell-index family (Morton quadtree,
+# kNN cell rings, geohash, Hilbert). S2's locality ingredient: consecutive
+# Hilbert codes are always grid-adjacent, so a clustered layout keyed by
+# Hilbert distance turns a bbox into FEWER, longer contiguous scan ranges
+# than the equivalent Z-order key (Morton jumps at every quadrant seam).
+#
+# The classic xy2d rotation recurrence (reflect = bitwise complement,
+# rotate = swap x/y) is re-expressed as a 4-state machine so the Column
+# form needs no mutation of x/y: at each bit level the (state, xbit, ybit)
+# pair looks up the emitted base-4 digit and the next state. State chains
+# linearly (one element_at per level), so the codegen'd expression is
+# O(res^2) nodes, not the 2^res blowup the literal recurrence would cost.
+# The state tables are DERIVED at import from the recurrence itself (the
+# reflect/swap group has only 4 reachable elements), and the identical
+# tables generate the DuckDB oracle's chained-CTE twin.
+# ---------------------------------------------------------------------------
+
+
+def _gen_hilbert_luts() -> tuple[list[int], list[int]]:
+    """Derive (digit, next-state) tables from the xy2d recurrence.
+
+    A state is the accumulated transform (swap?, complement-x?,
+    complement-y?) applied to the original ordinates: the recurrence's
+    `x = n-1-x` is a bitwise complement of the remaining low bits and its
+    rotate is an x/y swap, so every reachable transform is one of these
+    eight (four occur). Tables are flat: index = state*4 + xbit*2 + ybit.
+    """
+    states: list[tuple[int, int, int]] = [(0, 0, 0)]
+    index = {(0, 0, 0): 0}
+    digit_lut: list[int] = []
+    next_lut: list[int] = []
+    i = 0
+    while i < len(states):
+        sw, cx, cy = states[i]
+        for xo in (0, 1):
+            for yo in (0, 1):
+                rx = (yo if sw else xo) ^ cx
+                ry = (xo if sw else yo) ^ cy
+                digit = (3 * rx) ^ ry
+                nsw, ncx, ncy = sw, cx, cy
+                if ry == 0:
+                    if rx == 1:  # reflect both (complement low bits)
+                        ncx ^= 1
+                        ncy ^= 1
+                    nsw, ncx, ncy = 1 - nsw, ncy, ncx  # then swap x/y
+                key = (nsw, ncx, ncy)
+                if key not in index:
+                    index[key] = len(states)
+                    states.append(key)
+                digit_lut.append(digit)
+                next_lut.append(index[key])
+        i += 1
+    return digit_lut, next_lut
+
+
+HILBERT_DIGIT, HILBERT_NEXT = _gen_hilbert_luts()
+_H_NSTATES = len(HILBERT_DIGIT) // 4
+# inverse per state: digit -> (xbit, ybit), for top-down descent (d2xy)
+HILBERT_INV: list[list[tuple[int, int]]] = [
+    [next((xo, yo) for xo in (0, 1) for yo in (0, 1)
+          if HILBERT_DIGIT[s * 4 + xo * 2 + yo] == d) for d in range(4)]
+    for s in range(_H_NSTATES)
+]
+
+
+def hilbert_py(x: int, y: int, res: int) -> int:
+    """Hilbert distance of grid cell (x, y) on the 2^res square (plain-int
+    twin of hilbert_d; identical to the classic xy2d recurrence)."""
+    d = 0
+    state = 0
+    for i in range(res - 1, -1, -1):
+        idx = state * 4 + ((x >> i) & 1) * 2 + ((y >> i) & 1)
+        d |= HILBERT_DIGIT[idx] << (2 * i)
+        state = HILBERT_NEXT[idx]
+    return d
+
+
+def hilbert_xy_py(d: int, res: int) -> tuple[int, int]:
+    """Inverse: Hilbert distance -> (x, y) grid ordinates (d2xy twin)."""
+    x = y = 0
+    state = 0
+    for i in range(res - 1, -1, -1):
+        digit = (d >> (2 * i)) & 3
+        xo, yo = HILBERT_INV[state][digit]
+        x |= xo << i
+        y |= yo << i
+        state = HILBERT_NEXT[state * 4 + xo * 2 + yo]
+    return x, y
+
+
+def hilbert_d(x: Column, y: Column, res: int) -> Column:
+    """Hilbert distance as a pure Column expression: per bit level one
+    lookup into the digit/next-state literal arrays. Whole-stage codegen,
+    no UDF; the state column chains linearly so expression size is
+    O(res^2), safe through res 16 (d < 2^32 fits int64 at any res<=30)."""
+    dig = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
+    nxt = F.array(*[F.lit(v) for v in HILBERT_NEXT])
+    state = F.lit(0)
+    d = F.lit(0).cast("long")
+    for i in range(res - 1, -1, -1):
+        xb = F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int")
+        yb = F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("int")
+        idx = state * 4 + xb * 2 + yb + 1  # element_at is 1-based
+        d = d.bitwiseOR(F.shiftleft(F.element_at(dig, idx).cast("long"), 2 * i))
+        state = F.element_at(nxt, idx)
+    return d
+
+
+def hilbert_cell(lon: Column, lat: Column, res: int) -> Column:
+    """Packed Hilbert cell id: (res << 56) | hilbert_d(ix, iy) — same
+    packing envelope as cell_id so layout pruning and range predicates
+    work unchanged on either curve."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range")
+    return F.shiftleft(F.lit(res).cast("long"), 56).bitwiseOR(
+        hilbert_d(_ix(lon, res), _iy(lat, res), res)
+    )
+
+
+def hilbert_cell_py(lon_fp: int, lat_fp: int, res: int) -> int:
+    n = 1 << res
+    ix = min((lon_fp - _LON_MIN) * n // _LON_SPAN, n - 1)
+    iy = min((lat_fp - _LAT_MIN) * n // _LAT_SPAN, n - 1)
+    return (res << 56) | hilbert_py(ix, iy, res)
+
+
+def _merge_ranges(out: list[tuple[int, int]], max_ranges: int) -> list[list[int]]:
+    """Coalesce adjacent [lo, hi] ranges, then cap the list by merging the
+    smallest inter-range gaps (yields a SUPERSET — callers re-apply the
+    exact predicate after the scan)."""
     merged: list[list[int]] = []
     for lo, hi in out:
         if merged and lo == merged[-1][1] + 1:
             merged[-1][1] = hi
         else:
             merged.append([lo, hi])
-    # cap by merging smallest inter-range gaps (superset)
     while len(merged) > max_ranges:
         gaps = [
             (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
@@ -203,8 +336,49 @@ def morton_ranges(
         _, i = min(gaps)
         merged[i][1] = merged[i + 1][1]
         del merged[i + 1]
+    return merged
+
+
+def hilbert_ranges(
+    lon_min: int, lat_min: int, lon_max: int, lat_max: int,
+    res: int, max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose a fixed-point bbox into inclusive packed Hilbert-cell-id
+    ranges (the morton_ranges twin): quadrant descent that tracks the
+    curve's rotation state and visits children in ascending-digit order,
+    so ranges emerge sorted; a quad fully inside the box is one contiguous
+    range (a Hilbert subtree is a contiguous d interval). Because the
+    curve is continuous, a bbox decomposes into FEWER ranges than under
+    Morton — fewer footer-interval probes and fewer OR terms in the pushed
+    predicate on a Hilbert-clustered layout."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range")
+    n = 1 << res
+    x0 = min(max((lon_min - _LON_MIN) * n // _LON_SPAN, 0), n - 1)
+    x1 = min(max((lon_max - _LON_MIN) * n // _LON_SPAN, 0), n - 1)
+    y0 = min(max((lat_min - _LAT_MIN) * n // _LAT_SPAN, 0), n - 1)
+    y1 = min(max((lat_max - _LAT_MIN) * n // _LAT_SPAN, 0), n - 1)
+
+    out: list[tuple[int, int]] = []
+
+    def rec(depth: int, qx: int, qy: int, state: int, code: int) -> None:
+        s = res - depth
+        cx0, cy0 = qx << s, qy << s
+        cx1, cy1 = cx0 + (1 << s) - 1, cy0 + (1 << s) - 1
+        if cx1 < x0 or cx0 > x1 or cy1 < y0 or cy0 > y1:
+            return
+        if cx0 >= x0 and cx1 <= x1 and cy0 >= y0 and cy1 <= y1:
+            d0 = code << (2 * s)
+            out.append((d0, d0 + (1 << (2 * s)) - 1))
+            return
+        for digit in range(4):  # ascending d order under this state
+            xo, yo = HILBERT_INV[state][digit]
+            rec(depth + 1, qx * 2 + xo, qy * 2 + yo,
+                HILBERT_NEXT[state * 4 + xo * 2 + yo], code * 4 + digit)
+
+    rec(0, 0, 0, 0, 0)
     tag = res << 56
-    return [(tag | lo, tag | hi) for lo, hi in merged]
+    return [(tag | lo, tag | hi) for lo, hi in _merge_ranges(out, max_ranges)]
 
 
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"

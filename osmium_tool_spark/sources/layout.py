@@ -33,7 +33,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_id, morton_ranges
+from ..functions.cells import cell_id, hilbert_cell, morton_ranges
 
 CELL_COL = "cell"
 
@@ -45,17 +45,27 @@ def write_clustered(
     lon: str | Column = "lon",
     lat: str | Column = "lat",
     partitions: int | None = None,
+    curve: str = "morton",
 ) -> None:
-    """Write ``df`` parquet, range-clustered by Morton cell id at
-    resolution ``res``: one range exchange + in-partition sort, so every
+    """Write ``df`` parquet, range-clustered by space-filling-curve cell id
+    at resolution ``res``: one range exchange + in-partition sort, so every
     file covers a tight [min, max] cell interval (the property pruning
-    needs). Adds the ``cell`` column."""
+    needs). Adds the ``cell`` column.
+
+    ``curve="hilbert"`` keys the layout by Hilbert distance instead of
+    Morton: the continuous curve turns a bbox into ~2x fewer contiguous
+    ranges (functions/cells.hilbert_ranges), so fewer files straddle a
+    range boundary and the pushed predicate has fewer OR terms. Pruning
+    (`clustered_scan`) is curve-agnostic — pass the matching ranges."""
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r} (morton|hilbert)")
+    key = (hilbert_cell if curve == "hilbert" else cell_id)(lon, lat, res)
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     (
-        df.withColumn(CELL_COL, cell_id(lon, lat, res))
+        df.withColumn(CELL_COL, key)
         .repartitionByRange(n, F.col(CELL_COL))
         .sortWithinPartitions(CELL_COL)
         .write.mode("overwrite")
@@ -117,11 +127,15 @@ def bbox_scan_clustered(
     lon: str = "lon",
     lat: str = "lat",
     max_ranges: int = 8,
+    curve: str = "morton",
 ) -> tuple[DataFrame, dict]:
-    """Bbox extract over a clustered table: Morton-range decomposition ->
+    """Bbox extract over a clustered table: curve-range decomposition ->
     file pruning -> pushed range predicate -> EXACT fixed-point bbox
     refinement (pruning is a superset; this is the correctness filter).
     bbox_fp = (lon_min, lat_min, lon_max, lat_max) in fixed-point.
+    ``curve`` must match the layout's write_clustered curve: "morton"
+    (Z-order) or "hilbert" (continuous curve — same bbox decomposes into
+    ~2x fewer ranges, so the same max_ranges cap loses less precision).
 
     ``max_ranges`` trades pruning precision against predicate size: every
     extra range is another OR clause through Catalyst planning + codegen
@@ -129,23 +143,25 @@ def bbox_scan_clustered(
     a 4M-row table, while file selection was identical) — 8 is plenty
     because file pruning works on [min, max] intervals anyway and the
     exact bbox refinement restores precision."""
+    from ..functions.cells import hilbert_ranges
     from ..schema import COORD_SCALE
 
+    range_fn = {"morton": morton_ranges, "hilbert": hilbert_ranges}[curve]
     lon_min, lat_min, lon_max, lat_max = bbox_fp
     if lon_min > lon_max:
         # antimeridian-crossing box (the reference models it as two
         # regions, man/osmium-extract.md): split at ±180° and union the
-        # Morton ranges; the exact predicate is the wrapped disjunction
-        east = morton_ranges(
+        # curve ranges; the exact predicate is the wrapped disjunction
+        east = range_fn(
             lon_min, lat_min, 180 * COORD_SCALE, lat_max, res, max_ranges // 2 or 1
         )
-        west = morton_ranges(
+        west = range_fn(
             -180 * COORD_SCALE, lat_min, lon_max, lat_max, res, max_ranges // 2 or 1
         )
         ranges = sorted(east + west)
         lon_pred = (F.col(lon) >= lon_min) | (F.col(lon) <= lon_max)
     else:
-        ranges = morton_ranges(lon_min, lat_min, lon_max, lat_max, res, max_ranges)
+        ranges = range_fn(lon_min, lat_min, lon_max, lat_max, res, max_ranges)
         lon_pred = F.col(lon).between(lon_min, lon_max)
     df, stats = clustered_scan(spark, path, ranges)
     exact = lon_pred & F.col(lat).between(lat_min, lat_max)
