@@ -1987,6 +1987,51 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard sink END-TO-END (sinks/webdataset.py): take
+    the Z-order shard assignment (shard_manifest), write REAL tar bytes
+    (one deterministic USTAR archive per shard: <key>.<fmt> payload +
+    <key>.txt caption members), then report each shard's ON-DISK byte
+    count re-read from the filesystem — the oracle predicts it by the
+    closed-form tar arithmetic (512-padded members + end blocks + 10240
+    record padding), so any header/member/padding bug shifts the hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osmium_tool_spark.operators.curation import shard_manifest
+    from osmium_tool_spark.sinks.webdataset import write_webdataset_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id").cast("long")
+    phash = ((k * 2654435761) % 16777216) + ((k * 2246822519) % 16777216) * 16777216
+    imgs = docs.select(
+        k.alias("image_id"),
+        (phash % 3600000000 - 1800000000).alias("lon"),
+        (F.shiftright(phash, 16) % 1800000000 - 900000000).alias("lat"),
+        F.octet_length("text").alias("n_bytes"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+        F.col("text").alias("caption"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
+            (k % 3 + 1).cast("int"),
+        ).alias("fmt"),
+    )
+    man = shard_manifest(imgs, target_bytes=4096, res=8, prefix_res=2)
+    joined = man.select("image_id", "zcell", "shard_id").join(
+        imgs.select("image_id", "bytes", "caption", "fmt"), "image_id"
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"osmium_wds_{tag}")
+    manifest = write_webdataset_shards(joined, out_dir)
+    return manifest.select(
+        _L("shard_id").alias("shard_id"),
+        _L("n_samples").alias("n_samples"),
+        _L("data_bytes").alias("data_bytes"),
+        _L("tar_bytes").alias("tar_bytes"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: per-polygon count/sum/min/max/avg of a point
     measure — two diamond polygons (closed-form |dx|+|dy| < r PIP for the
@@ -2167,7 +2212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # COVERAGE.md "driver-gate rotation").
     return {
         # -- never-oracled in r2 + new surface (rows 1-13) --
-        "export_points": q_export_points,
         "export_lines": q_export_lines,
         "image_pipeline": q_image_pipeline,
         "curate_documents": q_curate_documents,
@@ -2220,6 +2264,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the tail + pinned in tests/test_crossings.py) --
         "segment_tile": q_segment_tile,
         "shard_manifest": q_shard_manifest,
+        # -- new in round 4j: real tar shard sink over the manifest
+        # (in-window per judge item 7; export_points rotates to the tail
+        # — multi-round green, export_lines + the export_* tail rows keep
+        # the family covered) --
+        "webdataset_shards": q_webdataset_shards,
         "pack_sequences": q_pack_sequences,
         "knn_geodesic": q_knn_geodesic,
         "sessionize": q_sessionize,
@@ -2278,6 +2327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in 4e (multi-round green; in-window family
         # siblings: export_points/export_lines, multimodal_decode/
         # resize/features)
+        # (r4j: export_points rotated here for webdataset_shards —
+        # multi-round green; export_lines stays in-window)
+        "export_points": q_export_points,
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
@@ -4077,6 +4129,40 @@ SELECT CAST(image_id AS BIGINT) AS image_id, CAST(zcell AS BIGINT) AS zcell,
        CAST(cum_before - (cum_before // 4096) * 4096 AS BIGINT) AS offset_bytes,
        CAST(n_bytes AS BIGINT) AS n_bytes
 FROM lay
+"""
+
+    # webdataset_shards: same layout CTEs as shard_manifest, then per
+    # shard the closed-form tar arithmetic — each sample is two USTAR
+    # members of n_bytes each (payload + caption are both the utf-8
+    # text in this derivation): 2 headers + 2x 512-padded payloads,
+    # plus 1024 end-of-archive, padded to the 10240 record size.
+    o["webdataset_shards"] = f"""
+WITH img AS (
+  SELECT doc_id AS image_id,
+         (doc_id * 2654435761) % 16777216
+           + ((doc_id * 2246822519) % 16777216) * 16777216 AS phash,
+         strlen(text) AS n_bytes
+  FROM documents),
+geo AS (SELECT image_id, n_bytes,
+               phash % 3600000000 - 1800000000 AS lon,
+               (phash >> 16) % 1800000000 - 900000000 AS lat
+        FROM img WHERE n_bytes > 0),
+g AS (SELECT image_id, n_bytes, {_ix_sql('lon', 8)} AS ix, {_iy_sql('lat', 8)} AS iy
+      FROM geo),
+zc AS (SELECT image_id, n_bytes, {_z8} AS zcell FROM g),
+lay AS (SELECT image_id, zcell, n_bytes, zcell >> 12 AS prefix,
+               sum(n_bytes) OVER (PARTITION BY zcell >> 12
+                                  ORDER BY zcell, image_id
+                                  ROWS UNBOUNDED PRECEDING) - n_bytes AS cum_before
+        FROM zc),
+sh AS (SELECT ((zcell >> 12) << 32) + cum_before // 4096 AS shard_id,
+              n_bytes FROM lay)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(2 * n_bytes) AS BIGINT) AS data_bytes,
+       CAST(((sum(1024 + 2 * ((n_bytes + 511) // 512) * 512) + 1024 + 10239)
+             // 10240) * 10240 AS BIGINT) AS tar_bytes
+FROM sh GROUP BY shard_id
 """
 
     # zonal stats: diamonds have the closed-form |dx|+|dy| < r containment
