@@ -1987,6 +1987,34 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash END-TO-END over real PNG payloads
+    (operators/multimodal.image_dhash): encode an 18x16 gradient-pattern
+    PNG per node with the from-spec codec, decode it back, exact integer
+    block sums to a 9x8 grid, one bit per adjacent block pair, packed
+    into two int32-range halves. The oracle recomputes every bit from
+    the source pixel arithmetic (generate_series over the pixel grid) —
+    a wrong byte in either codec direction, the block reduction, or the
+    bit packing flips hash values."""
+    from osmium_tool_spark.operators.multimodal import image_dhash
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.images import encode_pattern_png_images
+
+    nodes = td.nodes_from_part(spark, sf_dir).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 37) % 256).cast("int").alias("val"),
+        F.lit(18).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    imgs = encode_pattern_png_images(nodes)
+    out = image_dhash(imgs, grid=8)
+    return out.select(
+        _L("image_id").alias("image_id"),
+        _L("dhash_hi").alias("dhash_hi"),
+        _L("dhash_lo").alias("dhash_lo"),
+    )
+
+
 def q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar shard sink END-TO-END (sinks/webdataset.py): take
     the Z-order shard assignment (shard_manifest), write REAL tar bytes
@@ -2218,7 +2246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4g: multimodal_decode rotated to the tail — the in-window
         # image loop is now covered by mosaic (REAL decode both ways) +
         # tile_render_decode + multimodal_features)
-        "multimodal_features": q_multimodal_features,
         "pbf_roundtrip": q_pbf_roundtrip,
         "osc_sections": q_osc_sections,
         "decontaminate": q_decontaminate,
@@ -2288,6 +2315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4g: per-tile contact sheets over real PNG
         # payloads (in-window) --
         "mosaic": q_mosaic,
+        # -- new in round 4j: perceptual dHash over the real codec loop
+        # (in-window per judge item 7; multimodal_features rotates to
+        # the tail — multi-round green, and the image family keeps
+        # image_pipeline/mosaic/tile_render/image_dhash in-window) --
+        "image_dhash": q_image_dhash,
         # -- new in round 4g: exact ring area + centroid (in-window;
         # bigram_features rotates to the tail — lm_quality_score keeps
         # the char-bigram machinery in-window, bigram_features stays
@@ -2333,6 +2365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
+        # (r4j: multimodal_features rotated here for image_dhash —
+        # multi-round green; still oracled in the tail)
+        "multimodal_features": q_multimodal_features,
         # rotated out for contour (multi-round green; in-window sibling
         # apply_changes_latest covers the changes family, redact pinned
         # by goldens + the tail oracle)
@@ -4129,6 +4164,33 @@ SELECT CAST(image_id AS BIGINT) AS image_id, CAST(zcell AS BIGINT) AS zcell,
        CAST(cum_before - (cum_before // 4096) * 4096 AS BIGINT) AS offset_bytes,
        CAST(n_bytes AS BIGINT) AS n_bytes
 FROM lay
+"""
+
+    # image_dhash: regenerate the 18x16 gradient pattern per image as a
+    # pixel grid (generate_series), EXACT integer 2x2 block sums to the
+    # 9x8 grid, strict left>right bit per adjacent pair, packed MSB-first
+    # row-major into two int32-range halves (bit 63 would sign-wrap
+    # differently across engines, hence hi/lo).
+    o["image_dhash"] = f"""
+WITH {NODES_CTE},
+imgs AS (SELECT id, (id * 37) % 256 AS val FROM nodes),
+px AS (SELECT id,
+              gx.x AS x, gy.y AS y,
+              (val * 31 + gx.x * 7 + gy.y * 13) % 256 AS p
+       FROM imgs, generate_series(0, 17) gx(x), generate_series(0, 15) gy(y)),
+blocks AS (SELECT id, y // 2 AS r, x // 2 AS c, sum(p) AS s
+           FROM px GROUP BY 1, 2, 3),
+bits AS (SELECT l.id, l.r, l.c,
+                CASE WHEN l.s > rt.s THEN 1 ELSE 0 END AS bit
+         FROM blocks l
+         JOIN blocks rt ON rt.id = l.id AND rt.r = l.r AND rt.c = l.c + 1
+         WHERE l.c < 8)
+SELECT CAST(id AS BIGINT) AS image_id,
+       CAST(sum(CASE WHEN r < 4 THEN bit << (31 - (r * 8 + c)) ELSE 0 END)
+            AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN r >= 4 THEN bit << (31 - ((r - 4) * 8 + c)) ELSE 0 END)
+            AS BIGINT) AS dhash_lo
+FROM bits GROUP BY id
 """
 
     # webdataset_shards: same layout CTEs as shard_manifest, then per

@@ -333,3 +333,41 @@ def encode_gray_png_images(df: DataFrame) -> DataFrame:
             yield pdf
 
     return cols.mapInPandas(enc, schema=schema)
+
+
+def encode_pattern_png_images(df: DataFrame) -> DataFrame:
+    """REAL synthetic PNG payloads with per-pixel STRUCTURE: for each row
+    (image_id, w, h, val) encode a w×h gradient pattern
+    pixel(x, y) = (val*31 + x*7 + y*13) % 256 with the from-spec codec.
+    Unlike `encode_gray_png_images` the content varies within the image,
+    so structure-sensitive kernels downstream (dHash block comparisons)
+    get non-degenerate input while every pixel stays exact integer
+    arithmetic a SQL oracle can recompute. Passthrough of all other
+    columns; adds `bytes` + fmt='png'."""
+    _png_by_value()
+    from ..functions import png as _png
+
+    keep = [c for c in df.columns if c not in ("bytes", "fmt")]
+    cols = df.select(*keep)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cols.schema.fields
+    ) + ", bytes binary, fmt string"
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for w, h, v in zip(pdf["w"], pdf["h"], pdf["val"]):
+                xs = (np.arange(int(w), dtype=np.int64) * 7)
+                ys = (np.arange(int(h), dtype=np.int64) * 13)
+                img = ((int(v) * 31 + ys[:, None] + xs[None, :]) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(_png.encode_gray(img))
+            pdf = pdf.copy()
+            pdf["bytes"] = payloads
+            pdf["fmt"] = "png"
+            yield pdf
+
+    return cols.mapInPandas(enc, schema=schema)

@@ -1,0 +1,119 @@
+"""image_dhash (operators/multimodal.py): exact dHash over the real
+from-spec PNG codec loop."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.functions import png
+from osmium_tool_spark.operators.multimodal import image_dhash
+from osmium_tool_spark.sources.images import encode_pattern_png_images
+
+
+def ref_dhash(img: np.ndarray, grid: int = 8) -> tuple[int, int]:
+    """Independent reference: explicit python-loop block sums + packing."""
+    h, w = img.shape
+    bw, bh = w // (grid + 1), h // grid
+    hi = lo = 0
+    bits = []
+    for r in range(grid):
+        for c in range(grid):
+            sa = int(
+                img[r * bh:(r + 1) * bh, c * bw:(c + 1) * bw].astype(int).sum()
+            )
+            sb = int(
+                img[r * bh:(r + 1) * bh, (c + 1) * bw:(c + 2) * bw]
+                .astype(int)
+                .sum()
+            )
+            bits.append(1 if sa > sb else 0)
+    for b in bits[:32]:
+        hi = (hi << 1) | b
+    for b in bits[32:]:
+        lo = (lo << 1) | b
+    return hi, lo
+
+
+def pattern(val: int, w: int = 18, h: int = 16) -> np.ndarray:
+    xs = np.arange(w) * 7
+    ys = np.arange(h) * 13
+    return ((val * 31 + ys[:, None] + xs[None, :]) % 256).astype(np.uint8)
+
+
+def test_spark_matches_reference(spark):
+    rows = [(i, (i * 37) % 256, 18, 16) for i in range(64)]
+    df = spark.createDataFrame(rows, "image_id long, val int, w int, h int")
+    out = image_dhash(encode_pattern_png_images(df), grid=8).collect()
+    assert len(out) == 64
+    for r in out:
+        hi, lo = ref_dhash(pattern((r.image_id * 37) % 256))
+        assert (r.dhash_hi, r.dhash_lo) == (hi, lo), r.image_id
+        assert 0 <= r.dhash_hi < 2 ** 32 and 0 <= r.dhash_lo < 2 ** 32
+
+
+def test_codec_loop_is_real(spark):
+    # encode -> decode round trip must reproduce the source pixels the
+    # reference hash was computed from (codec bug => hash flip)
+    df = spark.createDataFrame(
+        [(7, 123, 36, 32)], "image_id long, val int, w int, h int"
+    )
+    payload = bytes(
+        encode_pattern_png_images(df).collect()[0].bytes
+    )
+    img = png.luma(png.decode(payload))
+    xs = np.arange(36) * 7
+    ys = np.arange(32) * 13
+    want = ((123 * 31 + ys[:, None] + xs[None, :]) % 256).astype(np.uint8)
+    assert np.array_equal(img, want)
+
+
+def test_bad_dims_fail_loud(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 17, 16)], "image_id long, val int, w int, h int"
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        image_dhash(encode_pattern_png_images(df), grid=8).collect()
+
+
+def test_grid_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 18, 16)], "image_id long, val int, w int, h int"
+    )
+    with pytest.raises(ValueError):
+        image_dhash(df, grid=0)
+    with pytest.raises(ValueError):
+        image_dhash(df, grid=16)
+
+
+def test_brightness_invariance_and_transpose_distance(spark):
+    # dHash is a gradient hash: a uniform brightness shift (no clipping)
+    # moves every block sum equally, so the hash is IDENTICAL; the
+    # transposed gradient restructures blocks and must land far away
+    base = pattern(100)
+    plus = np.clip(base.astype(int) + 5, 0, 250).astype(np.uint8)
+    transposed = pattern(100, 16, 18).T  # 18x16 again, gradient rotated
+    rows = [
+        (0, bytearray(png.encode_gray(base))),
+        (1, bytearray(png.encode_gray(plus))),
+        (2, bytearray(png.encode_gray(np.ascontiguousarray(transposed)))),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    out = {r.image_id: r for r in image_dhash(df, grid=8).collect()}
+
+    def hamming(x, y):
+        return bin(x.dhash_hi ^ y.dhash_hi).count("1") + bin(
+            x.dhash_lo ^ y.dhash_lo
+        ).count("1")
+
+    assert hamming(out[0], out[1]) == 0  # brightness-shift invariant
+    assert hamming(out[0], out[2]) > 8  # structural change moves it
+
+
+def test_string_id_type_passthrough(spark):
+    df = spark.createDataFrame(
+        [("imgX", 5, 18, 16)], "image_id string, val int, w int, h int"
+    )
+    out = image_dhash(encode_pattern_png_images(df), grid=8)
+    assert dict(out.dtypes)["image_id"] == "string"
+    assert out.collect()[0].image_id == "imgX"
