@@ -2015,6 +2015,30 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-recall banded image near-dup
+    (operators/dedup.dhash_near_dup_pairs): 64 real-codec dHash bits in
+    4 bands, candidates share any exact band, exact Hamming <= 3 verify.
+    The oracle is the BRUTE-FORCE pair scan — any pair the banded join
+    misses (a recall bug) diverges the row set, which is precisely the
+    pigeonhole guarantee (3 flipped bits cannot touch all 4 bands)."""
+    from osmium_tool_spark.operators.dedup import dhash_near_dup_pairs
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.images import encode_pattern_png_images
+
+    nodes = td.nodes_from_part(spark, sf_dir).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 37) % 256).cast("int").alias("val"),
+        F.lit(18).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    imgs = encode_pattern_png_images(nodes)
+    out = dhash_near_dup_pairs(imgs, max_hamming=3, bands=4)
+    return out.select(
+        _L("a").alias("a"), _L("b").alias("b"), _L("hamming").alias("hamming")
+    )
+
+
 def q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar shard sink END-TO-END (sinks/webdataset.py): take
     the Z-order shard assignment (shard_manifest), write REAL tar bytes
@@ -2242,7 +2266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never-oracled in r2 + new surface (rows 1-13) --
         "export_lines": q_export_lines,
         "image_pipeline": q_image_pipeline,
-        "curate_documents": q_curate_documents,
         # (r4g: multimodal_decode rotated to the tail — the in-window
         # image loop is now covered by mosaic (REAL decode both ways) +
         # tile_render_decode + multimodal_features)
@@ -2320,6 +2343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail — multi-round green, and the image family keeps
         # image_pipeline/mosaic/tile_render/image_dhash in-window) --
         "image_dhash": q_image_dhash,
+        # (4j: guaranteed-recall banded near-dup over the real dhash —
+        # in-window; curate_documents rotates to the tail, multi-round
+        # green, the curation family keeps mixture_sample/leakage_split/
+        # span_dedup in-window)
+        "dhash_near_dup": q_dhash_near_dup,
         # -- new in round 4g: exact ring area + centroid (in-window;
         # bigram_features rotates to the tail — lm_quality_score keeps
         # the char-bigram machinery in-window, bigram_features stays
@@ -2362,6 +2390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4j: export_points rotated here for webdataset_shards —
         # multi-round green; export_lines stays in-window)
         "export_points": q_export_points,
+        # (r4j: curate_documents rotated here for dhash_near_dup —
+        # multi-round green; still oracled in the tail)
+        "curate_documents": q_curate_documents,
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
@@ -4171,8 +4202,7 @@ FROM lay
     # 9x8 grid, strict left>right bit per adjacent pair, packed MSB-first
     # row-major into two int32-range halves (bit 63 would sign-wrap
     # differently across engines, hence hi/lo).
-    o["image_dhash"] = f"""
-WITH {NODES_CTE},
+    dhash_ctes = f"""{NODES_CTE},
 imgs AS (SELECT id, (id * 37) % 256 AS val FROM nodes),
 px AS (SELECT id,
               gx.x AS x, gy.y AS y,
@@ -4184,13 +4214,30 @@ bits AS (SELECT l.id, l.r, l.c,
                 CASE WHEN l.s > rt.s THEN 1 ELSE 0 END AS bit
          FROM blocks l
          JOIN blocks rt ON rt.id = l.id AND rt.r = l.r AND rt.c = l.c + 1
-         WHERE l.c < 8)
-SELECT CAST(id AS BIGINT) AS image_id,
+         WHERE l.c < 8),
+dh AS (SELECT id,
        CAST(sum(CASE WHEN r < 4 THEN bit << (31 - (r * 8 + c)) ELSE 0 END)
             AS BIGINT) AS dhash_hi,
        CAST(sum(CASE WHEN r >= 4 THEN bit << (31 - ((r - 4) * 8 + c)) ELSE 0 END)
             AS BIGINT) AS dhash_lo
-FROM bits GROUP BY id
+       FROM bits GROUP BY id)"""
+    o["image_dhash"] = f"""
+WITH {dhash_ctes}
+SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # dhash_near_dup: the oracle is the BRUTE-FORCE pair scan (no bands)
+    # — if the banded candidate join ever misses a qualifying pair, the
+    # row sets diverge; that is exactly the pigeonhole recall guarantee
+    # under test (max_hamming 3 < 4 bands).
+    o["dhash_near_dup"] = f"""
+WITH {dhash_ctes}
+SELECT CAST(x.id AS BIGINT) AS a, CAST(y.id AS BIGINT) AS b,
+       CAST(bit_count(xor(x.dhash_hi, y.dhash_hi))
+            + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS BIGINT) AS hamming
+FROM dh x JOIN dh y ON x.id < y.id
+WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
+      + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 3
 """
 
     # webdataset_shards: same layout CTEs as shard_manifest, then per

@@ -664,3 +664,83 @@ def duplicate_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return exploded.join(hot, "span_hash").select("id", "pos", "span_hash", "n_docs")
+
+
+def dhash_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int,
+    bands: int = 4,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Image near-dup pairs by dHash Hamming distance over REAL decoded
+    pixels — the guaranteed-recall upgrade of `phash_near_dup_pairs`
+    (whose single prefix band is a heuristic): the 64 dHash bits split
+    into ``bands`` equal bands, candidates are pairs sharing ANY band
+    exactly (posexplode -> equi-join on (band index, band value)), and
+    the exact Hamming filter verifies. By pigeonhole, a pair within
+    ``max_hamming < bands`` flipped bits leaves at least one band
+    untouched — recall is 100%, not probabilistic (the property the
+    DuckDB brute-force oracle checks pair for pair).
+
+    Scale shape: |bands| rows per image into a bucketed equi-join —
+    bucket cardinality is 2^(64/bands) × bands, so buckets stay small
+    and AQE absorbs hot ones (constant-content corpora collapse to few
+    buckets; the a<b filter and distinct run AFTER the bucket join on
+    candidate volume, never on the corpus square).
+
+    Input: payload table with PNG `bytes`; the hash comes from
+    `multimodal.image_dhash` (from-spec codec, exact block sums).
+    Returns (a, b, hamming).
+    """
+    if bands not in (2, 4, 8):
+        raise ValueError(f"bands must be 2, 4 or 8 (aligned to the hi/lo halves), got {bands}")
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < bands for guaranteed recall, got "
+            f"{max_hamming} vs {bands} bands"
+        )
+    from .multimodal import image_dhash
+
+    width = 64 // bands
+    per_half = bands // 2
+    mask = (1 << width) - 1
+
+    h = image_dhash(images.withColumnRenamed(id_col, "image_id"))
+    band_vals = []
+    for k in range(bands):
+        src = F.col("dhash_hi") if k < per_half else F.col("dhash_lo")
+        shift = width * (per_half - 1 - (k % per_half))
+        band_vals.append(F.shiftright(src, shift).bitwiseAND(F.lit(mask)))
+    b = h.select(
+        F.col("image_id").alias("id"),
+        "dhash_hi",
+        "dhash_lo",
+        F.posexplode(F.array(*band_vals)).alias("band_ix", "band_val"),
+    )
+    l = b.select(
+        F.col("id").alias("a"),
+        F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"),
+        "band_ix",
+        "band_val",
+    )
+    r = b.select(
+        F.col("id").alias("b"),
+        F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"),
+        "band_ix",
+        "band_val",
+    )
+    return (
+        l.join(r, on=["band_ix", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "la", "hb", "lb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            + F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -440,6 +440,73 @@ def run_mosaic():
     ).collect()
 
 
+def run_hilbert_encode():
+    # pure-codegen scalar family row: Hilbert cell encode at res 16 over
+    # 24x entities rows + a count-agg sink. The expression is ~16 chained
+    # element_at state lookups per row — all whole-stage codegen, no
+    # Python — so its N->4N row should track the agg_ceiling (hardware)
+    # row; a gap would mean the expression chain is breaking codegen.
+    from osmium_tool_spark.functions.cells import hilbert_cell
+
+    pts = spark.range(1, 24 * {n_entities} + 1).select(
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    (
+        pts.select(hilbert_cell(F.col("lon"), F.col("lat"), 16).alias("hc"))
+        .groupBy((F.col("hc") % 64).alias("b")).count()
+        .agg(F.sum("count")).collect()
+    )
+
+
+def run_webdataset_shards():
+    # tar-sink row: n_docs samples of ~200-byte payloads packed into
+    # ~target_bytes shards — one shuffle keyed by shard, then the
+    # stdlib tar writer per shard (Python + disk bound, embarrassingly
+    # parallel across shards).
+    import shutil
+    import tempfile
+
+    from osmium_tool_spark.sinks.webdataset import write_webdataset_shards
+
+    k = F.col("id")
+    df = spark.range(1, {n_docs} + 1).select(
+        k.alias("image_id"),
+        ((k * 2654435761) % 4294967296).alias("zcell"),
+        (k % 4096).alias("shard_id"),
+        F.encode(F.concat(F.lit("payload-payload-payload-"), k.cast("string")), "UTF-8").alias("bytes"),
+        F.concat(F.lit("a caption for image number "), k.cast("string")).alias("caption"),
+        F.lit("png").alias("fmt"),
+    )
+    out = tempfile.mkdtemp(prefix="wds-scale-")
+    try:
+        write_webdataset_shards(df, out).agg(
+            F.sum("tar_bytes"), F.sum("n_samples")
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_image_dhash():
+    # codec-bound image-kernel row: n_docs//6 real 18x16 PNGs encoded,
+    # decoded back, block-summed and bit-packed — Python/numpy/zlib
+    # inside mapInPandas, zero shuffle (the mosaic row measures the
+    # grouped variant; this is the per-row one).
+    from osmium_tool_spark.operators.multimodal import image_dhash
+    from osmium_tool_spark.sources.images import encode_pattern_png_images
+
+    k = F.col("id")
+    src = spark.range(1, {n_docs} // 6 + 1).select(
+        k.alias("image_id"),
+        ((k * 37) % 256).cast("int").alias("val"),
+        F.lit(18).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    image_dhash(encode_pattern_png_images(src), grid=8).agg(
+        F.sum("dhash_hi"), F.sum("dhash_lo")
+    ).collect()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -489,6 +556,9 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("tile_render", run_tile_render),
                  ("simplify", run_simplify),
                  ("mosaic", run_mosaic),
+                 ("hilbert_encode", run_hilbert_encode),
+                 ("webdataset_shards", run_webdataset_shards),
+                 ("image_dhash", run_image_dhash),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue

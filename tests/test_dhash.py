@@ -117,3 +117,43 @@ def test_string_id_type_passthrough(spark):
     out = image_dhash(encode_pattern_png_images(df), grid=8)
     assert dict(out.dtypes)["image_id"] == "string"
     assert out.collect()[0].image_id == "imgX"
+
+
+def test_near_dup_matches_brute_force(spark):
+    # pigeonhole recall guarantee: the banded join must reproduce the
+    # brute-force pair set exactly for max_hamming < bands
+    from osmium_tool_spark.operators.dedup import dhash_near_dup_pairs
+
+    rows = [(i, (i * 37) % 256, 18, 16) for i in range(80)]
+    df = spark.createDataFrame(rows, "image_id long, val int, w int, h int")
+    imgs = encode_pattern_png_images(df)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in dhash_near_dup_pairs(imgs, max_hamming=3, bands=4).collect()
+    }
+    hashes = {
+        r.image_id: (r.dhash_hi, r.dhash_lo)
+        for r in image_dhash(imgs, grid=8).collect()
+    }
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a][0] ^ hashes[b][0]).count("1") + bin(
+                hashes[a][1] ^ hashes[b][1]
+            ).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want and want  # non-empty: exact-dup val clusters exist
+
+
+def test_near_dup_validation(spark):
+    from osmium_tool_spark.operators.dedup import dhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, 5, 18, 16)], "image_id long, val int, w int, h int"
+    )
+    with pytest.raises(ValueError):
+        dhash_near_dup_pairs(df, max_hamming=4, bands=4)  # recall not guaranteed
+    with pytest.raises(ValueError):
+        dhash_near_dup_pairs(df, max_hamming=1, bands=3)  # band misalignment
