@@ -2015,6 +2015,27 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-network connected components
+    (operators/network.network_components): consecutive way-ref pairs as
+    undirected edges, alternating large/small-star CC (the dup_clusters
+    machinery on a topology edge set), singleton handling for nodes with
+    no 2+-node path — the routing-islands QA query. The way subset
+    (id % 31) sits the graph near the connectivity threshold, so the
+    result is one mainland + dozens of islands (and the oracle's
+    recursive-CTE closure stays quadratic-in-ISLAND, not in corpus)."""
+    from osmium_tool_spark.operators.network import network_components
+    from osmium_tool_spark.sources import testdata as td
+
+    ways = td.ways_from_orders(spark, sf_dir).filter(F.col("id") % 31 == 0)
+    out = network_components(ways)
+    return out.select(
+        _L("node_id").alias("node_id"),
+        _L("component_id").alias("component_id"),
+        _L("component_size").alias("component_size"),
+    )
+
+
 def q_geo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatially leakage-safe train/val/test split
     (operators/curation.geo_buffered_split): cell-level portable-hash
@@ -2374,6 +2395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates to the tail, multi-round green, the text family
         # keeps lm_quality_score/normalize_text in-window)
         "geo_split": q_geo_split,
+        # (4j: routing-islands CC over the way graph — in-window;
+        # extract_complete_ways rotates to the tail, multi-round
+        # green, the extract family keeps bbox_simple/polygon/
+        # hilbert_extract in-window)
+        "network_components": q_network_components,
         # -- new in round 4g: exact ring area + centroid (in-window;
         # bigram_features rotates to the tail — lm_quality_score keeps
         # the char-bigram machinery in-window, bigram_features stays
@@ -2390,7 +2416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_extract": q_hilbert_extract,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
-        "extract_complete_ways": q_extract_complete_ways,
         "extract_polygon": q_extract_polygon,
         "tags_filter_closure": q_tags_filter_closure,
         "getid_recursive": q_getid_recursive,
@@ -2401,6 +2426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4j: rotated here for the hilbert rows — multi-round green,
         # in-window family siblings above; still oracled in the tail)
         "extract_multi_tile": q_extract_multi_tile,
+        # (r4j: extract_complete_ways rotated here for
+        # network_components — multi-round green; still oracled)
+        "extract_complete_ways": q_extract_complete_ways,
         "tags_filter_plain": q_tags_filter_plain,
         # (r4i: rotated here for snap_points — tile_render keeps the
         # raster family in-window; still oracled in the tail)
@@ -4253,6 +4281,37 @@ dh AS (SELECT id,
     o["image_dhash"] = f"""
 WITH {dhash_ctes}
 SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # network_components oracle: same edge derivation (consecutive ref
+    # pairs in (l_linenumber, l_partkey) order, self-loops dropped),
+    # transitive closure by recursive CTE, min-id component labels,
+    # singleton COALESCE over the full referenced-node universe.
+    o["network_components"] = """
+WITH RECURSIVE
+pr AS (SELECT l_orderkey,
+              list(l_partkey ORDER BY l_linenumber, l_partkey) AS refs
+       FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1),
+ed AS (SELECT unnest(list_transform(range(1, len(refs)),
+                                    i -> {'u': refs[i], 'v': refs[i+1]})) AS s
+       FROM pr WHERE len(refs) >= 2),
+p AS (SELECT DISTINCT s.u AS a, s.v AS b FROM ed WHERE s.u != s.v),
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(id, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+),
+lbl AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id),
+uni AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+        WHERE l_orderkey % 31 = 0),
+alln AS (SELECT u.id, COALESCE(l.cid, u.id) AS component_id
+         FROM uni u LEFT JOIN lbl l ON l.id = u.id),
+sz AS (SELECT component_id, count(*) AS component_size FROM alln GROUP BY 1)
+SELECT CAST(a.id AS BIGINT) AS node_id,
+       CAST(a.component_id AS BIGINT) AS component_id,
+       CAST(sz.component_size AS BIGINT) AS component_size
+FROM alln a JOIN sz USING (component_id)
 """
 
     # geo_split oracle: identical cell hash + the 8 wrap/clamp neighbor

@@ -1,0 +1,69 @@
+"""network_components (operators/network.py): way graph -> connected
+components (routing islands)."""
+
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.operators.network import network_components, way_edges
+
+
+def _ways(spark, rows):
+    return spark.createDataFrame(rows, "id long, refs array<long>")
+
+
+def test_way_edges_pairs_and_self_loops(spark):
+    df = _ways(
+        spark,
+        [
+            (1, [10, 11, 12]),
+            (2, [20, 20, 21]),  # self-loop dropped, (20,21) kept
+            (3, [30]),  # too short: no edges
+            (4, []),
+            (5, None),
+        ],
+    )
+    got = sorted((r.u, r.v) for r in way_edges(df).collect())
+    assert got == [(10, 11), (11, 12), (20, 21)]
+
+
+def test_components_two_islands_and_singleton(spark):
+    df = _ways(
+        spark,
+        [
+            (1, [1, 2, 3]),
+            (2, [3, 4]),  # joins component of 1..4
+            (3, [10, 11]),  # island
+            (4, [20]),  # singleton node 20
+            (5, [11, 11]),  # self-loop only: adds no connectivity
+        ],
+    )
+    out = {
+        r.node_id: (r.component_id, r.component_size)
+        for r in network_components(df).collect()
+    }
+    assert out == {
+        1: (1, 4),
+        2: (1, 4),
+        3: (1, 4),
+        4: (1, 4),
+        10: (10, 2),
+        11: (10, 2),
+        20: (20, 1),
+    }
+
+
+def test_long_chain_converges(spark):
+    # a 200-node path: label propagation would need 200 rounds, the
+    # large/small-star loop needs ~log^2
+    refs = list(range(1000, 1200))
+    df = _ways(spark, [(i, refs[i : i + 2]) for i in range(199)])
+    out = network_components(df).collect()
+    assert len(out) == 200
+    assert {r.component_id for r in out} == {1000}
+    assert all(r.component_size == 200 for r in out)
+
+
+def test_cycle(spark):
+    df = _ways(spark, [(1, [5, 6, 7, 8, 5])])  # closed ring
+    out = network_components(df).collect()
+    assert {r.node_id for r in out} == {5, 6, 7, 8}
+    assert all(r.component_id == 5 and r.component_size == 4 for r in out)
