@@ -2015,6 +2015,26 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_way_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded-polyline serialization (operators/export.way_polylines):
+    the Google/OSRM interchange encoding — floor-scaled precision-5
+    values, lat-first deltas, zigzag + 5-bit chunks + 0x20 continuation
+    + 63, as a codegen'd higher-order fold over the locations-join
+    coords. Oracle restates the identical chunk arithmetic per
+    character; the public spec vector is pinned in pytest."""
+    from osmium_tool_spark.operators.export import way_polylines
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    ways = td.ways_from_orders(spark, sf_dir)
+    out = way_polylines(ways, nodes, divisor=100)
+    return out.select(
+        _L("id").alias("id"),
+        _L("n_nodes").alias("n_nodes"),
+        F.col("polyline").alias("polyline"),
+    )
+
+
 def q_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Road-network connected components
     (operators/network.network_components): consecutive way-ref pairs as
@@ -2370,7 +2390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family's only gate row; ann_topk (r4 per-partition pre-top-k
         # rework) and bernoulli_sample (r4 sample_hash fix) must be
         # re-verified in-window
-        "fileinfo": q_fileinfo,
         "ann_topk": q_ann_topk,
         "bernoulli_sample": q_bernoulli_sample,
         # -- new in round 4g: adaptive quadtree tiling (in-window per
@@ -2400,6 +2419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, the extract family keeps bbox_simple/polygon/
         # hilbert_extract in-window)
         "network_components": q_network_components,
+        # (4j: encoded-polyline serialization — in-window; fileinfo
+        # rotates to the tail, green since r1, the aggregates family
+        # stays oracled there via fileinfo/fileinfo_crc/tags_count)
+        "way_polyline": q_way_polyline,
         # -- new in round 4g: exact ring area + centroid (in-window;
         # bigram_features rotates to the tail — lm_quality_score keeps
         # the char-bigram machinery in-window, bigram_features stays
@@ -2450,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4j: text_metrics rotated here for geo_split — multi-round
         # green; still oracled in the tail)
         "text_metrics": q_text_metrics,
+        # (r4j: fileinfo rotated here for way_polyline — green since
+        # r1; still oracled in the tail)
+        "fileinfo": q_fileinfo,
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
@@ -4281,6 +4307,42 @@ dh AS (SELECT id,
     o["image_dhash"] = f"""
 WITH {dhash_ctes}
 SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # way_polyline oracle: identical chunk arithmetic per character —
+    # zigzag, 5-bit little-endian chunks, continuation bit, +63 —
+    # generated for each of the 7 possible chunks, over the same
+    # floor(coord/100.0) precision-5 values and lat-first deltas.
+    def _pl_enc_sql(d: str) -> str:
+        z = f"(CASE WHEN ({d}) < 0 THEN -(({d}) * 2) - 1 ELSE ({d}) * 2 END)"
+        parts = []
+        for j in range(7):
+            has = f"({1 if j == 0 else 0} = 1 OR {z} >= {1 << (5 * j)})"
+            more = f"({z} >= {1 << (5 * (j + 1))})"
+            parts.append(
+                f"CASE WHEN {has} THEN chr(CAST((({z} >> {5 * j}) & 31) "
+                f"+ CASE WHEN {more} THEN 32 ELSE 0 END + 63 AS INT)) "
+                f"ELSE '' END"
+            )
+        return "(" + " || ".join(parts) + ")"
+
+    _pl_dlat = "(la[i] - CASE WHEN i = 1 THEN 0 ELSE la[i-1] END)"
+    _pl_dlon = "(lo[i] - CASE WHEN i = 1 THEN 0 ELSE lo[i-1] END)"
+    o["way_polyline"] = f"""
+WITH {NODES_CTE},
+pts AS (SELECT l_orderkey, n.lon, n.lat, l_linenumber, l_partkey
+        FROM lineitem JOIN nodes n ON l_partkey = n.id),
+c AS (SELECT l_orderkey AS id,
+        list(CAST(floor(lat / 100.0) AS BIGINT)
+             ORDER BY l_linenumber, l_partkey) AS la,
+        list(CAST(floor(lon / 100.0) AS BIGINT)
+             ORDER BY l_linenumber, l_partkey) AS lo
+      FROM pts GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS id, CAST(len(la) AS BIGINT) AS n_nodes,
+       list_aggregate(list_transform(range(1, len(la) + 1),
+         i -> {_pl_enc_sql(_pl_dlat)} || {_pl_enc_sql(_pl_dlon)}),
+         'string_agg', '') AS polyline
+FROM c WHERE len(la) >= 2
 """
 
     # network_components oracle: same edge derivation (consecutive ref

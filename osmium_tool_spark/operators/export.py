@@ -1017,3 +1017,80 @@ def way_area_centroid(ways: DataFrame, nodes: DataFrame) -> DataFrame:
                F.col("__y1").cast("double")
                + F.col("__ny").cast("double") / (F.lit(3.0) * a2d)).alias("cy"),
     )
+
+
+def _polyline_enc(d: Column) -> Column:
+    """Encoded-polyline chunk string for ONE signed delta: zigzag to a
+    non-negative int, 5-bit little-endian chunks, 0x20 continuation bit,
+    +63 into printable ASCII (the Google Encoded Polyline Algorithm; the
+    OSRM/Valhalla interchange encoding). Deltas here are < 2^33 (world
+    span in fixed-point), so 7 chunks always suffice."""
+    z = F.when(d < 0, -(d * 2) - 1).otherwise(d * 2)
+    parts = []
+    for j in range(7):
+        has = F.lit(j == 0) | (z >= F.lit(1 << (5 * j)))
+        more = z >= F.lit(1 << (5 * (j + 1)))
+        code = (
+            F.shiftright(z, 5 * j).bitwiseAND(F.lit(31))
+            + F.when(more, F.lit(32)).otherwise(F.lit(0))
+            + F.lit(63)
+        ).cast("int")
+        parts.append(F.when(has, F.char(code)).otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def polyline_col(coords: Column, divisor: int = 100) -> Column:
+    """Encoded polyline string from an ordered array<struct<__lon,__lat>>
+    (locations_join's coords): coordinates floor-scaled by ``divisor``
+    (fixed-point is 1e7; divisor 100 = the standard precision-5 polyline,
+    divisor 1 = the OSRM "polyline7" variant — both exact integer paths,
+    no float coordinate math beyond one correctly-rounded division),
+    delta-encoded lat-first per the algorithm spec. A way with any
+    unresolved ref yields NULL (concat propagates null — the
+    way_length_m error policy)."""
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+
+    def scale(v: Column) -> Column:
+        # double division is correctly rounded and the quotient is
+        # >= 1/divisor away from the nearest wrong integer while ulp is
+        # ~2e-9 at world scale, so floor() is exact — and the SQL twin
+        # evaluates the IDENTICAL expression
+        return F.floor(v / F.lit(float(divisor))).cast("long")
+
+    slat = F.transform(coords, lambda s: scale(s["__lat"]))
+    slon = F.transform(coords, lambda s: scale(s["__lon"]))
+
+    def deltas(vals: Column) -> Column:
+        prev = F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.slice(vals, 1, F.greatest(F.size(vals) - 1, F.lit(0))),
+        )
+        return F.zip_with(vals, prev, lambda a, b: a - b)
+
+    pairs = F.zip_with(
+        deltas(slat), deltas(slon),
+        lambda a, b: F.struct(a.alias("dlat"), b.alias("dlon")),
+    )
+    return F.aggregate(
+        pairs,
+        F.lit(""),
+        lambda acc, s: F.concat(acc, _polyline_enc(s["dlat"]), _polyline_enc(s["dlon"])),
+    )
+
+
+def way_polylines(ways: DataFrame, nodes: DataFrame, divisor: int = 100) -> DataFrame:
+    """(id, n_nodes, polyline) per way — the compact-trajectory export
+    format routers and map APIs exchange. Same scale shape as
+    way_length_m: locations_join is the one exchange pair, the encode is
+    a codegen'd higher-order fold, zero extra shuffle, no UDF."""
+    joined = locations_join(ways, nodes)
+    c = F.col("coords")
+    return (
+        joined.filter(F.size(c) >= 2)
+        .select(
+            "id",
+            F.size(c).alias("n_nodes"),
+            polyline_col(c, divisor).alias("polyline"),
+        )
+    )
