@@ -19,6 +19,8 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -421,4 +423,65 @@ def geohash_col(lon: Column, lat: Column, precision: int) -> Column:
                 bit = F.shiftright(latb, nlat - 1 - i // 2).bitwiseAND(F.lit(1))
             code = code.bitwiseOR(F.shiftleft(bit, 4 - j))
         chars.append(F.lit(GEOHASH_BASE32).substr((code + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+# ---------------------------------------------------------------------------
+# Slippy-map (XYZ / Web-Mercator) tile scheme + Bing quadkey — the tile
+# addressing every web map stack serves (OSM tile servers, Bing, MVT
+# pyramids). The engine's own pyramid (tiles.py) is equirectangular by
+# design (exact integer math); this is the interop encoding for systems
+# that expect z/x/y or quadkey addressing.
+# ---------------------------------------------------------------------------
+
+WEBMERCATOR_MAX_LAT = 85.05112878  # tan/sec projection pole cutoff
+
+
+def slippy_tile_cols(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """(tile_x, tile_y) at ``zoom`` per the slippy-map convention:
+    x = floor((lon_deg+180)/360 * 2^z) — pure double arithmetic, IEEE-
+    deterministic across engines; y uses the Mercator stretch written as
+    ln(tan(phi) + 1/cos(phi)) — the ONE formulation kept verbatim in the
+    SQL oracle so both engines evaluate the same call tree (asinh is
+    absent in DuckDB; a different composition would move the ulps).
+    Latitudes beyond the Web-Mercator cutoff clamp to the edge rows,
+    like every tile server does."""
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom 0..22, got {zoom}")
+    n = 1 << zoom
+    lon_deg = lon.cast("double") / 1e7
+    lat_deg = lat.cast("double") / 1e7
+    tx = F.floor((lon_deg + 180.0) / 360.0 * n).cast("long")
+    tx = F.greatest(F.lit(0).cast("long"), F.least(tx, F.lit(n - 1).cast("long")))
+    # clamp to the projection cutoff BEFORE the stretch (every tile
+    # server does; also keeps tan+sec away from its 0/inf pole where
+    # ln(0) differs across engines)
+    lat_c = F.greatest(
+        F.lit(-WEBMERCATOR_MAX_LAT), F.least(F.lit(WEBMERCATOR_MAX_LAT), lat_deg)
+    )
+    # radians via one literal multiply (NOT F.radians: toRadians is
+    # x/180*pi, a different op order than DuckDB's x*(pi/180) — the
+    # single-multiply form is bit-identical across engines)
+    phi = lat_c * F.lit(math.pi / 180.0)
+    merc = F.log(F.tan(phi) + 1.0 / F.cos(phi))
+    ty = F.floor((1.0 - merc / F.lit(math.pi)) / 2.0 * n).cast("long")
+    ty = F.greatest(F.lit(0).cast("long"), F.least(ty, F.lit(n - 1).cast("long")))
+    return tx, ty
+
+
+def quadkey_col(tx: Column, ty: Column, zoom: int) -> Column:
+    """Bing Maps quadkey string for a slippy tile: zoom characters, each
+    the base-4 digit (ybit<<1 | xbit) at that level, MSB first — the
+    string form of the Morton prefix (a parent tile's quadkey is the
+    child's prefix, so string prefix-range scans prune like the packed
+    cell ids). Pure bit math + substring, codegen, exact SQL twin."""
+    if not 1 <= zoom <= 22:
+        raise ValueError(f"zoom 1..22, got {zoom}")
+    chars = []
+    for i in range(zoom - 1, -1, -1):
+        digit = (
+            F.shiftleft(F.shiftright(ty, i).bitwiseAND(F.lit(1)), 1)
+            .bitwiseOR(F.shiftright(tx, i).bitwiseAND(F.lit(1)))
+        )
+        chars.append(F.lit("0123").substr((digit + 1).cast("int"), F.lit(1)))
     return F.concat(*chars)
