@@ -2015,6 +2015,28 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox Vector Tile sink END-TO-END (sinks/mvt.py): real protobuf
+    tile blobs (hand-rolled varint/length-delimited framing, spec 2.1),
+    POINT layer, exact integer tile+pixel math. The gate reports each
+    tile's feature count and the ACTUAL length of the encoded blob; the
+    oracle recomputes that length closed-form from the per-feature
+    varint arithmetic — any framing, zigzag, or field-tag bug shifts
+    it. Byte-level conformance is pinned in pytest by an independent
+    protobuf reader."""
+    from osmium_tool_spark.sinks.mvt import write_mvt_tiles
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = write_mvt_tiles(nodes, res=5)
+    return out.select(
+        _L("tile_x").alias("tile_x"),
+        _L("tile_y").alias("tile_y"),
+        _L("n_features").alias("n_features"),
+        _L("mvt_bytes").alias("mvt_bytes"),
+    )
+
+
 def q_slippy_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slippy-map (XYZ / Web-Mercator) tile assignment + Bing quadkey
     (functions/cells.slippy_tile_cols / quadkey_col) — the interop tile
@@ -2450,6 +2472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling siblings... kept honest: bernoulli_sample itself
         # stays oracled in the tail)
         "slippy_quadkey": q_slippy_quadkey,
+        # (4j: real protobuf vector tiles — in-window;
+        # getid_recursive rotates to the tail, green r1-r3, the id
+        # family keeps renumber in-window + removeid/getparents/
+        # check_refs oracled in the tail + 16 direct goldens)
+        "mvt_tiles": q_mvt_tiles,
         # -- new in round 4g: exact ring area + centroid (in-window;
         # bigram_features rotates to the tail — lm_quality_score keeps
         # the char-bigram machinery in-window, bigram_features stays
@@ -2468,7 +2495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_polygon": q_extract_polygon,
         "tags_filter_closure": q_tags_filter_closure,
-        "getid_recursive": q_getid_recursive,
         "renumber": q_renumber,
         # -- tail from here (51+): geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
@@ -2507,6 +2533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r4 sample_hash fix was verified in this round's local
         # full-registry runs; still oracled in the tail)
         "bernoulli_sample": q_bernoulli_sample,
+        # (r4j: getid_recursive rotated here for mvt_tiles — green
+        # r1-r3; still oracled in the tail)
+        "getid_recursive": q_getid_recursive,
         "export_geojson": q_export_geojson,
         "export_text": q_export_text,
         "multimodal_frames": q_multimodal_frames,
@@ -4338,6 +4367,29 @@ dh AS (SELECT id,
     o["image_dhash"] = f"""
 WITH {dhash_ctes}
 SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # mvt_tiles oracle: exact integer tile/pixel math (the engine grid
+    # at res 5, EXTENT 4096 subdivision), then the closed-form protobuf
+    # length from sinks/mvt.mvt_bytes_sql (same varint arithmetic the
+    # encoder's bytes obey).
+    from osmium_tool_spark.sinks.mvt import mvt_bytes_sql
+
+    mvt_ge = 32 * 4096  # res 5: n * EXTENT
+    o["mvt_tiles"] = f"""
+WITH {NODES_CTE},
+g AS (SELECT id AS fid,
+        least(CAST(floor((lon + 1800000000) * {mvt_ge} / 3600000000.0) AS BIGINT),
+              {mvt_ge - 1}) AS gx,
+        least(CAST(floor((lat + 900000000) * {mvt_ge} / 1800000000.0) AS BIGINT),
+              {mvt_ge - 1}) AS gy
+      FROM nodes),
+p AS (SELECT fid, gx >> 12 AS tile_x, gy >> 12 AS tile_y,
+             gx & 4095 AS px, gy & 4095 AS py FROM g)
+SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST({mvt_bytes_sql()} AS BIGINT) AS mvt_bytes
+FROM p GROUP BY tile_x, tile_y
 """
 
     # slippy_quadkey oracle: tile-x exact double arithmetic in the same

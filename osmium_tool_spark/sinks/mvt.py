@@ -1,0 +1,172 @@
+"""Mapbox Vector Tile (MVT) sink: real protobuf tile bytes from Spark.
+
+The reference exports to GeoJSON/text/PG (src/export/*); the format web
+maps actually serve is the MVT protobuf (spec 2.1,
+github.com/mapbox/vector-tile-spec — public). This sink renders a POINT
+layer per slippy tile entirely from integer arithmetic:
+
+  - tile assignment + in-tile pixel coords are exact fixed-point math
+    (no float geometry), so every byte of the output is a deterministic
+    function of the input rows;
+  - the protobuf wire format is hand-rolled (varint / length-delimited
+    framing per the public protobuf encoding spec) — no protobuf
+    dependency, and the byte LENGTH of every tile is a closed-form
+    function of its feature deltas, which is what the DuckDB oracle
+    recomputes (any framing/varint/zigzag bug shifts it);
+  - one shuffle keyed by tile (groupBy -> applyInPandas, one task per
+    tile, stdlib-only kernel), features ordered by id within the tile.
+
+Layer shape kept deliberately minimal-but-conformant: version 2, one
+layer, POINT features with an integer id and no attributes (keys/values
+empty — attribute encoding is orthogonal to the geometry/framing path
+and the first thing a consumer varies anyway). Extent 4096.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EXTENT = 4096
+
+
+def varint_len_sql(v: str) -> str:
+    """SQL expression: encoded varint byte length of non-negative ``v``
+    (values here are < 2^28, so four terms suffice)."""
+    return (
+        f"(CASE WHEN ({v}) < 128 THEN 1 WHEN ({v}) < 16384 THEN 2 "
+        f"WHEN ({v}) < 2097152 THEN 3 ELSE 4 END)"
+    )
+
+
+def tile_pixel_cols(
+    lon: Column, lat: Column, res: int
+) -> tuple[Column, Column, Column, Column]:
+    """(tile_x, tile_y, px, py) on the engine's equirectangular grid at
+    ``res``: the tile is the res-level cell, the pixel is the EXTENT
+    subdivision inside it — all exact integer floor math, mirrored
+    verbatim by the oracle."""
+    n = 1 << res
+    span_x = 3_600_000_000
+    span_y = 1_800_000_000
+    gx = ((lon.cast("long") + span_x // 2) * (n * EXTENT)) / F.lit(span_x)
+    gy = ((lat.cast("long") + span_y // 2) * (n * EXTENT)) / F.lit(span_y)
+    gx = F.least(F.floor(gx).cast("long"), F.lit(n * EXTENT - 1))
+    gy = F.least(F.floor(gy).cast("long"), F.lit(n * EXTENT - 1))
+    return (
+        F.shiftright(gx, 12),  # EXTENT = 2^12
+        F.shiftright(gy, 12),
+        gx.bitwiseAND(F.lit(EXTENT - 1)),
+        gy.bitwiseAND(F.lit(EXTENT - 1)),
+    )
+
+
+def write_mvt_tiles(
+    points: DataFrame,
+    res: int,
+    layer_name: str = "points",
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """One MVT protobuf blob per occupied tile.
+
+    Returns (tile_x, tile_y, n_features, mvt: binary, mvt_bytes: long).
+    Scale shape: one exchange keyed by tile; the encode kernel is
+    stdlib-only Python over the tile's features (bounded by tile
+    occupancy; dense metros are exactly the cells the salting machinery
+    elsewhere splits).
+    """
+    if not 0 <= res <= 18:
+        raise ValueError(f"res 0..18, got {res}")
+    tx, ty, px, py = tile_pixel_cols(F.col(lon_col), F.col(lat_col), res)
+    staged = points.select(
+        F.col(id_col).cast("long").alias("fid"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        px.alias("px"),
+        py.alias("py"),
+    )
+
+    lname = layer_name
+
+    def _encode(pdf):
+        import pandas as pd
+
+        def varint(v: int) -> bytes:
+            out = bytearray()
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        def zigzag(d: int) -> int:
+            return (d << 1) ^ (d >> 63)
+
+        def field(num: int, wire: int) -> bytes:
+            return varint((num << 3) | wire)
+
+        pdf = pdf.sort_values(["fid"], kind="mergesort")
+        feats = bytearray()
+        for fid, x, y in zip(pdf["fid"], pdf["px"], pdf["py"]):
+            geom = (
+                varint((1 << 3) | 1)  # MoveTo, count 1
+                + varint(zigzag(int(x)))
+                + varint(zigzag(int(y)))
+            )
+            body = (
+                field(1, 0) + varint(int(fid))  # id
+                + field(3, 0) + varint(1)  # type POINT
+                + field(4, 2) + varint(len(geom)) + geom  # geometry
+            )
+            feats += field(2, 2) + varint(len(body)) + body  # Layer.features
+        name_b = lname.encode("utf-8")
+        layer = (
+            field(15, 0) + varint(2)  # version
+            + field(1, 2) + varint(len(name_b)) + name_b
+            + bytes(feats)
+            + field(5, 0) + varint(EXTENT)
+        )
+        tile = field(3, 2) + varint(len(layer)) + layer
+        return pd.DataFrame(
+            [
+                {
+                    "tile_x": int(pdf["tile_x"].iloc[0]),
+                    "tile_y": int(pdf["tile_y"].iloc[0]),
+                    "n_features": len(pdf),
+                    "mvt": bytes(tile),
+                    "mvt_bytes": len(tile),
+                }
+            ]
+        )
+
+    return staged.groupBy("tile_x", "tile_y").applyInPandas(
+        _encode,
+        "tile_x long, tile_y long, n_features long, mvt binary, mvt_bytes long",
+    )
+
+
+def mvt_bytes_sql(layer_name: str = "points") -> str:
+    """Closed-form SQL for a tile's total byte length, given per-feature
+    columns px, py, fid aggregated per tile — the oracle's twin of
+    `_encode`'s framing (feature body = id + type + geometry fields;
+    layer = version + name + features + extent; tile = one layer field).
+    MVT zigzag here is non-negative (px/py, in-tile): z = 2*coord."""
+    # geometry: 1 byte command + varint(2*px) + varint(2*py)
+    geom = f"(1 + {varint_len_sql('2 * px')} + {varint_len_sql('2 * py')})"
+    # feature body: id field (1 + varint(fid)) + type field (2) + geom
+    # field (1 + varint(len(geom)) + geom); geom len < 128 -> 1 byte
+    body = f"(1 + {varint_len_sql('fid')} + 2 + 1 + 1 + {geom})"
+    # feature framing: tag byte + varint(body len); body < 128 -> 1 byte
+    feat = f"(1 + 1 + {body})"
+    name_len = len(layer_name.encode("utf-8"))
+    # layer: version (2) + name (1 + 1 + len) + features + extent (2 +
+    # varint(4096) = 2 bytes) -> fixed part + sum(feat)
+    fixed = 2 + 1 + 1 + name_len + 1 + 2
+    layer = f"({fixed} + sum({feat}))"
+    # tile: tag byte + varint(layer len) + layer
+    return f"(1 + {varint_len_sql(layer)} + {layer})"
