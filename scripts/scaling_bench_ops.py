@@ -507,6 +507,59 @@ def run_image_dhash():
     ).collect()
 
 
+def run_mvt_tiles():
+    # protobuf encode row: n_docs points -> res-7 tiles -> hand-rolled
+    # varint framing per tile (stdlib Python kernel after one exchange).
+    from osmium_tool_spark.sinks.mvt import write_mvt_tiles
+
+    k = F.col("id")
+    pts = spark.range(1, {n_docs} + 1).select(
+        k.alias("id"),
+        ((k * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((k * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    write_mvt_tiles(pts, res=7).agg(
+        F.sum("mvt_bytes"), F.sum("n_features")
+    ).collect()
+
+
+def run_way_polyline():
+    # codegen higher-order-fold row: n_docs//4 ways x 12 refs through the
+    # locations join + the 7-chunk polyline fold — one exchange pair,
+    # the fold itself is pure whole-stage codegen.
+    from osmium_tool_spark.operators.export import way_polylines
+
+    n_ways = {n_docs} // 4
+    nodes = spark.range(1, 2 * {n_docs} + 1).select(
+        F.lit(0).alias("type"), F.col("id"), F.lit(1).alias("version"),
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    ways = spark.range(1, n_ways + 1).select(
+        F.col("id"), F.lit(1).alias("version"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: (F.col("id") * 31 + i * 2654435761) % (2 * {n_docs}) + 1,
+        ).alias("refs"),
+    )
+    way_polylines(ways, nodes, divisor=100).agg(
+        F.sum(F.length("polyline")), F.sum("n_nodes")
+    ).collect()
+
+
+def run_geo_split():
+    # pure-projection row: buffered split over 24x entities points —
+    # 8 neighbor hash comparisons per row, zero shuffle.
+    from osmium_tool_spark.operators.curation import geo_buffered_split
+
+    pts = spark.range(1, 24 * {n_entities} + 1).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 2654435761) % 3600000000 - 1800000000).alias("lon"),
+        ((F.col("id") * 2246822519) % 1800000000 - 900000000).alias("lat"),
+    )
+    geo_buffered_split(pts, res=10).groupBy("split").count().collect()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -559,6 +612,9 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("hilbert_encode", run_hilbert_encode),
                  ("webdataset_shards", run_webdataset_shards),
                  ("image_dhash", run_image_dhash),
+                 ("mvt_tiles", run_mvt_tiles),
+                 ("way_polyline", run_way_polyline),
+                 ("geo_split", run_geo_split),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
