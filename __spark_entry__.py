@@ -2015,6 +2015,23 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal density binning (operators/hexbin.hexbin_counts): the
+    two-interleaved-grids nearest-center assignment — exact integer
+    squared-distance comparisons, ties to the even grid — then one
+    hash-agg per hex center. Regular pointy-top hexes via h = w*sqrt(3)
+    rounded once at PLAN time (the lattice constant; per-row math stays
+    integer-exact)."""
+    from osmium_tool_spark.operators.hexbin import hexbin_counts
+    from osmium_tool_spark.sources import testdata as td
+
+    nodes = td.nodes_from_part(spark, sf_dir)
+    out = hexbin_counts(nodes, w=50_000_000, h=86_602_540)
+    return out.select(
+        _L("cx").alias("cx"), _L("cy").alias("cy"), _L("n").alias("n")
+    )
+
+
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mapbox Vector Tile sink END-TO-END (sinks/mvt.py): real protobuf
     tile blobs (hand-rolled varint/length-delimited framing, spec 2.1),
@@ -2499,6 +2516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail from here (51+): geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
+        # (4j: hexbin oracled as an early tail row, the geohash
+        # precedent — the density family is in-window via
+        # density_surface/grid_cluster)
+        "hexbin": q_hexbin,
         # (r4j: rotated here for the hilbert rows — multi-round green,
         # in-window family siblings above; still oracled in the tail)
         "extract_multi_tile": q_extract_multi_tile,
@@ -4367,6 +4388,36 @@ dh AS (SELECT id,
     o["image_dhash"] = f"""
 WITH {dhash_ctes}
 SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # hexbin oracle: identical two-grid nearest-center arithmetic —
+    # half-up rounding via floor((x + half)/spacing), exact int64
+    # squared distances, ties to the A grid.
+    hb_w, hb_h = 50_000_000, 86_602_540
+    hb_ax = f"(CAST(floor((lon + {hb_w}) / {2 * hb_w}.0) AS BIGINT) * {2 * hb_w})"
+    hb_ay = f"(CAST(floor((lat + {hb_h}) / {2 * hb_h}.0) AS BIGINT) * {2 * hb_h})"
+    hb_bx = (
+        f"(CAST(floor((lon - {hb_w} + {hb_w}) / {2 * hb_w}.0) AS BIGINT) "
+        f"* {2 * hb_w} + {hb_w})"
+    )
+    hb_by = (
+        f"(CAST(floor((lat - {hb_h} + {hb_h}) / {2 * hb_h}.0) AS BIGINT) "
+        f"* {2 * hb_h} + {hb_h})"
+    )
+    o["hexbin"] = f"""
+WITH {NODES_CTE},
+c AS (SELECT id, lon, lat, {hb_ax} AS ax, {hb_ay} AS ay,
+             {hb_bx} AS bx, {hb_by} AS by FROM nodes),
+pick AS (SELECT CASE WHEN (lon-ax)*(lon-ax) + (lat-ay)*(lat-ay)
+                       <= (lon-bx)*(lon-bx) + (lat-by)*(lat-by)
+                     THEN ax ELSE bx END AS cx,
+                CASE WHEN (lon-ax)*(lon-ax) + (lat-ay)*(lat-ay)
+                       <= (lon-bx)*(lon-bx) + (lat-by)*(lat-by)
+                     THEN ay ELSE by END AS cy
+         FROM c)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(count(*) AS BIGINT) AS n
+FROM pick GROUP BY cx, cy
 """
 
     # mvt_tiles oracle: exact integer tile/pixel math (the engine grid
