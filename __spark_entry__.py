@@ -2015,6 +2015,33 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval trajectory resampling
+    (operators/trajectory.resample_track): per-user event tracks
+    interpolated onto a shared 6-hour clock — lead-window segments,
+    bounded sequence explode, single-division IEEE interpolation both
+    engines evaluate bit-identically."""
+    from osmium_tool_spark.operators.trajectory import resample_track
+    from osmium_tool_spark.sources.testdata import load
+
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id").cast("long")
+    pts = ev.select(
+        F.col("user_id").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        ((k * 2654435761) % 3600000000 - 1800000000).alias("x"),
+        ((k * 2246822519) % 1800000000 - 900000000).alias("y"),
+    )
+    out = resample_track(pts, step=21_600_000_000, key_col="key",
+                         ts_col="ts", x_col="x", y_col="y")
+    return out.select(
+        _L("key").alias("key"),
+        _L("t").alias("t"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+
+
 def q_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal density binning (operators/hexbin.hexbin_counts): the
     two-interleaved-grids nearest-center assignment — exact integer
@@ -2520,6 +2547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precedent — the density family is in-window via
         # density_surface/grid_cluster)
         "hexbin": q_hexbin,
+        # (4j: trajectory resampling oracled in the tail — the
+        # windowed time-series family is in-window via sessionize/
+        # asof_join)
+        "resample_track": q_resample_track,
         # (r4j: rotated here for the hilbert rows — multi-round green,
         # in-window family siblings above; still oracled in the tail)
         "extract_multi_tile": q_extract_multi_tile,
@@ -4388,6 +4419,40 @@ dh AS (SELECT id,
     o["image_dhash"] = f"""
 WITH {dhash_ctes}
 SELECT CAST(id AS BIGINT) AS image_id, dhash_hi, dhash_lo FROM dh
+"""
+
+    # resample_track oracle: identical lead-window segments ((t,x,y)
+    # tiebreak order), the same ceil-div sample clock, the same
+    # single-division interpolation expression.
+    rs_step = 21_600_000_000
+    o["resample_track"] = f"""
+WITH ev AS (SELECT user_id AS key, epoch_us(ts) AS t,
+        (event_id * 2654435761) % 3600000000 - 1800000000 AS x,
+        (event_id * 2246822519) % 1800000000 - 900000000 AS y
+      FROM events),
+seg AS (SELECT key, t AS t1, x AS x1, y AS y1,
+        lead(t) OVER w AS t2, lead(x) OVER w AS x2, lead(y) OVER w AS y2
+        FROM ev WINDOW w AS (PARTITION BY key ORDER BY t, x, y)),
+ks AS (SELECT key, t1, x1, y1, t2, x2, y2, unnest(
+         CASE WHEN t2 IS NOT NULL
+                   AND CAST(ceil(t1 / {rs_step}.0) AS BIGINT)
+                       <= CAST(ceil(t2 / {rs_step}.0) AS BIGINT) - 1
+              THEN range(CAST(ceil(t1 / {rs_step}.0) AS BIGINT),
+                         CAST(ceil(t2 / {rs_step}.0) AS BIGINT))
+              WHEN t2 IS NULL AND t1 % {rs_step} = 0
+              THEN [CAST(floor(t1 / {rs_step}.0) AS BIGINT)]
+              ELSE [] END) AS k
+       FROM seg)
+SELECT CAST(key AS BIGINT) AS key, CAST(k * {rs_step} AS BIGINT) AS t,
+       CASE WHEN t2 IS NULL THEN CAST(x1 AS DOUBLE)
+            ELSE CAST(x1 AS DOUBLE) + CAST(x2 - x1 AS DOUBLE)
+                 * (CAST(k * {rs_step} - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+       END AS x,
+       CASE WHEN t2 IS NULL THEN CAST(y1 AS DOUBLE)
+            ELSE CAST(y1 AS DOUBLE) + CAST(y2 - y1 AS DOUBLE)
+                 * (CAST(k * {rs_step} - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+       END AS y
+FROM ks
 """
 
     # hexbin oracle: identical two-grid nearest-center arithmetic —
