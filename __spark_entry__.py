@@ -2071,8 +2071,10 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmium_tool_spark.sinks.mvt import write_mvt_tiles
     from osmium_tool_spark.sources import testdata as td
 
-    nodes = td.nodes_from_part(spark, sf_dir)
-    out = write_mvt_tiles(nodes, res=5)
+    nodes = td.nodes_from_part(spark, sf_dir).select(
+        "id", "lon", "lat", (F.col("id") % 97).alias("rk")
+    )
+    out = write_mvt_tiles(nodes, res=5, attr_col="rk", attr_key="rank")
     return out.select(
         _L("tile_x").alias("tile_x"),
         _L("tile_y").alias("tile_y"),
@@ -4489,23 +4491,29 @@ FROM pick GROUP BY cx, cy
     # at res 5, EXTENT 4096 subdivision), then the closed-form protobuf
     # length from sinks/mvt.mvt_bytes_sql (same varint arithmetic the
     # encoder's bytes obey).
-    from osmium_tool_spark.sinks.mvt import mvt_bytes_sql
+    from osmium_tool_spark.sinks.mvt import mvt_bytes_sql, varint_len_sql
 
     mvt_ge = 32 * 4096  # res 5: n * EXTENT
     o["mvt_tiles"] = f"""
 WITH {NODES_CTE},
-g AS (SELECT id AS fid,
+g AS (SELECT id AS fid, id % 97 AS attr,
         least(CAST(floor((lon + 1800000000) * {mvt_ge} / 3600000000.0) AS BIGINT),
               {mvt_ge - 1}) AS gx,
         least(CAST(floor((lat + 900000000) * {mvt_ge} / 1800000000.0) AS BIGINT),
               {mvt_ge - 1}) AS gy
       FROM nodes),
-p AS (SELECT fid, gx >> 12 AS tile_x, gy >> 12 AS tile_y,
-             gx & 4095 AS px, gy & 4095 AS py FROM g)
+p AS (SELECT fid, attr, gx >> 12 AS tile_x, gy >> 12 AS tile_y,
+             gx & 4095 AS px, gy & 4095 AS py FROM g),
+vx AS (SELECT *, dense_rank() OVER (PARTITION BY tile_x, tile_y ORDER BY attr)
+              - 1 AS vix FROM p),
+vb AS (SELECT tile_x, tile_y,
+              sum(1 + 1 + 1 + {varint_len_sql('v')}) AS vals_bytes
+       FROM (SELECT DISTINCT tile_x, tile_y, attr AS v FROM p)
+       GROUP BY 1, 2)
 SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
        CAST(count(*) AS BIGINT) AS n_features,
-       CAST({mvt_bytes_sql()} AS BIGINT) AS mvt_bytes
-FROM p GROUP BY tile_x, tile_y
+       CAST({mvt_bytes_sql(attr=True)} AS BIGINT) AS mvt_bytes
+FROM vx JOIN vb USING (tile_x, tile_y) GROUP BY tile_x, tile_y
 """
 
     # slippy_quadkey oracle: tile-x exact double arithmetic in the same

@@ -68,8 +68,18 @@ def write_mvt_tiles(
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    attr_col: str | None = None,
+    attr_key: str = "rank",
 ) -> DataFrame:
     """One MVT protobuf blob per occupied tile.
+
+    ``attr_col`` (optional, non-negative int64 column): attaches one
+    attribute per feature through the spec's keys/values indirection —
+    the layer's keys table holds ``attr_key``, its values table the
+    tile's DISTINCT attribute values (ascending — deterministic), and
+    each feature's packed ``tags`` field is the [key_idx, value_idx]
+    pair. This is the complete attribute path; multi-key maps differ
+    only in fan-out.
 
     Returns (tile_x, tile_y, n_features, mvt: binary, mvt_bytes: long).
     Scale shape: one exchange keyed by tile; the encode kernel is
@@ -86,9 +96,12 @@ def write_mvt_tiles(
         ty.alias("tile_y"),
         px.alias("px"),
         py.alias("py"),
+        *([F.col(attr_col).cast("long").alias("attr")] if attr_col else []),
     )
 
     lname = layer_name
+    with_attr = attr_col is not None
+    key_b = attr_key.encode("utf-8")
 
     def _encode(pdf):
         import pandas as pd
@@ -111,24 +124,40 @@ def write_mvt_tiles(
             return varint((num << 3) | wire)
 
         pdf = pdf.sort_values(["fid"], kind="mergesort")
+        vidx = {}
+        if with_attr:
+            for i, v in enumerate(sorted(set(int(v) for v in pdf["attr"]))):
+                vidx[v] = i
         feats = bytearray()
-        for fid, x, y in zip(pdf["fid"], pdf["px"], pdf["py"]):
+        for row in pdf.itertuples(index=False):
             geom = (
                 varint((1 << 3) | 1)  # MoveTo, count 1
-                + varint(zigzag(int(x)))
-                + varint(zigzag(int(y)))
+                + varint(zigzag(int(row.px)))
+                + varint(zigzag(int(row.py)))
             )
+            tags = b""
+            if with_attr:
+                pair = varint(0) + varint(vidx[int(row.attr)])
+                tags = field(2, 2) + varint(len(pair)) + pair
             body = (
-                field(1, 0) + varint(int(fid))  # id
+                field(1, 0) + varint(int(row.fid))  # id
+                + tags  # packed [key_idx, value_idx]
                 + field(3, 0) + varint(1)  # type POINT
                 + field(4, 2) + varint(len(geom)) + geom  # geometry
             )
             feats += field(2, 2) + varint(len(body)) + body  # Layer.features
         name_b = lname.encode("utf-8")
+        kv = b""
+        if with_attr:
+            kv = field(3, 2) + varint(len(key_b)) + key_b  # Layer.keys
+            for v in sorted(vidx):  # Layer.values: Value{int_value}
+                msg = field(4, 0) + varint(v)
+                kv += field(4, 2) + varint(len(msg)) + msg
         layer = (
             field(15, 0) + varint(2)  # version
             + field(1, 2) + varint(len(name_b)) + name_b
             + bytes(feats)
+            + kv
             + field(5, 0) + varint(EXTENT)
         )
         tile = field(3, 2) + varint(len(layer)) + layer
@@ -150,23 +179,30 @@ def write_mvt_tiles(
     )
 
 
-def mvt_bytes_sql(layer_name: str = "points") -> str:
+def mvt_bytes_sql(layer_name: str = "points", attr: bool = False,
+                  attr_key: str = "rank") -> str:
     """Closed-form SQL for a tile's total byte length, given per-feature
-    columns px, py, fid aggregated per tile — the oracle's twin of
-    `_encode`'s framing (feature body = id + type + geometry fields;
-    layer = version + name + features + extent; tile = one layer field).
-    MVT zigzag here is non-negative (px/py, in-tile): z = 2*coord."""
+    columns px, py, fid (and, with ``attr``, per-feature value index
+    ``vix`` = dense rank of the attribute among the tile's distinct
+    values, 0-based, plus ``n_vals``/``vals_bytes`` aggregates) — the
+    oracle's twin of `_encode`'s framing. MVT zigzag here is
+    non-negative (px/py, in-tile): z = 2*coord."""
     # geometry: 1 byte command + varint(2*px) + varint(2*py)
     geom = f"(1 + {varint_len_sql('2 * px')} + {varint_len_sql('2 * py')})"
     # feature body: id field (1 + varint(fid)) + type field (2) + geom
     # field (1 + varint(len(geom)) + geom); geom len < 128 -> 1 byte
-    body = f"(1 + {varint_len_sql('fid')} + 2 + 1 + 1 + {geom})"
+    tags = f"(2 + 1 + {varint_len_sql('vix')})" if attr else "0"
+    body = f"(1 + {varint_len_sql('fid')} + {tags} + 2 + 1 + 1 + {geom})"
     # feature framing: tag byte + varint(body len); body < 128 -> 1 byte
     feat = f"(1 + 1 + {body})"
     name_len = len(layer_name.encode("utf-8"))
     # layer: version (2) + name (1 + 1 + len) + features + extent (2 +
-    # varint(4096) = 2 bytes) -> fixed part + sum(feat)
+    # varint(4096) = 2 bytes) -> fixed part + sum(feat); with attr, add
+    # the keys entry (1 + 1 + len(attr_key)) and the values section
+    # (per distinct value: framing 1 + 1 + msg(1 + varint(v)))
     fixed = 2 + 1 + 1 + name_len + 1 + 2
-    layer = f"({fixed} + sum({feat}))"
+    if attr:
+        fixed += 1 + 1 + len(attr_key.encode("utf-8"))
+    layer = f"({fixed} + sum({feat})" + (" + max(vals_bytes)" if attr else "") + ")"
     # tile: tag byte + varint(layer len) + layer
     return f"(1 + {varint_len_sql(layer)} + {layer})"

@@ -37,15 +37,22 @@ def parse_message(buf: bytes) -> list[tuple[int, int, object]]:
 
 
 def decode_tile(blob: bytes):
-    """-> (layer_name, version, extent, [(fid, px, py)])."""
+    """-> (layer_name, version, extent, keys, values,
+           [(fid, px, py, attrs_dict)])."""
     tile = parse_message(blob)
     assert [f for f, _, _ in tile] == [3], "exactly one layer field"
     layer = parse_message(tile[0][2])
     fields = {}
-    feats = []
+    feats, keys, values = [], [], []
     for f, _, v in layer:
         if f == 2:
             feats.append(v)
+        elif f == 3:
+            keys.append(v.decode())
+        elif f == 4:
+            vm = {ff: vv for ff, _, vv in parse_message(v)}
+            assert set(vm) == {4}, "int_value only"
+            values.append(vm[4])
         else:
             fields[f] = v
     name = fields[1].decode()
@@ -60,9 +67,18 @@ def decode_tile(blob: bytes):
         zx, i = read_varint(geom, i)
         zy, i = read_varint(geom, i)
         assert i == len(geom)
-        decoded.append((fm[1], zx >> 1, zy >> 1))  # zigzag of >=0
+        attrs = {}
+        if 2 in fm:
+            pk, j = [], 0
+            while j < len(fm[2]):
+                v, j = read_varint(fm[2], j)
+                pk.append(v)
+            assert len(pk) % 2 == 0
+            for a in range(0, len(pk), 2):
+                attrs[keys[pk[a]]] = values[pk[a + 1]]
+        decoded.append((fm[1], zx >> 1, zy >> 1, attrs))  # zigzag of >=0
         assert fm[3] == 1  # POINT
-    return name, version, extent, decoded
+    return name, version, extent, keys, values, decoded
 
 
 def test_decode_conformance_and_coords(spark):
@@ -76,18 +92,22 @@ def test_decode_conformance_and_coords(spark):
         for i in range(500)
     ]
     df = spark.createDataFrame(rows, "id long, lon long, lat long")
-    out = write_mvt_tiles(df, res=3).collect()
+    df = df.withColumn("rk", F.col("id") % 13)
+    out = write_mvt_tiles(df, res=3, attr_col="rk", attr_key="rank").collect()
     assert sum(r.n_features for r in out) == 500
     total = 0
     seen = set()
     ge = (1 << 3) * EXTENT
     for r in out:
         assert len(bytes(r.mvt)) == r.mvt_bytes
-        name, version, extent, feats = decode_tile(bytes(r.mvt))
+        name, version, extent, keys, values, feats = decode_tile(bytes(r.mvt))
         assert (name, version, extent) == ("points", 2, EXTENT)
+        assert keys == ["rank"]
+        assert values == sorted(set(values)) and len(values) >= 1
         assert len(feats) == r.n_features
         assert [f[0] for f in feats] == sorted(f[0] for f in feats)
-        for fid, px, py in feats:
+        for fid, px, py, attrs in feats:
+            assert attrs == {"rank": fid % 13}
             seen.add(fid)
             lon = dict((i, lo) for i, lo, la in rows)[fid]
             lat = dict((i, la) for i, lo, la in rows)[fid]
