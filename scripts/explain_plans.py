@@ -401,6 +401,61 @@ def main() -> None:
              max_dist=5_000_000)))
     )
 
+    # 28. round-4j surfaces — all zero-shuffle projections or a single
+    # keyed exchange; what to check: ONE codegen'd Project for the
+    # scalar encoders (hilbert/geo_split/slippy/hexbin), the single
+    # window+explode pair for resample_track, the locations-join
+    # exchange + codegen fold for way_polyline, and the lone
+    # hashpartitioning exchange feeding each applyInPandas sink.
+    from osmium_tool_spark.functions.cells import hilbert_cell, quadkey_col, slippy_tile_cols
+    from osmium_tool_spark.operators.curation import geo_buffered_split
+    from osmium_tool_spark.operators.export import way_polylines
+    from osmium_tool_spark.operators.hexbin import hexbin_counts
+    from osmium_tool_spark.operators.network import network_components
+    from osmium_tool_spark.operators.trajectory import resample_track
+    from osmium_tool_spark.sinks.mvt import write_mvt_tiles
+
+    sections.append(
+        ("hilbert_cell encode (single codegen Project, linear state chain)",
+         capture_explain(nodes.select(
+             "id", hilbert_cell(F.col("lon"), F.col("lat"), 12).alias("hc"))))
+    )
+    sections.append(
+        ("geo_buffered_split (zero-shuffle projection, 8 neighbor hashes)",
+         capture_explain(geo_buffered_split(nodes, res=6, id_col="id")))
+    )
+    _tx, _ty = slippy_tile_cols(F.col("lon"), F.col("lat"), 10)
+    sections.append(
+        ("slippy tile + quadkey (projection)",
+         capture_explain(nodes.select("id", _tx.alias("tx"), _ty.alias("ty"))
+                         .select("id", quadkey_col(F.col("tx"), F.col("ty"), 10)
+                                 .alias("qk"))))
+    )
+    sections.append(
+        ("hexbin (projection + one hash-agg pair)",
+         capture_explain(hexbin_counts(nodes, w=50_000_000, h=86_602_540)))
+    )
+    sections.append(
+        ("way_polyline (locations-join exchange + codegen fold)",
+         capture_explain(way_polylines(ways, nodes, divisor=100)))
+    )
+    sections.append(
+        ("resample_track (one window exchange + bounded explode)",
+         capture_explain(resample_track(
+             nodes.select(F.col("id").alias("key"),
+                          (F.col("id") * 1000).alias("ts"),
+                          F.col("lon").alias("x"), F.col("lat").alias("y")),
+             step=7000)))
+    )
+    sections.append(
+        ("network_components edge pass (codegen explode; CC rounds iterate)",
+         capture_explain(network_components(ways)))
+    )
+    sections.append(
+        ("write_mvt_tiles (one keyed exchange into the encode kernel)",
+         capture_explain(write_mvt_tiles(nodes, res=5)))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"
