@@ -2408,6 +2408,42 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_L("id").alias("id"), _L("cid").alias("cid"))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct orders per spatial cell via the mergeable
+    HyperLogLog register sketch (operators/sketches.py): lineitems land
+    at their part's world coordinate, the 4x4 coarse grid is the group,
+    and the sketch estimates distinct l_orderkey per cell — the shape
+    exact COUNT(DISTINCT) can't survive at 10^12 rows (it shuffles
+    every distinct pair; the sketch caps per-group state at m=2^p
+    registers). Portable 32-bit avalanche hash -> the ENTIRE sketch
+    (registers, exact integer T, and the one-division double estimate)
+    is restated by the DuckDB oracle bit-identically; the exact
+    distinct count rides along for the accuracy contrast."""
+    from osmium_tool_spark.operators.sketches import hll_distinct
+    from osmium_tool_spark.sources.testdata import lat_expr, lon_expr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    located = li.select(
+        "l_orderkey",
+        ((lon_expr(F.col("l_partkey")) + 1_800_000_000) / F.lit(900_000_000))
+        .cast("long").alias("cx"),
+        ((lat_expr(F.col("l_partkey")) + 900_000_000) / F.lit(450_000_000))
+        .cast("long").alias("cy"),
+    )
+    est = hll_distinct(located, ["cx", "cy"], "l_orderkey", p=10, hash="portable")
+    exact = located.groupBy("cx", "cy").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return est.join(exact, ["cx", "cy"]).select(
+        _L("cx").alias("cx"), _L("cy").alias("cy"),
+        _L("v_zero").alias("v_zero"), F.col("k_max").cast("int").alias("k_max"),
+        _L("t_scaled").alias("t_scaled"), F.col("est_raw").cast("double").alias("est_raw"),
+        _L("n_exact").alias("n_exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -2537,10 +2573,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail + pinned by their direct goldens) --
         "hilbert_cell": q_hilbert_cell,
         "hilbert_extract": q_hilbert_extract,
+        # -- new in round 4k: mergeable-sketch family --
+        "hll_distinct": q_hll_distinct,
         # -- core operator rows --
         "extract_bbox_simple": q_extract_bbox_simple,
         "extract_polygon": q_extract_polygon,
         "tags_filter_closure": q_tags_filter_closure,
+        # (r4k: renumber rotated past the window for hll_distinct —
+        # green r1-r4, 16 direct goldens, bench.py still times it and
+        # the id family stays in-window via extract/getid siblings;
+        # still oracled in the tail)
         "renumber": q_renumber,
         # -- tail from here (51+): geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
@@ -4811,5 +4853,31 @@ SELECT CAST(l.event_id AS BIGINT) AS event_id, CAST(l.user_id AS BIGINT) AS user
        CAST(l.ts_us AS BIGINT) AS ts_us, CAST(r.ref_value AS DOUBLE) AS ref_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
+
+    # HLL distinct sketch: the oracle restates the ENTIRE sketch — the
+    # 32-bit avalanche hash, register max, exact integer T and the
+    # single-division double estimate (operators/sketches.py
+    # hll_estimate_sql) — plus the exact distinct count.
+    from osmium_tool_spark.operators.sketches import hll_estimate_sql
+
+    hll_src = f"""
+SELECT l_orderkey,
+       CAST(floor((({P_LON.replace('p_partkey', 'l_partkey')})
+                   + 1800000000) / 900000000.0) AS BIGINT) AS cx,
+       CAST(floor((({P_LAT.replace('p_partkey', 'l_partkey')})
+                   + 900000000) / 450000000.0) AS BIGINT) AS cy
+FROM lineitem"""
+    o["hll_distinct"] = (
+        "WITH "
+        + hll_estimate_sql(hll_src, ["cx", "cy"], "l_orderkey", p=10, ctes_only=True)
+        + """,
+ex AS (SELECT cx, cy, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+       FROM ("""
+        + hll_src
+        + """) GROUP BY cx, cy)
+SELECT b.cx, b.cy, b.v_zero, b.k_max, b.t_scaled, b.est_raw, ex.n_exact
+FROM byg b JOIN ex USING (cx, cy)
+"""
+    )
 
     return o

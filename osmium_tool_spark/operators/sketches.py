@@ -1,0 +1,292 @@
+"""Mergeable distinct-count sketches (HyperLogLog) as DataFrame plans.
+
+At 10^12 rows `COUNT(DISTINCT x) GROUP BY cell` is the classic
+scale-killer: the exact form shuffles every distinct (cell, x) pair.
+A HyperLogLog register table caps the per-group state at m = 2^p
+registers regardless of cardinality, aggregates with map-side partial
+max (registers are max-mergeable), and — because the register table is
+itself a DataFrame — doubles as a STANDING sketch: union two register
+tables and re-max to merge corpora, no re-scan of either side
+(Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm").
+
+Scale shape: input -> one projection (register index + rho, pure
+Column math) -> hash-agg #1 keyed (group, j) with partial max (state
+<= |groups| * m rows however big the input) -> hash-agg #2 keyed
+(group). No window, no distinct, no join.
+
+Two hash families:
+
+- ``hash="xxhash64"`` (production default): JVM xxhash64 drives both
+  the register index and the rho bits — full 64-bit quality, any
+  column type. Not restateable in the DuckDB oracle (engine-specific
+  hash), so gate queries don't use it.
+- ``hash="portable"``: a 32-bit multiply-xorshift avalanche hash
+  (two rounds of ``x = ((x >> 16) ^ x) * 0x45d9f3b mod 2^32`` — the
+  classic public-domain integer finalizer; the multiplier is < 2^27
+  so every product stays < 2^59, wrap-free in BOTH engines' signed
+  64-bit) over a BIGINT key — every step is exact integer arithmetic
+  Spark and DuckDB evaluate bit-identically, so the whole sketch
+  (registers AND estimate) has an ANSI-SQL twin. Register index =
+  low p bits, rho bits = the remaining 32-p (standard disjoint-bits
+  HLL); tests pin the achieved error inside the 1.04/sqrt(m) band on
+  adversarially structured inputs (arithmetic progressions, strided,
+  shifted). Inputs are reduced mod 2^31-1 first, which folds values
+  >= 2^31-1 (a ~2^-31 collision rate — noise next to the sketch's
+  own error).
+
+The estimate is emitted in EXACT integer components plus the raw
+double estimate computed as ONE multiply + ONE divide over
+exactly-representable operands, so even the double is bit-identical
+across engines:
+
+    T = V * 2^CAP + sum_present 2^(CAP - M_j)    (BIGINT; CAP = rho cap)
+    est_raw = (alpha_m * m^2) * 2^CAP / T        (both factors exact)
+
+alpha_m * m^2 is folded to a single double literal at plan-build time
+(same literal embedded in the SQL twin); 2^CAP is a power of two
+(exact in double); T < 2^53 for the portable family (CAP = 31,
+p <= 21), so the cast is exact and the one division is correctly
+rounded identically everywhere. The
+small-range linear-counting correction needs ln() (libm-specific ulp),
+so `corrected=True` is a Python-side convenience, never part of the
+oracled surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647  # Mersenne prime 2^31 - 1 (input fold)
+A_MIX = 0x45D9F3B  # multiply-xorshift round constant (< 2^27)
+M32 = 0xFFFFFFFF
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet 2007, fig. 3)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> int:
+    if not 4 <= p <= 21:
+        raise ValueError(f"p must be in [4, 21] (T must fit 2^53), got {p}")
+    return 1 << p
+
+
+def _portable_h32(value: Column) -> Column:
+    """32-bit avalanche hash of a BIGINT key, wrap-free exact integer
+    math (products < 2^59): fold mod 2^31-1, then two multiply-xorshift
+    rounds and a final fold."""
+    x = ((value.cast("long") % P31) + P31) % P31
+    x = F.shiftright(x, 16).bitwiseXOR(x) * A_MIX % (M32 + 1)
+    x = F.shiftright(x, 16).bitwiseXOR(x) * A_MIX % (M32 + 1)
+    return F.shiftright(x, 16).bitwiseXOR(x)
+
+
+def _rho_of(w: Column, cap: int) -> Column:
+    """1 + (trailing zeros of w), with rho(0) = cap. Exact integer bit
+    math: lowest set bit = w & -w; tz = bit_count(lowbit - 1)."""
+    lowbit = w.bitwiseAND(-w)
+    return F.when(w == 0, F.lit(cap)).otherwise(
+        F.bit_count(lowbit - F.lit(1)) + F.lit(1)
+    ).cast("int")
+
+
+# SQL twins (DuckDB) — keep in sync with the Column forms above. One
+# round of the finalizer over a column named by `x`; staged through
+# CTEs by hll_estimate_sql so no subexpression is evaluated twice.
+def h32_round_sql(x: str) -> str:
+    return f"(xor(({x}) >> 16, {x}) * {A_MIX}) % {M32 + 1}"
+
+
+def h32_final_sql(x: str) -> str:
+    return f"xor(({x}) >> 16, {x})"
+
+
+def fold31_sql(value: str) -> str:
+    return f"((({value}) % {P31}) + {P31}) % {P31}"
+
+
+def rho_sql(w: str, cap: int) -> str:
+    return (
+        f"CASE WHEN ({w}) = 0 THEN {cap} "
+        f"ELSE bit_count((({w}) & (0 - ({w}))) - 1) + 1 END"
+    )
+
+
+def rho_cap_portable(p: int) -> int:
+    """Max rho for the portable family: 32-p rho bits -> cap 32-p+1."""
+    return 32 - p + 1
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """The mergeable sketch state: (group..., j, M) with one row per
+    non-zero register — M = max over the group's values of rho(bits).
+    Union register tables from different corpora / partitions / days and
+    re-run `hll_merge` to combine; feed to `hll_estimate` to read."""
+    m = _check_p(p)
+    v = F.col(value_col)
+    if hash == "portable":
+        # disjoint bits of one mixed hash — standard HLL (the shared
+        # subexpression is ~10 integer ops; codegen CSE handles it)
+        x = _portable_h32(v)
+        j = x.bitwiseAND(F.lit(m - 1)).cast("int")
+        rho = _rho_of(F.shiftright(x, p), rho_cap_portable(p))
+    elif hash == "xxhash64":
+        h = F.xxhash64(v)
+        j = (((h % m) + m) % m).cast("int")
+        # rho over the remaining 64-p bits (logical shift keeps it sign-free)
+        w = F.shiftrightunsigned(h, p)
+        rho = _rho_of(w, 64 - p + 1)
+    else:
+        raise ValueError(f"hash must be 'portable' or 'xxhash64', got {hash!r}")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge standing sketches: union + register-wise max. Lossless —
+    merging sketches of A and B equals the sketch of A ∪ B."""
+    from functools import reduce
+
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    u = reduce(DataFrame.unionByName, register_tables)
+    keys = [c for c in u.columns if c not in ("M",)]
+    return u.groupBy(*keys).agg(F.max("M").alias("M"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int,
+    rho_cap: int | None = None,
+    corrected: bool = False,
+) -> DataFrame:
+    """Read a register table: per group —
+
+    - ``v_zero``   zero-valued registers (m - registers present)
+    - ``k_max``    max register value K (reported stat, not used in math)
+    - ``t_scaled`` T = V·2^CAP + Σ 2^(CAP-M_j)  (exact BIGINT)
+    - ``est_raw``  alpha_m·m²·2^CAP / T          (bit-stable double for
+                   the portable family; see module docstring)
+    - ``est``      (corrected=True only) linear-counting small-range
+                   correction applied — uses ln(), Python-side only.
+
+    ``rho_cap`` is the fixed scale CAP — the max rho the hash family
+    can emit (default: the portable family's 32-p+1, where every sum
+    fits well under 2^53 so the double cast is exact). For the
+    xxhash64 family rho can reach 65-p > 62-p, so CAP is clamped to
+    62-p and deeper registers saturate at one unit (a < m·2^-CAP
+    relative bias — far below the estimator's own error) to keep
+    every sum in BIGINT.
+    """
+    m = _check_p(p)
+    am2 = _alpha(m) * m * m  # single double literal, shared with the SQL twin
+    cap = min(rho_cap_portable(p) if rho_cap is None else rho_cap, 62 - p)
+    # shiftleft() wants a literal bit count; the data-dependent shift
+    # goes through expr (still pure codegen arithmetic)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - least(M, {cap}))")
+    # coalesce: a GLOBAL aggregate over an empty register table still
+    # emits one row (count=0) — that's the empty sketch (v_zero = m,
+    # est_raw = alpha*m, the raw formula's honest all-zero value; use
+    # corrected=True for the linear-counting 0)
+    byg = registers.groupBy(*group_cols).agg(
+        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+        F.coalesce(F.max("M"), F.lit(0)).cast("int").alias("k_max"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("s_cap"),
+    )
+    t = (F.shiftleft(F.col("v_zero"), cap) + F.col("s_cap")).cast("long")
+    est_raw = F.lit(am2) * F.lit(float(1 << cap)) / t.cast("double")
+    out = byg.select(
+        *group_cols,
+        "v_zero",
+        "k_max",
+        t.alias("t_scaled"),
+        est_raw.alias("est_raw"),
+    )
+    if corrected:
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
+        out = out.withColumn(
+            "est",
+            F.when(
+                (F.col("est_raw") <= 2.5 * m) & (F.col("v_zero") > 0), lc
+            ).otherwise(F.col("est_raw")),
+        )
+    return out
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+    hash: str = "xxhash64",
+    corrected: bool = False,
+) -> DataFrame:
+    """Fused add + estimate: approx distinct `value_col` per group."""
+    regs = hll_registers(df, group_cols, value_col, p=p, hash=hash)
+    cap = rho_cap_portable(p) if hash == "portable" else 64 - p + 1
+    return hll_estimate(regs, group_cols, p=p, rho_cap=cap, corrected=corrected)
+
+
+def hll_estimate_sql(
+    source_sql: str,
+    group_cols: list[str],
+    value_expr: str,
+    p: int,
+    ctes_only: bool = False,
+) -> str:
+    """DuckDB twin of hll_distinct(hash='portable') over `source_sql`
+    (a relation with the group columns and the BIGINT value expr).
+    With ``ctes_only`` return just the CTE chain ending at ``byg``
+    (columns: group..., v_zero, k_max, t_scaled, est_raw) so callers
+    can compose further."""
+    m = _check_p(p)
+    am2 = repr(_alpha(m) * m * m)
+    rho = rho_sql("w", rho_cap_portable(p))
+    cap = rho_cap_portable(p)
+    g = ", ".join(group_cols)
+    body = f"""\
+h0 AS (SELECT {g}, {fold31_sql(value_expr)} AS x
+       FROM ({source_sql}) WHERE ({value_expr}) IS NOT NULL),
+h1 AS (SELECT {g}, {h32_round_sql('x')} AS x FROM h0),
+h2 AS (SELECT {g}, {h32_round_sql('x')} AS x FROM h1),
+mixed AS (SELECT {g}, {h32_final_sql('x')} & {m - 1} AS j,
+                 {h32_final_sql('x')} >> {p} AS w
+          FROM h2),
+regs AS (SELECT {g}, j, MAX({rho}) AS M FROM mixed GROUP BY {g}, j),
+byg0 AS (SELECT {g},
+                CAST({m} - COUNT(*) AS BIGINT) AS v_zero,
+                CAST(COALESCE(MAX(M), 0) AS INTEGER) AS k_max,
+                CAST(COALESCE(SUM(CAST(1 AS BIGINT)
+                                  << ({cap} - least(M, {cap}))), 0)
+                     AS BIGINT) AS s_cap
+         FROM regs GROUP BY {g}),
+byg AS (SELECT {g}, v_zero, k_max,
+               CAST((v_zero << {cap}) + s_cap AS BIGINT) AS t_scaled,
+               CAST({am2} AS DOUBLE) * CAST({float(1 << cap)!r} AS DOUBLE)
+                     / CAST((v_zero << {cap}) + s_cap AS DOUBLE) AS est_raw
+        FROM byg0)"""
+    if ctes_only:
+        return body
+    return body + f"\nSELECT {g}, v_zero, k_max, t_scaled, est_raw FROM byg\n"
