@@ -2444,6 +2444,29 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation via coordinated fixed-level theta/KMV
+    sketches (operators/sketches.py): the even- and odd-doc_id halves of
+    the documents table are two corpora; each one's distinct word-3gram
+    shingle set is sketched by the deterministic 2^-r hash sample, and
+    the overlap row estimates |A|, |B|, |A∩B|, |A∪B| and Jaccard from
+    the sampled sets alone — the decontamination / train-eval-overlap
+    shape at scales where the exact shingle join is off the table.
+    Exact integer estimates (n<<r) + one bit-stable division; the
+    DuckDB oracle restates shingling, polyhash, the avalanche sample,
+    and the overlap aggregation end to end."""
+    from osmium_tool_spark.operators.dedup import poly_hash, word_shingles
+    from osmium_tool_spark.operators.sketches import theta_overlap, theta_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram")
+    ).select("doc_id", poly_hash(F.col("gram")).alias("gh"))
+    a = theta_sample(grams.filter(F.col("doc_id") % 2 == 0), [], "gh", r=3, hash="portable")
+    b = theta_sample(grams.filter(F.col("doc_id") % 2 == 1), [], "gh", r=3, hash="portable")
+    return theta_overlap(a, b, r=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -2573,10 +2596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail + pinned by their direct goldens) --
         "hilbert_cell": q_hilbert_cell,
         "hilbert_extract": q_hilbert_extract,
-        # -- new in round 4k: mergeable-sketch family --
+        # -- new in round 4k: mergeable-sketch family (in-window per
+        # judge item 7; extract_bbox_simple rotates to the tail for
+        # corpus_overlap — multi-round green, and the extract family
+        # keeps extract_polygon + hilbert_extract in-window plus the
+        # bbox math pinned by the direct extract goldens) --
         "hll_distinct": q_hll_distinct,
+        "corpus_overlap": q_corpus_overlap,
         # -- core operator rows --
-        "extract_bbox_simple": q_extract_bbox_simple,
         "extract_polygon": q_extract_polygon,
         "tags_filter_closure": q_tags_filter_closure,
         # (r4k: renumber rotated past the window for hll_distinct —
@@ -2584,6 +2611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the id family stays in-window via extract/getid siblings;
         # still oracled in the tail)
         "renumber": q_renumber,
+        # (r4k: rotated here for corpus_overlap — green r1-r4; still
+        # oracled in the tail)
+        "extract_bbox_simple": q_extract_bbox_simple,
         # -- tail from here (51+): geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
@@ -4879,5 +4909,34 @@ SELECT b.cx, b.cy, b.v_zero, b.k_max, b.t_scaled, b.est_raw, ex.n_exact
 FROM byg b JOIN ex USING (cx, cy)
 """
     )
+
+    # Corpus overlap via coordinated theta/KMV sketches: the oracle
+    # restates shingling, poly_hash, the 32-bit avalanche sample at
+    # level r=3 for each corpus half, and the tag+group overlap
+    # aggregation (operators/sketches.py theta_sample_sql/theta_overlap).
+    from osmium_tool_spark.operators.sketches import theta_sample_sql
+
+    def _theta_src(parity: int) -> str:
+        return (
+            f"SELECT {_polyhash_sql('g')} AS gh FROM "
+            f"(SELECT unnest({_sh3_sql(TOKS)}) AS g "
+            f"FROM documents WHERE doc_id % 2 = {parity})"
+        )
+
+    o["corpus_overlap"] = f"""
+WITH sa AS ({theta_sample_sql(_theta_src(0), "gh", 3)}),
+sb AS ({theta_sample_sql(_theta_src(1), "gh", 3)}),
+u AS (SELECT h, 1 AS ia, 0 AS ib FROM sa
+      UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM sb),
+byh AS (SELECT h, MAX(ia) AS ia, MAX(ib) AS ib FROM u GROUP BY h)
+SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b,
+       CAST(SUM(ia*ib) AS BIGINT) AS n_inter,
+       CAST(COUNT(*) AS BIGINT) AS n_union,
+       CAST(SUM(ia)*8 AS BIGINT) AS est_a, CAST(SUM(ib)*8 AS BIGINT) AS est_b,
+       CAST(SUM(ia*ib)*8 AS BIGINT) AS est_inter,
+       CAST(COUNT(*)*8 AS BIGINT) AS est_union,
+       CAST(SUM(ia*ib) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS jaccard
+FROM byh
+"""
 
     return o

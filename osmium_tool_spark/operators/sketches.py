@@ -1,4 +1,5 @@
-"""Mergeable distinct-count sketches (HyperLogLog) as DataFrame plans.
+"""Mergeable cardinality sketches (HyperLogLog, fixed-level theta/KMV)
+as DataFrame plans.
 
 At 10^12 rows `COUNT(DISTINCT x) GROUP BY cell` is the classic
 scale-killer: the exact form shuffles every distinct (cell, x) pair.
@@ -247,6 +248,129 @@ def hll_distinct(
     regs = hll_registers(df, group_cols, value_col, p=p, hash=hash)
     cap = rho_cap_portable(p) if hash == "portable" else 64 - p + 1
     return hll_estimate(regs, group_cols, p=p, rho_cap=cap, corrected=corrected)
+
+
+def _check_r(r: int) -> int:
+    if not 1 <= r <= 24:
+        raise ValueError(f"r must be in [1, 24], got {r}")
+    return 1 << r
+
+
+def theta_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    r: int,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Fixed-level theta / KMV sketch state: the distinct hash values of
+    `value_col` whose low ``r`` bits are zero — a coordinated 2^-r
+    sample of the DISTINCT-value space (Cohen, "All-distances sketches";
+    the theta-sketch family with theta fixed at plan time).
+
+    Scale shape: one projection (hash + mask, pure Column math) -> a
+    FILTER that keeps ~2^-r of the distinct values BEFORE any state
+    accumulates -> one hash-agg for the distinct. At 10^12 rows the
+    aggregate's state is D·2^-r, tunable to fit memory — the exact
+    `COUNT(DISTINCT)` state D never materializes. Because the sample is
+    a deterministic function of the value, sketches built over different
+    corpora / partitions / days are COORDINATED: merge = union+distinct
+    (`theta_merge`), and set operations (intersection, union, Jaccard)
+    are estimated by intersecting the sampled sets (`theta_overlap`) —
+    the decontamination / corpus-overlap tool at scales where the exact
+    join is off the table.
+
+    Hash families as in `hll_registers`: ``xxhash64`` (production, any
+    type) or ``portable`` (exact-integer 32-bit avalanche with an
+    ANSI-SQL twin, BIGINT inputs; distinct values collide at ~2^-31 —
+    noise next to the sampling error). Output: (group..., h) distinct.
+    """
+    mask = _check_r(r) - 1
+    v = F.col(value_col)
+    if hash == "portable":
+        h = _portable_h32(v)
+    elif hash == "xxhash64":
+        h = F.xxhash64(v)
+    else:
+        raise ValueError(f"hash must be 'portable' or 'xxhash64', got {hash!r}")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .filter(F.col("h").bitwiseAND(mask) == 0)
+        .distinct()
+    )
+
+
+def theta_merge(*sample_tables: DataFrame) -> DataFrame:
+    """Merge coordinated sketches built at the SAME level r: union +
+    distinct. Lossless: merge(sketch(A), sketch(B)) == sketch(A ∪ B)."""
+    from functools import reduce
+
+    if not sample_tables:
+        raise ValueError("need at least one sample table")
+    return reduce(DataFrame.unionByName, sample_tables).distinct()
+
+
+def theta_estimate(samples: DataFrame, group_cols: list[str], r: int) -> DataFrame:
+    """Read a sketch: per group, ``n_sampled`` (exact BIGINT) and
+    ``est_distinct`` = n_sampled·2^r — an EXACT integer, no floating
+    point anywhere (relative error ~ 1/sqrt(D·2^-r))."""
+    _check_r(r)
+    return samples.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sampled"),
+        F.shiftleft(F.count("*"), r).alias("est_distinct"),
+    )
+
+
+def theta_overlap(a: DataFrame, b: DataFrame, r: int) -> DataFrame:
+    """Set-operation estimates between two coordinated sketches at the
+    same level r (global, one row): sampled sizes of A, B, A∩B, A∪B,
+    their 2^r-scaled distinct estimates (exact BIGINTs), and the
+    Jaccard estimate ``n_inter / n_union`` — one correctly-rounded
+    division of two exact <2^32 integers, bit-stable across engines.
+
+    Plan: tag + union + ONE hash-agg keyed by h (no join), then a
+    global agg — both sides' sampled sets are tiny by construction.
+    """
+    _check_r(r)
+    u = a.select("h", F.lit(1).alias("ia"), F.lit(0).alias("ib")).unionByName(
+        b.select("h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    byh = u.groupBy("h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    n_a = F.sum("ia").cast("long")
+    n_b = F.sum("ib").cast("long")
+    n_i = F.sum(F.col("ia") * F.col("ib")).cast("long")
+    return byh.agg(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_i.alias("n_inter"),
+        F.count("*").cast("long").alias("n_union"),
+        F.shiftleft(n_a, r).alias("est_a"),
+        F.shiftleft(n_b, r).alias("est_b"),
+        F.shiftleft(n_i, r).alias("est_inter"),
+        F.shiftleft(F.count("*"), r).alias("est_union"),
+        (
+            n_i.cast("double") / F.count("*").cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def theta_sample_sql(source_sql: str, value_expr: str, r: int) -> str:
+    """DuckDB twin of theta_sample(hash='portable') over `source_sql`
+    (any relation; `value_expr` a BIGINT expression). Returns a CTE-less
+    SELECT producing the distinct sampled column ``h``."""
+    mask = _check_r(r) - 1
+    return (
+        f"SELECT DISTINCT h FROM (\n"
+        f"  SELECT {h32_final_sql('x')} AS h FROM (\n"
+        f"    SELECT {h32_round_sql('x')} AS x FROM (\n"
+        f"      SELECT {h32_round_sql('x')} AS x FROM (\n"
+        f"        SELECT {fold31_sql(value_expr)} AS x FROM ({source_sql})\n"
+        f"        WHERE ({value_expr}) IS NOT NULL)))\n"
+        f") WHERE (h & {mask}) = 0"
+    )
 
 
 def hll_estimate_sql(

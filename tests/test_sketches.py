@@ -1,5 +1,6 @@
-"""HyperLogLog sketch (operators/sketches.py): python-replica parity,
-accuracy band on adversarial inputs, merge losslessness, validation."""
+"""Cardinality sketches (operators/sketches.py): python-replica parity,
+accuracy band on adversarial inputs, merge losslessness, validation —
+HyperLogLog and the fixed-level theta/KMV coordinated sample."""
 
 import pytest
 
@@ -14,6 +15,10 @@ from osmium_tool_spark.operators.sketches import (
     hll_merge,
     hll_registers,
     rho_cap_portable,
+    theta_estimate,
+    theta_merge,
+    theta_overlap,
+    theta_sample,
 )
 
 M32 = 0xFFFFFFFF
@@ -145,3 +150,103 @@ def test_bad_hash_family(spark):
 def test_merge_requires_input():
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+# ---------------------------------------------------------------------------
+# theta / KMV fixed-level coordinated sample
+# ---------------------------------------------------------------------------
+
+
+def py_theta(values, r):
+    """Pure-python replica of the portable-family sampled hash set."""
+    mask = (1 << r) - 1
+    return {h for h in (py_h32(v) for v in set(values)) if h & mask == 0}
+
+
+def test_theta_matches_python_replica(spark):
+    vals = [(i * 37) % 12347 for i in range(30_000)] + [i * 1_000_003 for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.h for r in theta_sample(df, [], "v", r=3, hash="portable").collect()}
+    assert got == py_theta(vals, 3)
+
+
+def test_theta_estimate_exact_integers(spark):
+    n = 40_000
+    df = spark.range(n).select((F.col("id") * 7919).alias("v"))
+    r = 4
+    est = theta_estimate(theta_sample(df, [], "v", r=r, hash="portable"), [], r).collect()[0]
+    assert est.est_distinct == est.n_sampled << r
+    # binomial band: sd = sqrt(D * p * (1-p)), est error ~ 3 sd / p / D
+    p = 2**-r
+    assert abs(est.est_distinct - n) < 3 * (n * p) ** 0.5 / p
+
+
+def test_theta_merge_lossless(spark):
+    df = spark.createDataFrame([((i * 13) % 9000,) for i in range(25_000)], "v long")
+    whole = theta_sample(df, [], "v", r=3, hash="portable")
+    sa = theta_sample(df.filter("v % 2 = 0"), [], "v", r=3, hash="portable")
+    sb = theta_sample(df.filter("v % 2 = 1"), [], "v", r=3, hash="portable")
+    merged = theta_merge(sa, sb)
+    assert sorted(r.h for r in merged.collect()) == sorted(r.h for r in whole.collect())
+
+
+def test_theta_overlap_estimates(spark):
+    """Coordinated sketches estimate |A∩B| / Jaccard: A = 0..30k,
+    B = 15k..45k (true J = 1/3), r small enough to keep the band tight."""
+    a = spark.range(0, 30_000).select(F.col("id").alias("v"))
+    b = spark.range(15_000, 45_000).select(F.col("id").alias("v"))
+    r = 3
+    row = theta_overlap(
+        theta_sample(a, [], "v", r=r, hash="portable"),
+        theta_sample(b, [], "v", r=r, hash="portable"),
+        r,
+    ).collect()[0]
+    assert row.n_union == row.n_a + row.n_b - row.n_inter
+    assert row.est_inter == row.n_inter << r
+    assert abs(row.est_inter - 15_000) < 3 * (15_000 * 2**-r) ** 0.5 * 2**r
+    assert abs(row.jaccard - 1 / 3) < 0.05
+    assert row.jaccard == row.n_inter / row.n_union  # bit-exact division
+
+
+def test_theta_grouped_and_sql_twin(spark):
+    """Grouped sampling matches the replica per group AND the DuckDB
+    twin emits the identical sampled set."""
+    import duckdb
+
+    from osmium_tool_spark.operators.sketches import theta_sample_sql
+
+    rows = [(i % 3, (i * 131) % 5000) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = {}
+    for rr in theta_sample(df, ["g"], "v", r=2, hash="portable").collect():
+        got.setdefault(rr.g, set()).add(rr.h)
+    for g in (0, 1, 2):
+        assert got.get(g, set()) == py_theta([v for gg, v in rows if gg == g], 2)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = theta_sample_sql("SELECT v FROM t WHERE g = 1", "v", r=2)
+    duck = {r[0] for r in con.execute(sql).fetchall()}
+    assert duck == got[1]
+
+
+def test_theta_xxhash64_family(spark):
+    """Production family: works on strings, estimate lands in band."""
+    n = 30_000
+    df = spark.range(n * 3).select(
+        F.concat(F.lit("cap-"), (F.col("id") % n).cast("string")).alias("v")
+    )
+    r = 4
+    est = theta_estimate(theta_sample(df, [], "v", r=r), [], r).collect()[0]
+    assert abs(est.est_distinct - n) < 4 * (n * 2**-r) ** 0.5 * 2**r
+
+
+def test_theta_validation(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="r must be"):
+        theta_sample(df, [], "v", r=0)
+    with pytest.raises(ValueError, match="hash must be"):
+        theta_sample(df, [], "v", r=3, hash="md5")
+    with pytest.raises(ValueError, match="at least one"):
+        theta_merge()
