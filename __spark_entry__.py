@@ -2467,6 +2467,33 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap(a, b, r=3)
 
 
+def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimation via a count-min sketch
+    (operators/sketches.py cm_build/cm_lookup): how often does each
+    queried part appear in lineitem — answered from d*w counters built
+    in ONE scan with map-side partial sums, never materializing the
+    full GROUP BY l_partkey state. The exact counts ride along so the
+    one-sided (est >= exact) guarantee is part of the hashed result;
+    the DuckDB oracle restates the salted avalanche hashes, the count
+    table, the min-over-rows lookup, and the exact join end to end."""
+    from osmium_tool_spark.operators.sketches import cm_build, cm_lookup
+
+    d, w = 3, 512
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey")
+    counts = cm_build(li, "l_partkey", d=d, w=w, hash="portable")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    q = part.filter(F.col("p_partkey") % 20 == 0).select("p_partkey")
+    est = cm_lookup(counts, q, "p_partkey", d=d, w=w, hash="portable")
+    exact = li.groupBy(F.col("l_partkey").alias("value")).agg(
+        F.count("*").alias("n_exact")
+    )
+    return est.join(exact, "value", "left").select(
+        "value",
+        "est",
+        F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias("n_exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -2603,8 +2630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bbox math pinned by the direct extract goldens) --
         "hll_distinct": q_hll_distinct,
         "corpus_overlap": q_corpus_overlap,
+        # (r4k: extract_polygon rotates to the tail for cm_frequency —
+        # green r1-r3, and the exact-PIP machinery keeps in-window rows
+        # via spatial_join, polygon_rasterize and hilbert_extract)
+        "cm_frequency": q_cm_frequency,
         # -- core operator rows --
-        "extract_polygon": q_extract_polygon,
         "tags_filter_closure": q_tags_filter_closure,
         # (r4k: renumber rotated past the window for hll_distinct —
         # green r1-r4, 16 direct goldens, bench.py still times it and
@@ -2614,6 +2644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4k: rotated here for corpus_overlap — green r1-r4; still
         # oracled in the tail)
         "extract_bbox_simple": q_extract_bbox_simple,
+        # (r4k: rotated here for cm_frequency — green r1-r3; still
+        # oracled in the tail + pinned by the 3-impl PIP property)
+        "extract_polygon": q_extract_polygon,
         # -- tail from here (51+): geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
@@ -4938,5 +4971,29 @@ SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b,
        CAST(SUM(ia*ib) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS jaccard
 FROM byh
 """
+
+    # Count-min frequency: the oracle restates the salted avalanche
+    # hashes, the (j, bucket) count table, the min-over-rows lookup,
+    # and the exact-count join (operators/sketches.py cm_lookup_sql).
+    from osmium_tool_spark.operators.sketches import cm_lookup_sql
+
+    o["cm_frequency"] = (
+        "WITH "
+        + cm_lookup_sql(
+            "SELECT l_partkey FROM lineitem",
+            "l_partkey",
+            "SELECT p_partkey FROM part WHERE p_partkey % 20 = 0",
+            "p_partkey",
+            d=3,
+            w=512,
+            ctes_only=True,
+        )
+        + """,
+cmex AS (SELECT l_partkey AS value, CAST(COUNT(*) AS BIGINT) AS n_exact
+         FROM lineitem GROUP BY 1)
+SELECT cml.value, cml.est, COALESCE(cmex.n_exact, 0) AS n_exact
+FROM cml LEFT JOIN cmex USING (value)
+"""
+    )
 
     return o

@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches (HyperLogLog, fixed-level theta/KMV)
+"""Mergeable sketches (HyperLogLog, fixed-level theta/KMV, count-min)
 as DataFrame plans.
 
 At 10^12 rows `COUNT(DISTINCT x) GROUP BY cell` is the classic
@@ -371,6 +371,184 @@ def theta_sample_sql(source_sql: str, value_expr: str, r: int) -> str:
         f"        WHERE ({value_expr}) IS NOT NULL)))\n"
         f") WHERE (h & {mask}) = 0"
     )
+
+
+CM_PHI = 0x9E3779B9  # golden-ratio constant for per-row count-min salts
+
+
+def _cm_salt(j: int) -> int:
+    """Deterministic per-row salt < 2^31 (XOR keeps the folded key in
+    the wrap-free range of the avalanche rounds)."""
+    return ((j + 1) * CM_PHI) % (1 << 31)
+
+
+def _check_dw(d: int, w: int) -> None:
+    if not 1 <= d <= 16:
+        raise ValueError(f"d must be in [1, 16], got {d}")
+    if not 2 <= w <= (1 << 24):
+        raise ValueError(f"w must be in [2, 2^24], got {w}")
+
+
+def _cm_bucket(v: Column, j: int, w: int, hash: str) -> Column:
+    """Bucket index of value `v` under hash row `j`."""
+    if hash == "portable":
+        x = ((v.cast("long") % P31) + P31) % P31
+        y = x.bitwiseXOR(F.lit(_cm_salt(j)))
+        y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+        y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+        return (F.shiftright(y, 16).bitwiseXOR(y) % w).cast("int")
+    if hash == "xxhash64":
+        return (((F.xxhash64(v, F.lit(j)) % w) + w) % w).cast("int")
+    raise ValueError(f"hash must be 'portable' or 'xxhash64', got {hash!r}")
+
+
+def _cm_jb(v: Column, d: int, w: int, hash: str) -> Column:
+    """Exploded array of (j, bucket) structs — one per hash row."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), _cm_bucket(v, j, w, hash).alias("bucket")
+                )
+                for j in range(d)
+            ]
+        )
+    )
+
+
+def cm_build(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    hash: str = "xxhash64",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch state: (j, bucket, cnt) — d hash rows of w
+    counters each (Cormode & Muthukrishnan 2005, "An improved data
+    stream summary: the count-min sketch and its applications").
+
+    Scale shape: one projection fans each row out to its d (j, bucket)
+    cells (d is 3-5, a constant) -> ONE hash-agg whose state is AT MOST
+    d·w rows per partition regardless of input size or distinct count —
+    map-side partial sums do the heavy lifting, the shuffle moves at
+    most d·w rows per partition. Contrast `GROUP BY value`: state = D
+    (the distinct count), which at 10^12 rows is the thing that doesn't
+    fit. The sketch answers point-frequency queries (`cm_lookup`) with
+    one-sided error: est >= true always, est <= true + 2N/w with
+    probability 1 - 2^-d per query.
+
+    The state is a DataFrame, so it is a STANDING sketch: `cm_merge`
+    unions + re-sums tables built over different corpora / days —
+    counts are additive, the merge is lossless. `weight_col` (BIGINT)
+    counts each row with a weight (e.g. token counts) instead of 1.
+
+    Hash families as in `hll_registers`: ``xxhash64`` rows are
+    xxhash64(value, j); ``portable`` rows are the 32-bit avalanche over
+    the folded BIGINT key XOR a fixed per-row salt — exact integer math
+    with an ANSI-SQL twin (`cm_lookup_sql`).
+    """
+    _check_dw(d, w)
+    v = F.col(value_col)
+    wt = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    rows = df.filter(v.isNotNull()).select(
+        _cm_jb(v, d, w, hash).alias("jb"), wt.alias("wt")
+    )
+    return (
+        rows.select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "wt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cm_merge(*count_tables: DataFrame) -> DataFrame:
+    """Merge standing count-min sketches built with the SAME (d, w,
+    hash): union + per-cell sum. Lossless — counts are additive."""
+    from functools import reduce
+
+    if not count_tables:
+        raise ValueError("need at least one count table")
+    u = reduce(DataFrame.unionByName, count_tables)
+    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_lookup(
+    counts: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    d: int,
+    w: int,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates for a query set: (value, est) with
+    est = min over the d rows of the value's counter (0 when a cell was
+    never touched — the true count is then provably 0).
+
+    Plan: the query set explodes to d rows each and LEFT-joins the
+    counts table — which has at most d·w rows, so it is broadcast; no
+    shuffle touches the corpus at query time at all. The corpus was
+    read ONCE at build time; any number of lookups reuse the state.
+    """
+    _check_dw(d, w)
+    v = F.col(value_col)
+    q = queries.filter(v.isNotNull()).select(v.alias("value")).distinct()
+    qjb = q.select("value", _cm_jb(F.col("value"), d, w, hash).alias("jb")).select(
+        "value", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    joined = qjb.join(F.broadcast(counts), ["j", "bucket"], "left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
+    )
+
+
+def _cm_bucket_sql(x: str, j: int, w: int) -> str:
+    """Bucket of an already-folded column `x` under row j (portable)."""
+    y = f"xor({x}, {_cm_salt(j)})"
+    y = h32_round_sql(y)
+    y = h32_round_sql(y)
+    return f"({h32_final_sql(y)}) % {w}"
+
+
+def cm_lookup_sql(
+    source_sql: str,
+    value_expr: str,
+    queries_sql: str,
+    query_expr: str,
+    d: int,
+    w: int,
+    weight_expr: str | None = None,
+    ctes_only: bool = False,
+) -> str:
+    """DuckDB twin of cm_build(hash='portable') + cm_lookup: builds the
+    (j, bucket, cnt) state over `source_sql` and reads the query set's
+    estimates. With ``ctes_only`` return just the CTE chain ending at
+    ``cml`` (columns: value, est) for further composition."""
+    _check_dw(d, w)
+    wt = weight_expr if weight_expr is not None else "CAST(1 AS BIGINT)"
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_bucket_sql('x', j, w)} AS bucket, wt FROM cmsrc"
+        for j in range(d)
+    )
+    qrows = "\n  UNION ALL ".join(
+        f"SELECT value, {j} AS j, {_cm_bucket_sql('x', j, w)} AS bucket FROM cmq"
+        for j in range(d)
+    )
+    body = f"""\
+cmsrc AS (SELECT {fold31_sql(value_expr)} AS x, CAST({wt} AS BIGINT) AS wt
+          FROM ({source_sql}) WHERE ({value_expr}) IS NOT NULL),
+cmrows AS ({rows}),
+cmcounts AS (SELECT j, bucket, SUM(wt) AS cnt FROM cmrows GROUP BY 1, 2),
+cmq AS (SELECT value, {fold31_sql('value')} AS x FROM
+        (SELECT DISTINCT {query_expr} AS value FROM ({queries_sql})
+         WHERE ({query_expr}) IS NOT NULL)),
+cmqrows AS ({qrows}),
+cml AS (SELECT value, MIN(COALESCE(cnt, 0)) AS est
+        FROM cmqrows LEFT JOIN cmcounts USING (j, bucket) GROUP BY value)"""
+    if ctes_only:
+        return body
+    return "WITH " + body + "\nSELECT value, est FROM cml\n"
 
 
 def hll_estimate_sql(

@@ -1,6 +1,7 @@
 """Cardinality sketches (operators/sketches.py): python-replica parity,
 accuracy band on adversarial inputs, merge losslessness, validation —
-HyperLogLog and the fixed-level theta/KMV coordinated sample."""
+HyperLogLog, the fixed-level theta/KMV coordinated sample, and
+the count-min frequency sketch."""
 
 import pytest
 
@@ -10,6 +11,9 @@ from osmium_tool_spark.operators.sketches import (
     A_MIX,
     P31,
     _alpha,
+    cm_build,
+    cm_lookup,
+    cm_merge,
     hll_distinct,
     hll_estimate,
     hll_merge,
@@ -250,3 +254,142 @@ def test_theta_validation(spark):
         theta_sample(df, [], "v", r=3, hash="md5")
     with pytest.raises(ValueError, match="at least one"):
         theta_merge()
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def py_cm(values, d, w, weights=None):
+    """Pure-python replica of the portable-family count table."""
+    from osmium_tool_spark.operators.sketches import _cm_salt
+
+    counts = {}
+    for i, v in enumerate(values):
+        wt = 1 if weights is None else weights[i]
+        x = ((v % P31) + P31) % P31
+        for j in range(d):
+            y = x ^ _cm_salt(j)
+            y = (((y >> 16) ^ y) * A_MIX) & M32
+            y = (((y >> 16) ^ y) * A_MIX) & M32
+            b = ((y >> 16) ^ y) % w
+            counts[(j, b)] = counts.get((j, b), 0) + wt
+    return counts
+
+
+def _zipfish(n):
+    """Deterministic skewed multiset: value v appears ~n/(v+1) times."""
+    out = []
+    v = 0
+    while len(out) < n:
+        out.extend([v] * max(n // (v + 1) // 10, 1))
+        v += 1
+    return out[:n]
+
+
+def test_cm_matches_python_replica(spark):
+    vals = _zipfish(20_000)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        (r.j, r.bucket): r.cnt
+        for r in cm_build(df, "v", d=3, w=64, hash="portable").collect()
+    }
+    assert got == py_cm(vals, 3, 64)
+
+
+def test_cm_never_underestimates(spark):
+    vals = _zipfish(30_000)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    d, w = 4, 512
+    counts = cm_build(df, "v", d=d, w=w, hash="portable")
+    queries = spark.createDataFrame([(v,) for v in set(vals)], "v long")
+    est = {r.value: r.est for r in cm_lookup(counts, queries, "v", d, w, "portable").collect()}
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    n = len(vals)
+    for v, e in exact.items():
+        assert est[v] >= e, f"underestimate at {v}"
+        assert est[v] <= e + 4 * n / w  # well inside the eps*N envelope
+
+
+def test_cm_unseen_value_zero(spark):
+    df = spark.createDataFrame([(v,) for v in range(50)], "v long")
+    d, w = 3, 4096
+    counts = cm_build(df, "v", d=d, w=w, hash="portable")
+    q = spark.createDataFrame([(999_999_937,)], "v long")
+    [(_, e)] = cm_lookup(counts, q, "v", d, w, "portable").collect()
+    assert e == 0  # deterministic: no row collides in all 3 hash rows
+
+
+def test_cm_merge_lossless(spark):
+    vals = _zipfish(25_000)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    whole = cm_build(df, "v", d=3, w=128, hash="portable")
+    a = cm_build(df.filter("v % 2 = 0"), "v", d=3, w=128, hash="portable")
+    b = cm_build(df.filter("v % 2 = 1"), "v", d=3, w=128, hash="portable")
+    merged = cm_merge(a, b)
+    as_map = lambda t: {(r.j, r.bucket): r.cnt for r in t.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+
+
+def test_cm_weighted(spark):
+    rows = [(v, v + 1) for v in range(200)]
+    df = spark.createDataFrame(rows, "v long, wt long")
+    got = {
+        (r.j, r.bucket): r.cnt
+        for r in cm_build(df, "v", d=2, w=32, hash="portable", weight_col="wt").collect()
+    }
+    assert got == py_cm([v for v, _ in rows], 2, 32, weights=[w for _, w in rows])
+
+
+def test_cm_sql_twin(spark):
+    import duckdb
+
+    from osmium_tool_spark.operators.sketches import cm_lookup_sql
+
+    vals = _zipfish(15_000)
+    d, w = 3, 64
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    counts = cm_build(df, "v", d=d, w=w, hash="portable")
+    queries = spark.createDataFrame([(v,) for v in range(0, 200, 7)], "v long")
+    got = {
+        r.value: r.est for r in cm_lookup(counts, queries, "v", d, w, "portable").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    con.execute("CREATE TABLE q (v BIGINT)")
+    con.executemany("INSERT INTO q VALUES (?)", [(v,) for v in range(0, 200, 7)])
+    sql = cm_lookup_sql("SELECT v FROM t", "v", "SELECT v FROM q", "v", d, w)
+    duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert duck == got
+
+
+def test_cm_xxhash64_family(spark):
+    n = 5_000
+    df = spark.range(n).select(
+        F.concat(F.lit("tag-"), (F.col("id") % 40).cast("string")).alias("v")
+    )
+    d, w = 4, 256
+    counts = cm_build(df, "v", d=d, w=w)
+    queries = df.select("v").distinct()
+    est = {r.value: r.est for r in cm_lookup(counts, queries, "v", d, w).collect()}
+    for k, e in est.items():
+        exact = n // 40 + (1 if int(k.split("-")[1]) < n % 40 else 0)
+        assert e >= exact
+        assert e <= exact + 4 * n / w
+
+
+def test_cm_validation(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="d must be"):
+        cm_build(df, "v", d=0, w=64)
+    with pytest.raises(ValueError, match="w must be"):
+        cm_build(df, "v", d=3, w=1)
+    with pytest.raises(ValueError, match="hash must be"):
+        cm_build(df, "v", d=3, w=64, hash="crc")
+    with pytest.raises(ValueError, match="at least one"):
+        cm_merge()
