@@ -2494,6 +2494,24 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped percentiles from a fixed-grid histogram sketch
+    (operators/sketches.py hist_bins/hist_quantiles): p10/p50/p90/p99
+    of lineitem extended price per return flag, answered from at most
+    `bins` counter rows per group — the 10^12-row percentile shape with
+    no global sort. Every arithmetic step (bin math, rank target,
+    in-bin interpolation) is ordered identically in the DuckDB oracle,
+    so the interpolated estimate matches to the bit."""
+    from osmium_tool_spark.operators.sketches import hist_bins, hist_quantiles
+
+    lo, hi, bins = 900.0, 105000.0, 1024
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    binned = hist_bins(li, ["l_returnflag"], "l_extendedprice", lo, hi, bins)
+    return hist_quantiles(
+        binned, ["l_returnflag"], lo, hi, bins, [0.1, 0.5, 0.9, 0.99]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -2647,7 +2665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4k: rotated here for cm_frequency — green r1-r3; still
         # oracled in the tail + pinned by the 3-impl PIP property)
         "extract_polygon": q_extract_polygon,
-        # -- tail from here (51+): geohash (r4g scalar function — the
+        # -- tail from here (51+): hist_quantiles (r4k — the sketch
+        # family is in-window via hll_distinct/corpus_overlap/
+        # cm_frequency; oracled here, bit-exact est twin) --
+        "hist_quantiles": q_hist_quantiles,
+        # geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
         # (4j: hexbin oracled as an early tail row, the geohash
@@ -4994,6 +5016,21 @@ cmex AS (SELECT l_partkey AS value, CAST(COUNT(*) AS BIGINT) AS n_exact
 SELECT cml.value, cml.est, COALESCE(cmex.n_exact, 0) AS n_exact
 FROM cml LEFT JOIN cmex USING (value)
 """
+    )
+
+    # Histogram quantile sketch: the oracle restates binning, the two
+    # windows, the rank target and the in-bin interpolation with the
+    # identical arithmetic ordering (sketches.py hist_quantiles_sql).
+    from osmium_tool_spark.operators.sketches import hist_quantiles_sql
+
+    o["hist_quantiles"] = hist_quantiles_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        ["l_returnflag"],
+        "l_extendedprice",
+        900.0,
+        105000.0,
+        1024,
+        [0.1, 0.5, 0.9, 0.99],
     )
 
     return o

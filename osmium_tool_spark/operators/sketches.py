@@ -551,6 +551,150 @@ cml AS (SELECT value, MIN(COALESCE(cnt, 0)) AS est
     return "WITH " + body + "\nSELECT value, est FROM cml\n"
 
 
+def _check_bins(lo: float, hi: float, bins: int) -> float:
+    if not hi > lo:
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi}]")
+    if not 2 <= bins <= (1 << 20):
+        raise ValueError(f"bins must be in [2, 2^20], got {bins}")
+    return (hi - lo) / bins
+
+
+def hist_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Fixed-grid histogram sketch state: (group..., bin, cnt) with
+    bin = clamp(floor((x-lo)·bins/(hi-lo)), 0, bins-1). Out-of-range
+    values clamp into the edge bins (every non-null row is counted, so
+    rank targets stay exact); NULLs are dropped.
+
+    Scale shape: one projection -> ONE hash-agg whose state is at most
+    `bins` rows per group however large the input — the 10^12-row
+    percentile answer without a global sort. Both the bin math (two
+    correctly-rounded double ops) and everything downstream are
+    bit-identical between Spark and the SQL twin. The state is additive:
+    `hist_merge` unions + re-sums standing histograms losslessly.
+    """
+    _check_bins(lo, hi, bins)
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) * F.lit(float(bins)) / F.lit(float(hi - lo)))
+    b = F.greatest(F.lit(0).cast("long"), F.least(F.lit(bins - 1).cast("long"), raw))
+    return (
+        df.filter(x.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(*bin_tables: DataFrame) -> DataFrame:
+    """Merge standing histograms built with the SAME (lo, hi, bins):
+    union + per-bin sum. Lossless — counts are additive."""
+    from functools import reduce
+
+    if not bin_tables:
+        raise ValueError("need at least one bin table")
+    u = reduce(DataFrame.unionByName, bin_tables)
+    keys = [c for c in u.columns if c != "cnt"]
+    return u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    binned: DataFrame,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Read quantiles from a histogram sketch: per (group, q) —
+
+    - ``n``    total count (exact BIGINT)
+    - ``bin``  the bin holding rank target = max(1, ceil(q·n))
+    - ``cum``  cumulative count through that bin (exact BIGINT)
+    - ``est``  lo + (bin + (target-cum_prev)/cnt_bin)·width — linear
+               interpolation inside the bin; max error = one bin width.
+
+    Plan: two windows over the BIN table (≤ bins rows per group — the
+    corpus never re-enters), explode the q list, keep the first bin
+    whose cumulative count reaches the target. Every arithmetic step is
+    ordered identically in the SQL twin, so `est` is bit-stable.
+    """
+    width = _check_bins(lo, hi, bins)
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy(*group_cols).orderBy("bin")
+    wall = Window.partitionBy(*group_cols)
+    staged = (
+        binned.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+        .withColumn(
+            "target",
+            F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n"))),
+        )
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+    )
+    frac = (F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double") / F.col(
+        "cnt"
+    ).cast("double")
+    est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) * F.lit(float(width))
+    return staged.select(
+        *group_cols, "q", "n", "bin", "cum", est.alias("est")
+    )
+
+
+def hist_quantiles_sql(
+    source_sql: str,
+    group_cols: list[str],
+    value_expr: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+    ctes_only: bool = False,
+) -> str:
+    """DuckDB twin of hist_bins + hist_quantiles over `source_sql`.
+    With ``ctes_only`` return the CTE chain ending at ``hq`` (columns:
+    group..., q, n, bin, cum, est)."""
+    width = _check_bins(lo, hi, bins)
+    g = ", ".join(group_cols)
+    gp = f"PARTITION BY {g}" if group_cols else ""
+    gsel = f"{g}, " if group_cols else ""
+    # explicit cast: DuckDB infers DECIMAL for bare numeric VALUES
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    body = f"""\
+hb0 AS (SELECT {gsel}GREATEST(0, LEAST({bins - 1},
+            CAST(floor((CAST({value_expr} AS DOUBLE) - {float(lo)!r})
+                       * {float(bins)!r} / {float(hi - lo)!r}) AS BIGINT)))
+            AS bin
+        FROM ({source_sql}) WHERE ({value_expr}) IS NOT NULL),
+hb AS (SELECT {gsel}bin, COUNT(*) AS cnt FROM hb0 GROUP BY {gsel}bin),
+hc AS (SELECT {gsel}bin, cnt,
+              SUM(cnt) OVER ({gp} ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(cnt) OVER ({gp}) AS n
+       FROM hb),
+hqx AS (SELECT hc.*, qq.q,
+               GREATEST(1, CAST(ceil(qq.q * hc.n) AS BIGINT)) AS target
+        FROM hc CROSS JOIN (SELECT * FROM (VALUES {qvals}) v(q)) qq),
+hq AS (SELECT {gsel}q, CAST(n AS BIGINT) AS n, bin, CAST(cum AS BIGINT) AS cum,
+              {float(lo)!r} + (CAST(bin AS DOUBLE)
+                  + CAST(target - (cum - cnt) AS DOUBLE)
+                    / CAST(cnt AS DOUBLE)) * {float(width)!r} AS est
+       FROM hqx WHERE cum >= target AND cum - cnt < target)"""
+    if ctes_only:
+        return body
+    return "WITH " + body + f"\nSELECT {gsel}q, n, bin, cum, est FROM hq\n"
+
+
 def hll_estimate_sql(
     source_sql: str,
     group_cols: list[str],

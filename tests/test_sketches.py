@@ -14,6 +14,9 @@ from osmium_tool_spark.operators.sketches import (
     cm_build,
     cm_lookup,
     cm_merge,
+    hist_bins,
+    hist_merge,
+    hist_quantiles,
     hll_distinct,
     hll_estimate,
     hll_merge,
@@ -393,3 +396,99 @@ def test_cm_validation(spark):
         cm_build(df, "v", d=3, w=64, hash="crc")
     with pytest.raises(ValueError, match="at least one"):
         cm_merge()
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def py_hist_quantiles(values, lo, hi, bins, qs):
+    """Pure-python replica: bin counts -> cum -> target -> interpolated est."""
+    import math
+
+    width = (hi - lo) / bins
+    counts = {}
+    for x in values:
+        b = max(0, min(bins - 1, math.floor((x - lo) * float(bins) / (hi - lo))))
+        counts[b] = counts.get(b, 0) + 1
+    n = sum(counts.values())
+    out = {}
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        cum = 0
+        for b in sorted(counts):
+            prev = cum
+            cum += counts[b]
+            if cum >= target:
+                frac = (target - prev) / counts[b]
+                out[q] = (n, b, cum, lo + (b + frac) * width)
+                break
+    return out
+
+
+def test_hist_matches_python_replica(spark):
+    vals = [((i * 7919) % 10_000) / 10.0 for i in range(50_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, bins, qs = 0.0, 1000.0, 256, [0.1, 0.5, 0.9, 0.99]
+    binned = hist_bins(df, [], "x", lo, hi, bins)
+    got = {
+        r.q: (r.n, r.bin, r.cum, r.est)
+        for r in hist_quantiles(binned, [], lo, hi, bins, qs).collect()
+    }
+    assert got == py_hist_quantiles(vals, lo, hi, bins, qs)
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-50.0,), (0.0,), (99.0,), (1e9,)], "x double")
+    binned = hist_bins(df, [], "x", 0.0, 100.0, 10)
+    got = {r.bin: r.cnt for r in binned.collect()}
+    assert got == {0: 2, 9: 2}  # -50 clamps to bin 0, 1e9 to bin 9
+
+
+def test_hist_merge_lossless(spark):
+    vals = [(i % 977) * 1.5 for i in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    whole = hist_bins(df, [], "x", 0.0, 1500.0, 128)
+    a = hist_bins(df.filter("x < 700"), [], "x", 0.0, 1500.0, 128)
+    b = hist_bins(df.filter("x >= 700"), [], "x", 0.0, 1500.0, 128)
+    merged = hist_merge(a, b)
+    as_map = lambda t: {r.bin: r.cnt for r in t.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+
+
+def test_hist_grouped_and_sql_twin(spark):
+    import duckdb
+
+    from osmium_tool_spark.operators.sketches import hist_quantiles_sql
+
+    rows = [(i % 3, ((i * 131) % 4000) / 4.0) for i in range(30_000)]
+    df = spark.createDataFrame(rows, "g long, x double")
+    lo, hi, bins, qs = 0.0, 1000.0, 200, [0.25, 0.5, 0.75]
+    binned = hist_bins(df, ["g"], "x", lo, hi, bins)
+    got = sorted(
+        (r.g, r.q, r.n, r.bin, r.cum, r.est)
+        for r in hist_quantiles(binned, ["g"], lo, hi, bins, qs).collect()
+    )
+    for g in (0, 1, 2):
+        rep = py_hist_quantiles([x for gg, x in rows if gg == g], lo, hi, bins, qs)
+        for q in qs:
+            n, b, cum, est = rep[q]
+            assert (g, q, n, b, cum, est) in got
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = hist_quantiles_sql("SELECT g, x FROM t", ["g"], "x", lo, hi, bins, qs)
+    duck = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert duck == got  # exact, including the est double bits
+
+
+def test_hist_validation(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="hi must exceed"):
+        hist_bins(df, [], "x", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="bins must be"):
+        hist_bins(df, [], "x", 0.0, 1.0, 1)
+    with pytest.raises(ValueError, match="at least one"):
+        hist_merge()
