@@ -2512,6 +2512,45 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASPECT_LADDER = [
+    (512, 512),
+    (576, 448),
+    (448, 576),
+    (640, 384),
+    (384, 640),
+    (704, 320),
+    (320, 704),
+]
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-aspect training batches (operators/multimodal.py
+    assign_aspect_buckets / aspect_bucket_batches): every image joins
+    the SDXL-style resolution bucket nearest its aspect ratio (exact
+    integer argmin — no float rounding at bucket boundaries), then gets
+    a deterministic (batch_id, slot) within the bucket, ragged tails
+    dropped. The per-bucket ordinal is the zipindex dense_index — one
+    balanced range shuffle, NOT a per-bucket row_number window (a
+    ~7-bucket ladder over 10^12 images would serialize into 7 tasks).
+    The DuckDB oracle restates the ladder argmin, the ordering, and the
+    tail drop with plain windows (exact at oracle scale)."""
+    from osmium_tool_spark.operators.multimodal import aspect_bucket_batches
+    from osmium_tool_spark.sources.images import synth_images_from_documents
+
+    imgs = synth_images_from_documents(spark, sf_dir).select("image_id", "w", "h")
+    out = aspect_bucket_batches(imgs, ASPECT_LADDER, batch_size=16)
+    return out.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        F.col("bucket_w").cast("long").alias("bucket_w"),
+        F.col("bucket_h").cast("long").alias("bucket_h"),
+        "batch_id",
+        "slot",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -2669,6 +2708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family is in-window via hll_distinct/corpus_overlap/
         # cm_frequency; oracled here, bit-exact est twin) --
         "hist_quantiles": q_hist_quantiles,
+        # aspect bucketing (r4k — the image-training family is
+        # in-window via image_dhash/dhash_near_dup/webdataset_shards;
+        # oracled here, window-equivalence pinned in pytest)
+        "aspect_buckets": q_aspect_buckets,
         # geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
@@ -5022,6 +5065,37 @@ FROM cml LEFT JOIN cmex USING (value)
     # windows, the rank target and the in-bin interpolation with the
     # identical arithmetic ordering (sketches.py hist_quantiles_sql).
     from osmium_tool_spark.operators.sketches import hist_quantiles_sql
+
+    # Aspect bucketing: the oracle restates the synthetic dims, the
+    # exact-integer ladder argmin (same L = lcm common scale), the
+    # per-bucket id-order ordinal and the ragged-tail drop.
+    import math as _math
+
+    _lcm = _math.lcm(*[bh for _, bh in ASPECT_LADDER])
+    _lad = ", ".join(
+        f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(ASPECT_LADDER)
+    )
+    o["aspect_buckets"] = f"""
+WITH img AS (SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+                    CAST(64 + (doc_id*37) % 448 AS BIGINT) AS w,
+                    CAST(64 + (doc_id*53) % 448 AS BIGINT) AS h
+             FROM documents),
+lad AS (SELECT * FROM (VALUES {_lad}) l(idx, bw, bh)),
+sc AS (SELECT image_id, w, h, idx, bw, bh,
+              abs(w*bh - h*bw) * ({_lcm} // bh) AS score
+       FROM img CROSS JOIN lad),
+pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+                                      ORDER BY score, idx) AS rk FROM sc),
+a AS (SELECT image_id, w, h, CAST(idx AS BIGINT) AS bucket_idx,
+             CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h
+      FROM pick WHERE rk = 1),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_idx
+                                   ORDER BY image_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY bucket_idx) AS bc FROM a)
+SELECT image_id, w, h, bucket_idx, bucket_w, bucket_h,
+       CAST(rn // 16 AS BIGINT) AS batch_id, CAST(rn % 16 AS BIGINT) AS slot
+FROM r WHERE rn < bc - bc % 16
+"""
 
     o["hist_quantiles"] = hist_quantiles_sql(
         "SELECT l_returnflag, l_extendedprice FROM lineitem",

@@ -306,3 +306,118 @@ def image_dhash(images: DataFrame, grid: int = 8) -> DataFrame:
         kernel,
         f"image_id {id_type}, w int, h int, dhash_hi long, dhash_lo long",
     )
+
+
+def _check_ladder(ladder: list[tuple[int, int]]) -> int:
+    """Validate an aspect ladder and return L = lcm of the bucket
+    heights (the common scale that makes cross-bucket distance
+    comparison exact integer math)."""
+    import math
+
+    if len(ladder) < 1:
+        raise ValueError("ladder must have at least one (w, h) bucket")
+    for bw, bh in ladder:
+        if not (1 <= bw <= 4096 and 1 <= bh <= 4096):
+            raise ValueError(f"bucket sides must be in [1, 4096], got ({bw}, {bh})")
+    lcm = math.lcm(*[bh for _, bh in ladder])
+    if lcm > (1 << 28):
+        raise ValueError(
+            f"lcm of bucket heights is {lcm} > 2^28 — scores would risk "
+            "64-bit overflow; use a ladder with more harmonious heights"
+        )
+    return lcm
+
+
+def assign_aspect_buckets(
+    images: DataFrame,
+    ladder: list[tuple[int, int]],
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Assign each image to the aspect-ratio bucket nearest its own
+    ratio — the standard variable-aspect training trick (group images
+    of similar shape so a batch crops/pads minimally; the bucket ladder
+    is the SDXL-style list of (width, height) training resolutions).
+
+    Nearest is by |w/h - bw/bh|, decided in EXACT integer arithmetic:
+    |w/h - bw/bh| = |w·bh - h·bw| / (h·bh), the per-image h cancels
+    across candidates, and multiplying by L/bh (L = lcm of ladder
+    heights) puts all candidates on one integer scale — no float
+    rounding at bucket boundaries, ties break to the lower ladder
+    index. One array_min over a plan-time-literal struct array: pure
+    Column math, zero shuffle, and an exact ANSI-SQL twin (argmin =
+    ROW_NUMBER over score, idx). Assumes integer image sides < 2^20
+    (scores stay < 2^62).
+
+    Adds bucket_idx / bucket_w / bucket_h.
+    """
+    lcm = _check_ladder(ladder)
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    entries = F.array(
+        *[
+            F.struct(
+                (F.abs(w * bh - h * bw) * F.lit(lcm // bh)).alias("score"),
+                F.lit(i).alias("idx"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(ladder)
+        ]
+    )
+    best = F.array_min(entries)
+    return images.select(
+        "*",
+        best["idx"].alias("bucket_idx"),
+        best["bw"].alias("bucket_w"),
+        best["bh"].alias("bucket_h"),
+    )
+
+
+def aspect_bucket_batches(
+    images: DataFrame,
+    ladder: list[tuple[int, int]],
+    batch_size: int,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    drop_incomplete: bool = True,
+) -> DataFrame:
+    """Deterministic fixed-size training batches within aspect buckets:
+    every image gets (bucket_idx, batch_id, slot) with slot in
+    [0, batch_size) and batches filled in `id_col` order. The composite
+    (bucket_idx, batch_id) is the batch key a loader shards on.
+
+    Scale shape: the per-bucket ordinal comes from functions/zipindex
+    dense_index — ONE balanced range shuffle + a broadcast of
+    per-(partition, bucket) offsets — NOT a row_number window
+    partitioned by bucket, which would serialize each bucket (a ~20-row
+    ladder over 10^12 images = 10^11-row single-task sorts). With
+    `drop_incomplete` (the trainer default) the ragged tail of each
+    bucket is dropped via a broadcast of per-bucket counts.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from osmium_tool_spark.functions.zipindex import dense_index
+
+    a = assign_aspect_buckets(images, ladder, w_col=w_col, h_col=h_col)
+    idx = dense_index(
+        a, [F.col(id_col)], part_col="bucket_idx", index_name="__ord"
+    )
+    rn = F.col("__ord") - 1
+    # exact integer division: (rn - rn % b) is a multiple of b, so the
+    # double divide is exact for rn < 2^53 (plain rn/b + floor would
+    # round through the double for large rn and non-power-of-two b)
+    batch_id = ((rn - rn % batch_size) / batch_size).cast("long")
+    out = idx.withColumn("batch_id", batch_id).withColumn(
+        "slot", (rn % batch_size).cast("long")
+    )
+    if drop_incomplete:
+        counts = a.groupBy("bucket_idx").agg(F.count("*").alias("__bc"))
+        keep_below = (F.col("__bc") - F.col("__bc") % batch_size).cast("long")
+        out = (
+            out.join(F.broadcast(counts), "bucket_idx")
+            .filter(F.col("__ord") <= keep_below)
+            .drop("__bc")
+        )
+    return out.drop("__ord")
