@@ -2551,6 +2551,41 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped caption–image alignment over the REAL codec
+    loop (operators/multimodal.alignment_scores): every embedding row
+    gets a pattern PNG encoded + decoded with the from-spec codec, the
+    perceptual dhash of the real pixels unpacks into a 64-dim ±1 image
+    vector (dhash_bit_vector), and the alignment score is the
+    bit-stable sequential-fold cosine against the caption embedding —
+    the mismatched-pair cut a 10^12-pair corpus runs before training
+    (production swaps model embeddings into the same two columns).
+    Zero shuffle after the pair join; the DuckDB oracle recomputes the
+    dhash from pixel arithmetic, the same bit unpacking, and the same
+    IEEE fold sequence."""
+    from osmium_tool_spark.operators.multimodal import (
+        alignment_scores,
+        dhash_bit_vector,
+        image_dhash,
+    )
+    from osmium_tool_spark.sources.images import encode_pattern_png_images
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = emb.select(
+        F.col("vec_id").alias("image_id"),
+        ((F.col("vec_id") * 37) % 256).cast("int").alias("val"),
+        F.lit(18).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    dh = image_dhash(encode_pattern_png_images(nodes), grid=8)
+    vecs = dh.select(
+        F.col("image_id").cast("long").alias("vec_id"),
+        dhash_bit_vector(F.col("dhash_hi"), F.col("dhash_lo")).alias("img_vec"),
+    )
+    pairs = vecs.join(emb.select("vec_id", F.col("embedding").alias("txt_vec")), "vec_id")
+    return alignment_scores(pairs, "img_vec", "txt_vec").select("vec_id", "alignment")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -2712,6 +2747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via image_dhash/dhash_near_dup/webdataset_shards;
         # oracled here, window-equivalence pinned in pytest)
         "aspect_buckets": q_aspect_buckets,
+        # caption-image alignment (r4k — real-codec dhash vector vs
+        # caption embedding; oracled here, bit-stable cosine twin)
+        "caption_alignment": q_caption_alignment,
         # geohash (r4g scalar function — the
         # export gates cover the §2.7 family in-window; oracled here) --
         "geohash": q_geohash,
@@ -4569,6 +4607,29 @@ FROM lay
     # 9x8 grid, strict left>right bit per adjacent pair, packed MSB-first
     # row-major into two int32-range halves (bit 63 would sign-wrap
     # differently across engines, hence hi/lo).
+    def _dhash_ctes_from(ids_sql: str) -> str:
+        """dhash pixel-arithmetic CTE chain over any BIGINT id relation
+        (one column named id); ends at dh(id, dhash_hi, dhash_lo)."""
+        return f"""\
+imgs AS (SELECT id, (id * 37) % 256 AS val FROM ({ids_sql})),
+px AS (SELECT id,
+              gx.x AS x, gy.y AS y,
+              (val * 31 + gx.x * 7 + gy.y * 13) % 256 AS p
+       FROM imgs, generate_series(0, 17) gx(x), generate_series(0, 15) gy(y)),
+blocks AS (SELECT id, y // 2 AS r, x // 2 AS c, sum(p) AS s
+           FROM px GROUP BY 1, 2, 3),
+bits AS (SELECT l.id, l.r, l.c,
+                CASE WHEN l.s > rt.s THEN 1 ELSE 0 END AS bit
+         FROM blocks l
+         JOIN blocks rt ON rt.id = l.id AND rt.r = l.r AND rt.c = l.c + 1
+         WHERE l.c < 8),
+dh AS (SELECT id,
+       CAST(sum(CASE WHEN r < 4 THEN bit << (31 - (r * 8 + c)) ELSE 0 END)
+            AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN r >= 4 THEN bit << (31 - ((r - 4) * 8 + c)) ELSE 0 END)
+            AS BIGINT) AS dhash_lo
+       FROM bits GROUP BY id)"""
+
     dhash_ctes = f"""{NODES_CTE},
 imgs AS (SELECT id, (id * 37) % 256 AS val FROM nodes),
 px AS (SELECT id,
@@ -5095,6 +5156,25 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_idx
 SELECT image_id, w, h, bucket_idx, bucket_w, bucket_h,
        CAST(rn // 16 AS BIGINT) AS batch_id, CAST(rn % 16 AS BIGINT) AS slot
 FROM r WHERE rn < bc - bc % 16
+"""
+
+    # Caption-image alignment: dhash from pixel arithmetic (the same
+    # CTE chain the image_dhash oracle uses), the ±1 bit-vector unpack,
+    # and the sequential-fold cosine — every step restated.
+    o["caption_alignment"] = f"""
+WITH {_dhash_ctes_from("SELECT vec_id AS id FROM embeddings")},
+iv AS (SELECT id,
+              list_transform(range(1, 65),
+                  i -> CAST(2 * ((CASE WHEN i <= 32 THEN dhash_hi >> (32 - i)
+                                       ELSE dhash_lo >> (64 - i) END) & 1)
+                            - 1 AS DOUBLE)) AS a
+       FROM dh),
+pr AS (SELECT iv.id AS vec_id, iv.a AS a, e.embedding AS b
+       FROM iv JOIN embeddings e ON e.vec_id = iv.id)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {_dot_sql('a', 'b')}
+         / (sqrt({_dot_sql('a', 'a')}) * sqrt({_dot_sql('b', 'b')})) AS alignment
+FROM pr
 """
 
     o["hist_quantiles"] = hist_quantiles_sql(

@@ -421,3 +421,51 @@ def aspect_bucket_batches(
             .drop("__bc")
         )
     return out.drop("__ord")
+
+
+def dhash_bit_vector(hi: Column, lo: Column) -> Column:
+    """Unpack the two 32-bit dhash halves (image_dhash packing: bit i
+    is the MSB-first position, i<32 in `hi`, else in `lo`) into a
+    64-dim ±1.0 double array — the image-side vector for
+    caption–image alignment scoring. Statically unrolled Column math
+    (shift counts are plan-time literals), zero Python."""
+    vals = []
+    for i in range(64):
+        half, sh = (hi, 31 - i) if i < 32 else (lo, 63 - i)
+        b = F.shiftright(half.cast("long"), sh).bitwiseAND(F.lit(1))
+        vals.append((b * 2 - 1).cast("double"))
+    return F.array(*vals)
+
+
+def alignment_scores(
+    pairs: DataFrame,
+    img_vec_col: str,
+    txt_vec_col: str,
+    score_col: str = "alignment",
+) -> DataFrame:
+    """CLIP-score-shaped caption–image alignment: cosine between the
+    image-side and text-side vectors of each pair, as a projection —
+    zero shuffle, whole-stage codegen (similarity.dot's sequential
+    fold, so the score is bit-stable vs the SQL twin). Real deployments
+    swap the model-produced embeddings into the same two columns; the
+    filtering/scoring plumbing is identical."""
+    from osmium_tool_spark.operators.similarity import cosine
+
+    return pairs.withColumn(
+        score_col, cosine(F.col(img_vec_col), F.col(txt_vec_col))
+    )
+
+
+def alignment_filter(
+    pairs: DataFrame,
+    img_vec_col: str,
+    txt_vec_col: str,
+    min_score: float,
+    score_col: str = "alignment",
+) -> DataFrame:
+    """Keep pairs whose alignment score reaches `min_score` (the
+    laion-style cosine cut that drops mismatched caption/image pairs
+    before training)."""
+    return alignment_scores(pairs, img_vec_col, txt_vec_col, score_col).filter(
+        F.col(score_col) >= min_score
+    )
