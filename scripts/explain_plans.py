@@ -456,6 +456,65 @@ def main() -> None:
          capture_explain(write_mvt_tiles(nodes, res=5)))
     )
 
+    # round-4k sketches + image-training ops
+    from osmium_tool_spark.operators.multimodal import (
+        alignment_scores,
+        aspect_bucket_batches,
+    )
+    from osmium_tool_spark.operators.sketches import (
+        cm_build,
+        cm_lookup,
+        hist_bins,
+        hist_quantiles,
+        hll_distinct,
+    )
+
+    vals = spark.range(1, 100_001).select(
+        (F.col("id") % 64).alias("g"),
+        ((F.col("id") * 2654435761) % 65536).alias("v"),
+    )
+    sections.append(
+        ("hll_distinct (ONE partial/final HashAggregate pair per stage; "
+         "state = groups x 2^p registers, no distinct expand)",
+         capture_explain(hll_distinct(vals, ["g"], "v", p=10, hash="portable")))
+    )
+    cm = cm_build(vals, "v", d=3, w=512, hash="portable")
+    qs = spark.range(200).select(F.col("id").alias("v"))
+    sections.append(
+        ("cm_lookup (counts side BROADCAST — the corpus never re-enters "
+         "at query time)",
+         capture_explain(cm_lookup(cm, qs, "v", 3, 512, "portable")))
+    )
+    hb = hist_bins(vals, ["g"], "v", 0.0, 65536.0, 1024)
+    sections.append(
+        ("hist_quantiles (hash-agg pair to <=bins rows per group, then "
+         "windows over the BIN table only)",
+         capture_explain(hist_quantiles(hb, ["g"], 0.0, 65536.0, 1024, [0.5, 0.9])))
+    )
+    imgs4k = spark.range(1, 50_001).select(
+        F.col("id").alias("image_id"),
+        (64 + (F.col("id") * 37) % 448).cast("int").alias("w"),
+        (64 + (F.col("id") * 53) % 448).cast("int").alias("h"),
+    )
+    sections.append(
+        ("aspect_bucket_batches (range Exchange + BroadcastHashJoins, NO "
+         "Window — the per-bucket ordinal is the zipindex prefix-sum)",
+         capture_explain(aspect_bucket_batches(
+             imgs4k, [(512, 512), (576, 448), (448, 576)], batch_size=16)))
+    )
+    pairs = spark.range(1, 10_001).select(
+        F.col("id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (F.xxhash64(F.col("id"), i) % 1000) / 500.0).alias("va"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (F.xxhash64(F.col("id"), i, i) % 1000) / 500.0).alias("vb"),
+    )
+    sections.append(
+        ("alignment_scores (pure projection — no Exchange, the fold stays "
+         "in codegen)",
+         capture_explain(alignment_scores(pairs, "va", "vb")))
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by scripts/explain_plans.py)\n\n"

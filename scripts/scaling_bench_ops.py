@@ -591,6 +591,98 @@ def run_density_surface():
     density_surface(pts, res=12).count()
 
 
+def run_hll_distinct():
+    # 8x entities rows, ~16M distinct keys into 4096 (cx, cy) groups —
+    # the COUNT(DISTINCT ... ) GROUP BY shape the sketch replaces; the
+    # agg state is groups x 2^12 registers however big the input.
+    from osmium_tool_spark.operators.sketches import hll_distinct
+
+    rows = spark.range(1, 8 * {n_entities} + 1).select(
+        (F.col("id") % 4096).alias("g"),
+        ((F.col("id") * 2654435761) % 16777216).alias("v"),
+    )
+    hll_distinct(rows, ["g"], "v", p=12, hash="portable").agg(
+        F.sum("t_scaled")
+    ).collect()
+
+
+def run_cm_frequency():
+    # count-min build over 8x entities rows (d=4 fan-out -> one d*w-state
+    # agg) + a 10k-query broadcast lookup.
+    from osmium_tool_spark.operators.sketches import cm_build, cm_lookup
+
+    rows = spark.range(1, 8 * {n_entities} + 1).select(
+        ((F.col("id") * 2654435761) % 1000000).alias("v")
+    )
+    counts = cm_build(rows, "v", d=4, w=4096, hash="portable")
+    qs = spark.range(10000).select(F.col("id").alias("v"))
+    cm_lookup(counts, qs, "v", 4, 4096, "portable").agg(F.sum("est")).collect()
+
+
+def run_hist_quantiles():
+    # 8x entities doubles into 16 groups x 4096 bins; quantile read rides
+    # on the bounded bin table.
+    from osmium_tool_spark.operators.sketches import hist_bins, hist_quantiles
+
+    rows = spark.range(1, 8 * {n_entities} + 1).select(
+        (F.col("id") % 16).alias("g"),
+        (((F.col("id") * 2654435761) % 1000000) / 7.0).alias("x"),
+    )
+    b = hist_bins(rows, ["g"], "x", 0.0, 150000.0, 4096)
+    hist_quantiles(b, ["g"], 0.0, 150000.0, 4096, [0.1, 0.5, 0.9, 0.99]).agg(
+        F.sum("cum")
+    ).collect()
+
+
+def run_corpus_overlap():
+    # coordinated theta samples (r=8) of two 4x-entities corpora with a
+    # known 50% overlap + the tag/group overlap read.
+    from osmium_tool_spark.operators.sketches import theta_overlap, theta_sample
+
+    half = 4 * {n_entities}
+    a = spark.range(0, half).select(F.col("id").alias("v"))
+    b = spark.range(half // 2, half + half // 2).select(F.col("id").alias("v"))
+    sa = theta_sample(a, [], "v", r=8, hash="portable")
+    sb = theta_sample(b, [], "v", r=8, hash="portable")
+    theta_overlap(sa, sb, r=8).collect()
+
+
+def run_aspect_batches():
+    # 4x entities images through the exact ladder argmin + dense_index
+    # batch assignment (range shuffle + broadcast offsets, no window).
+    from osmium_tool_spark.operators.multimodal import aspect_bucket_batches
+
+    imgs = spark.range(1, 4 * {n_entities} + 1).select(
+        F.col("id").alias("image_id"),
+        (64 + (F.col("id") * 37) % 2000).cast("int").alias("w"),
+        (64 + (F.col("id") * 53) % 2000).cast("int").alias("h"),
+    )
+    ladder = [(512, 512), (576, 448), (448, 576), (640, 384),
+              (384, 640), (704, 320), (320, 704)]
+    aspect_bucket_batches(imgs, ladder, batch_size=64).agg(
+        F.sum("batch_id"), F.sum("slot")
+    ).collect()
+
+
+def run_caption_alignment():
+    # 2x entities 64-dim pair cosines — the pure-projection fold; sums
+    # force the fold (count() would prune the score column away).
+    from osmium_tool_spark.operators.multimodal import alignment_scores
+
+    pairs = spark.range(1, 2 * {n_entities} + 1).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.xxhash64(F.col("id"), i) % 1000) / 500.0 - 1.0),
+        ).alias("va"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.xxhash64(F.col("id"), i, i) % 1000) / 500.0 - 1.0),
+        ).alias("vb"),
+    )
+    alignment_scores(pairs, "va", "vb").agg(F.sum("alignment")).collect()
+
+
 out = {{}}
 ops = {ops!r}
 for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
@@ -615,6 +707,12 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("mvt_tiles", run_mvt_tiles),
                  ("way_polyline", run_way_polyline),
                  ("geo_split", run_geo_split),
+                 ("hll_distinct", run_hll_distinct),
+                 ("cm_frequency", run_cm_frequency),
+                 ("hist_quantiles", run_hist_quantiles),
+                 ("corpus_overlap", run_corpus_overlap),
+                 ("aspect_buckets", run_aspect_batches),
+                 ("caption_alignment", run_caption_alignment),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
