@@ -639,7 +639,7 @@ def run_corpus_overlap():
     # known 50% overlap + the tag/group overlap read.
     from osmium_tool_spark.operators.sketches import theta_overlap, theta_sample
 
-    half = 16 * {n_entities}
+    half = 64 * {n_entities}
     a = spark.range(0, half).select(F.col("id").alias("v"))
     b = spark.range(half // 2, half + half // 2).select(F.col("id").alias("v"))
     sa = theta_sample(a, [], "v", r=8, hash="portable")
