@@ -370,3 +370,104 @@ def geo_buffered_split(
         cell_from_xy(gx, gy, res).alias("cell"),
         F.when(touches_other, F.lit("buffer")).otherwise(own).alias("split"),
     )
+
+
+EPOCH_PHI = 0x2545F491  # per-epoch salt constant (< 2^31, odd)
+
+
+def _epoch_salt(epoch: int) -> int:
+    """Deterministic per-epoch salt < 2^31."""
+    return ((epoch + 1) * EPOCH_PHI) % (1 << 31)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int,
+    hash: str = "portable",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard assignment — the
+    training-order op: every epoch the corpus is re-permuted into
+    `num_shards` shards, each internally re-ordered, with NO RNG state
+    anywhere. The permutation is a pure function of (id, epoch), so a
+    resumed / re-run job (plans.CheckpointedPipeline) reproduces the
+    identical order, and two epochs are decorrelated by the per-epoch
+    salt. The mirror image of `shard_manifest`: that op PRESERVES
+    spatial locality for regional reads; this one deliberately DESTROYS
+    locality so each training shard is an unbiased corpus sample.
+
+    Shape: shard = h % num_shards (hash-uniform -> multinomial shard
+    sizes, no planning pass), pos = dense order within the shard. The
+    one window partitions BY SHARD — num_shards independent sorts of
+    ~n/num_shards rows each, never a global sort. At 10^12 rows pick
+    num_shards so a shard fits one task's sort buffer (e.g. 100k shards
+    -> 10^7 rows each); skew is hash-bounded (no hot keys by
+    construction).
+
+    Hash families as in operators/sketches.py: ``portable`` is the
+    32-bit avalanche over the folded id XOR the epoch salt — exact
+    integer math, ANSI-SQL twin (`epoch_shuffle_sql`), bit-identical
+    order in both engines; ``xxhash64`` uses the full-width JVM hash
+    for arbitrary id types. Ties (hash collisions) break on id: the
+    order is total and deterministic either way.
+
+    Returns the input columns + (shard:int, pos:long).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    from .sketches import A_MIX, M32, P31
+
+    v = F.col(id_col)
+    if hash == "portable":
+        x = ((v.cast("long") % P31) + P31) % P31
+        y = x.bitwiseXOR(F.lit(_epoch_salt(epoch)))
+        y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+        y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+        h = F.shiftright(y, 16).bitwiseXOR(y)
+    elif hash == "xxhash64":
+        h64 = F.xxhash64(F.lit("epoch"), v, F.lit(epoch))
+        h = F.shiftrightunsigned(h64, 1)  # non-negative
+    else:
+        raise ValueError(f"hash must be 'portable' or 'xxhash64', got {hash!r}")
+
+    staged = df.filter(v.isNotNull()).withColumn("_h", h)
+    shard = (F.col("_h") % num_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), v.asc())
+    return (
+        staged.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("_h")
+    )
+
+
+def epoch_shuffle_sql(
+    source_sql: str,
+    id_expr: str,
+    epoch: int,
+    num_shards: int,
+    cols: list[str],
+) -> str:
+    """DuckDB twin of epoch_shuffle(hash='portable'): same salt, same
+    avalanche, same (h, id) total order — the emitted (shard, pos) are
+    bit-identical to the Spark plan's."""
+    from .sketches import fold31_sql, h32_final_sql, h32_round_sql
+
+    y = f"xor(x, {_epoch_salt(epoch)})"
+    y = h32_round_sql(y)
+    y = h32_round_sql(y)
+    collist = ", ".join(cols)
+    return f"""\
+WITH es0 AS (SELECT {collist}, {fold31_sql(id_expr)} AS x
+             FROM ({source_sql}) WHERE ({id_expr}) IS NOT NULL),
+es1 AS (SELECT {collist}, {h32_final_sql(y)} AS h FROM es0),
+es2 AS (SELECT {collist},
+               CAST(h % {num_shards} AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY h % {num_shards}
+                    ORDER BY h ASC, {id_expr} ASC) AS BIGINT) - 1 AS pos
+        FROM es1)
+SELECT {collist}, shard, pos FROM es2
+"""

@@ -1,5 +1,5 @@
-"""Mergeable sketches (HyperLogLog, fixed-level theta/KMV, count-min)
-as DataFrame plans.
+"""Mergeable sketches (HyperLogLog, fixed-level theta/KMV, count-min,
+Bloom filter) as DataFrame plans.
 
 At 10^12 rows `COUNT(DISTINCT x) GROUP BY cell` is the classic
 scale-killer: the exact form shuffles every distinct (cell, x) pair.
@@ -736,3 +736,205 @@ byg AS (SELECT {g}, v_zero, k_max,
     if ctes_only:
         return body
     return body + f"\nSELECT {g}, v_zero, k_max, t_scaled, est_raw FROM byg\n"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch
+# ---------------------------------------------------------------------------
+
+BF_PHI = 0x61C88647  # golden-ratio constant (< 2^31) for per-hash-row salts
+
+
+def _bf_salt(j: int) -> int:
+    """Deterministic per-hash-row salt < 2^31 (XOR with the folded key
+    stays < 2^31, wrap-free through the avalanche rounds). A different
+    constant from CM_PHI so a corpus sketched by BOTH count-min and
+    Bloom doesn't share hash rows."""
+    return ((j + 1) * BF_PHI) % (1 << 31)
+
+
+def _check_km(k: int, m_bits: int) -> None:
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    if not 64 <= m_bits <= (1 << 30):
+        raise ValueError(f"m_bits must be in [64, 2^30], got {m_bits}")
+
+
+def _bf_pos(v: Column, j: int, m_bits: int, hash: str) -> Column:
+    """Bit position of value `v` under hash row `j`."""
+    if hash == "portable":
+        x = ((v.cast("long") % P31) + P31) % P31
+        y = x.bitwiseXOR(F.lit(_bf_salt(j)))
+        y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+        y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+        return (F.shiftright(y, 16).bitwiseXOR(y) % m_bits).cast("long")
+    if hash == "xxhash64":
+        h = F.xxhash64(F.lit("bloom"), v, F.lit(j))
+        return (((h % m_bits) + m_bits) % m_bits).cast("long")
+    raise ValueError(f"hash must be 'portable' or 'xxhash64', got {hash!r}")
+
+
+# 32-bit word packing: word = pos >> 5, in-word bit = pos % 32. Every
+# mask is < 2^32, positive in signed 64-bit in BOTH engines — no
+# sign-bit hazard (a 64-bit word's bit 63 would be the BIGINT sign).
+# Variable-distance shifts go through F.expr over a column literally
+# named `pos`/`bits` (the Python shiftleft/shiftright helpers only take
+# a literal distance).
+_BF_MASK = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+_BF_HIT = (
+    "CAST(shiftright(COALESCE(bits, CAST(0 AS BIGINT)),"
+    " CAST(pos % 32 AS INT)) % 2 AS INT)"
+)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 1 << 15,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Bloom filter state: (word:int, bits:long) — an m_bits-bit array
+    packed 32 bits per word (Bloom 1970, "Space/time trade-offs in hash
+    coding with allowable errors").
+
+    Scale shape: one projection fans each row out to its k bit
+    positions (k is 3-7, a constant) -> ONE hash-agg whose state is AT
+    MOST m_bits/32 rows per partition regardless of input size —
+    map-side partial BIT_ORs absorb the volume, the shuffle moves at
+    most m_bits/32 rows per partition. The classic use at 10^12 rows:
+    membership pre-filtering before an expensive join (probe the sketch,
+    only rows that MIGHT match reach the shuffle; `bloom_probe` is a
+    broadcast join against a <= m_bits/32-row table). One-sided error:
+    a present value always probes 1 (no false negatives); an absent
+    value probes 1 with probability ~(1 - e^(-k*n/m))^k (`bloom_fpr`).
+
+    The state is a DataFrame -> a STANDING sketch: `bloom_merge` ORs
+    tables built over different corpora / days, lossless (the merged
+    array equals the array built over the union). Hash families as in
+    `cm_build`: ``xxhash64`` rows are xxhash64("bloom", value, j);
+    ``portable`` is the 32-bit avalanche over the folded BIGINT key XOR
+    a per-row salt — exact integer math with an ANSI-SQL twin
+    (`bloom_probe_sql`), bit-identical in Spark and DuckDB down to each
+    false positive.
+    """
+    _check_km(k, m_bits)
+    v = F.col(value_col)
+    pos = F.explode(
+        F.array(*[_bf_pos(v, j, m_bits, hash) for j in range(k)])
+    ).alias("pos")
+    rows = df.filter(v.isNotNull()).select(pos)
+    return (
+        rows.select(
+            F.shiftright(F.col("pos"), 5).cast("int").alias("word"),
+            F.expr(_BF_MASK).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*states: DataFrame) -> DataFrame:
+    """Merge standing Bloom states built with the SAME (k, m_bits,
+    hash): union + per-word BIT_OR. Lossless — the merged array is
+    exactly the array of the unioned corpora."""
+    from functools import reduce
+
+    if not states:
+        raise ValueError("need at least one state table")
+    u = reduce(DataFrame.unionByName, states)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    state: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    k: int,
+    m_bits: int,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Membership probes for a query set: (value, maybe_present) with
+    maybe_present = 1 iff ALL k bits are set (0 => provably absent).
+
+    Plan: the query set explodes to k rows each and LEFT-joins the
+    state — at most m_bits/32 rows, so it is broadcast; no shuffle
+    touches the corpus at probe time. A missing word row means those 32
+    bits are all zero (coalesce 0). The corpus was read ONCE at build
+    time; any number of probes reuse the standing state."""
+    _check_km(k, m_bits)
+    v = F.col(value_col)
+    q = queries.filter(v.isNotNull()).select(v.alias("value")).distinct()
+    pos = F.explode(
+        F.array(*[_bf_pos(F.col("value"), j, m_bits, hash) for j in range(k)])
+    ).alias("pos")
+    qpos = q.select("value", pos)
+    qw = qpos.select(
+        "value", "pos", F.shiftright(F.col("pos"), 5).cast("int").alias("word")
+    )
+    joined = qw.join(F.broadcast(state), "word", "left")
+    return joined.groupBy("value").agg(
+        F.min(F.expr(_BF_HIT)).alias("maybe_present")
+    )
+
+
+def bloom_fpr(k: int, m_bits: int, n: int) -> float:
+    """Expected false-positive rate after n distinct insertions."""
+    _check_km(k, m_bits)
+    return (1.0 - math.exp(-k * n / m_bits)) ** k
+
+
+def _bf_pos_sql(x: str, j: int, m_bits: int) -> str:
+    """Bit position of an already-folded column `x` under row j
+    (portable family)."""
+    y = f"xor({x}, {_bf_salt(j)})"
+    y = h32_round_sql(y)
+    y = h32_round_sql(y)
+    return f"({h32_final_sql(y)}) % {m_bits}"
+
+
+def bloom_probe_sql(
+    source_sql: str,
+    value_expr: str,
+    queries_sql: str,
+    query_expr: str,
+    k: int,
+    m_bits: int,
+    ctes_only: bool = False,
+) -> str:
+    """DuckDB twin of bloom_build(hash='portable') + bloom_probe: builds
+    the (word, bits) state over `source_sql` and probes the query set.
+    With ``ctes_only`` return just the CTE chain ending at ``bfprobe``
+    (columns: value, maybe_present) for further composition. Every step
+    — the salted avalanche, the 32-bit word packing, the BIT_OR fold,
+    the per-bit probe — is exact integer arithmetic both engines
+    evaluate identically, so even each false positive matches."""
+    _check_km(k, m_bits)
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {_bf_pos_sql('x', j, m_bits)} AS pos FROM bfsrc"
+        for j in range(k)
+    )
+    qrows = "\n  UNION ALL ".join(
+        f"SELECT value, {_bf_pos_sql('x', j, m_bits)} AS pos FROM bfq"
+        for j in range(k)
+    )
+    body = f"""\
+bfsrc AS (SELECT {fold31_sql(value_expr)} AS x
+          FROM ({source_sql}) WHERE ({value_expr}) IS NOT NULL),
+bfpos AS ({rows}),
+bfstate AS (SELECT CAST(pos // 32 AS INTEGER) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+            FROM bfpos GROUP BY 1),
+bfq AS (SELECT value, {fold31_sql('value')} AS x FROM
+        (SELECT DISTINCT {query_expr} AS value FROM ({queries_sql})
+         WHERE ({query_expr}) IS NOT NULL)),
+bfqpos AS ({qrows}),
+bfprobe AS (SELECT value,
+                   CAST(MIN((COALESCE(bits, 0) >> CAST(pos % 32 AS INTEGER)) % 2)
+                        AS INTEGER) AS maybe_present
+            FROM bfqpos LEFT JOIN bfstate
+              ON CAST(pos // 32 AS INTEGER) = word
+            GROUP BY value)"""
+    if ctes_only:
+        return body
+    return "WITH " + body + "\nSELECT value, maybe_present FROM bfprobe\n"

@@ -357,3 +357,86 @@ class TestShardManifest:
         # zero/negative-byte rows drop
         df2 = self._imgs(spark, [(1, 0, 0, 5), (2, 0, 0, 0)])
         assert shard_manifest(df2, 10).count() == 1
+
+
+class TestEpochShuffle:
+    def _docs(self, spark, n=500):
+        return spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_is_a_permutation(self, spark):
+        from osmium_tool_spark.operators.curation import epoch_shuffle
+
+        df = self._docs(spark)
+        out = epoch_shuffle(df, "doc_id", epoch=0, num_shards=8).collect()
+        assert len(out) == 500
+        assert {r.doc_id for r in out} == set(range(500))
+        # (shard, pos) is a dense per-shard ordinal
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(8))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        from osmium_tool_spark.operators.curation import epoch_shuffle
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, epoch_shuffle(df, "doc_id", 3, 8).collect()))
+        b = sorted(
+            map(tuple, epoch_shuffle(df.repartition(13), "doc_id", 3, 8).collect())
+        )
+        assert a == b
+
+    def test_epochs_decorrelated(self, spark):
+        from osmium_tool_spark.operators.curation import epoch_shuffle
+
+        df = self._docs(spark)
+        e0 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, "doc_id", 0, 8).collect()}
+        e1 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, "doc_id", 1, 8).collect()}
+        moved = sum(1 for k in e0 if e0[k] != e1[k])
+        assert moved > 400  # nearly everything re-shuffles
+
+    def test_sql_twin_bit_identical(self, spark):
+        import duckdb
+
+        from osmium_tool_spark.operators.curation import (
+            epoch_shuffle,
+            epoch_shuffle_sql,
+        )
+
+        df = self._docs(spark, 300)
+        got = sorted(
+            map(tuple, epoch_shuffle(df, "doc_id", 2, 4).select(
+                "doc_id", "shard", "pos").collect())
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(i, f"doc-{i}") for i in range(300)]
+        )
+        sql = epoch_shuffle_sql(
+            "SELECT doc_id FROM t", "doc_id", 2, 4, ["doc_id"]
+        )
+        duck = sorted(con.execute(sql).fetchall())
+        assert duck == got
+
+    def test_xxhash64_family(self, spark):
+        from osmium_tool_spark.operators.curation import epoch_shuffle
+
+        df = self._docs(spark, 200)
+        out = epoch_shuffle(df, "doc_id", 0, 4, hash="xxhash64").collect()
+        assert {r.doc_id for r in out} == set(range(200))
+
+    def test_validation(self, spark):
+        from osmium_tool_spark.operators.curation import epoch_shuffle
+
+        df = self._docs(spark, 5)
+        with pytest.raises(ValueError):
+            epoch_shuffle(df, "doc_id", 0, 0)
+        with pytest.raises(ValueError):
+            epoch_shuffle(df, "doc_id", -1, 4)
+        with pytest.raises(ValueError):
+            epoch_shuffle(df, "doc_id", 0, 4, hash="md5")

@@ -492,3 +492,139 @@ def test_hist_validation(spark):
         hist_bins(df, [], "x", 0.0, 1.0, 1)
     with pytest.raises(ValueError, match="at least one"):
         hist_merge()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+from osmium_tool_spark.operators.sketches import (  # noqa: E402
+    _bf_salt,
+    bloom_build,
+    bloom_fpr,
+    bloom_merge,
+    bloom_probe,
+    bloom_probe_sql,
+)
+
+
+def py_bf_pos(v: int, j: int, m_bits: int) -> int:
+    x = ((v % P31) + P31) % P31
+    y = x ^ _bf_salt(j)
+    y = (((y >> 16) ^ y) * A_MIX) & M32
+    y = (((y >> 16) ^ y) * A_MIX) & M32
+    return ((y >> 16) ^ y) % m_bits
+
+
+def py_bloom(values, k, m_bits):
+    """Pure-python replica of the packed (word -> bits) state."""
+    words = {}
+    for v in values:
+        for j in range(k):
+            pos = py_bf_pos(v, j, m_bits)
+            words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos % 32))
+    return words
+
+
+def test_bloom_matches_python_replica(spark):
+    vals = [i * 37 + 11 for i in range(500)]
+    k, m = 4, 4096
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    state = {
+        r.word: r.bits for r in bloom_build(df, "v", k, m, "portable").collect()
+    }
+    assert state == py_bloom(vals, k, m)
+
+
+def test_bloom_no_false_negatives_both_families(spark):
+    vals = list(range(0, 3000, 3))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for fam in ("portable", "xxhash64"):
+        k, m = 5, 1 << 15
+        state = bloom_build(df, "v", k, m, fam)
+        probed = bloom_probe(state, df, "v", k, m, fam).collect()
+        assert len(probed) == len(vals)
+        assert all(r.maybe_present == 1 for r in probed)
+
+
+def test_bloom_absent_values_and_fpr_band(spark):
+    n, k, m = 2000, 4, 1 << 14
+    present = [i * 2 for i in range(n)]
+    absent = [i * 2 + 1 for i in range(n)]
+    df = spark.createDataFrame([(v,) for v in present], "v long")
+    qf = spark.createDataFrame([(v,) for v in absent], "v long")
+    state = bloom_build(df, "v", k, m, "portable")
+    probed = bloom_probe(state, qf, "v", k, m, "portable").collect()
+    fp = sum(r.maybe_present for r in probed)
+    expected = bloom_fpr(k, m, n)
+    # one-sided error only; observed FPR within a generous band of theory
+    assert fp / n <= max(5 * expected, 0.02)
+
+
+def test_bloom_merge_lossless(spark):
+    k, m = 4, 4096
+    a = spark.createDataFrame([(v,) for v in range(0, 400)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(300, 700)], "v long")
+    both = a.unionByName(b)
+    merged = {
+        r.word: r.bits
+        for r in bloom_merge(
+            bloom_build(a, "v", k, m, "portable"),
+            bloom_build(b, "v", k, m, "portable"),
+        ).collect()
+    }
+    direct = {
+        r.word: r.bits for r in bloom_build(both, "v", k, m, "portable").collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_sql_twin_bit_identical(spark):
+    import duckdb
+
+    k, m = 3, 512  # small m so false positives actually occur
+    present = [i * 7 for i in range(300)]
+    queries = list(range(0, 900, 4))
+    df = spark.createDataFrame([(v,) for v in present], "v long")
+    qf = spark.createDataFrame([(v,) for v in queries], "v long")
+    state = bloom_build(df, "v", k, m, "portable")
+    got = {
+        r.value: r.maybe_present
+        for r in bloom_probe(state, qf, "v", k, m, "portable").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in present])
+    con.execute("CREATE TABLE q (v BIGINT)")
+    con.executemany("INSERT INTO q VALUES (?)", [(v,) for v in queries])
+    sql = bloom_probe_sql("SELECT v FROM t", "v", "SELECT v FROM q", "v", k, m)
+    duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert duck == got
+    # the tiny filter must actually produce false positives for this
+    # test to pin anything; present values must all probe 1
+    absent = set(queries) - set(present)
+    assert all(got[v] == 1 for v in set(queries) & set(present))
+    assert any(got[v] == 1 for v in absent)
+    assert any(got[v] == 0 for v in absent)
+
+
+def test_bloom_probe_is_broadcast(spark):
+    k, m = 4, 4096
+    df = spark.createDataFrame([(v,) for v in range(100)], "v long")
+    state = bloom_build(df, "v", k, m, "portable")
+    plan = bloom_probe(state, df, "v", k, m, "portable")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_validation(spark):
+    df = None
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", k=0)
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", k=17)
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", k=4, m_bits=32)
+    with pytest.raises(ValueError):
+        bloom_merge()
+    with pytest.raises(ValueError):
+        bloom_fpr(4, 1 << 40, 10)
