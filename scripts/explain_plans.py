@@ -514,6 +514,22 @@ def main() -> None:
          "in codegen)",
          capture_explain(alignment_scores(pairs, "va", "vb")))
     )
+    from osmium_tool_spark.operators.curation import epoch_shuffle
+    from osmium_tool_spark.operators.sketches import bloom_build, bloom_probe
+
+    bstate = bloom_build(vals, "v", k=4, m_bits=1 << 15, hash="portable")
+    sections.append(
+        ("bloom_probe (state side BROADCAST — <= m/32 rows; the corpus "
+         "never re-enters at probe time, same shape as cm_lookup)",
+         capture_explain(bloom_probe(bstate, qs, "v", 4, 1 << 15, "portable")))
+    )
+    sections.append(
+        ("epoch_shuffle (ONE Exchange keyed by shard + per-shard Window "
+         "sort — num_shards independent sorts, never a global one)",
+         capture_explain(epoch_shuffle(
+             spark.range(1, 50_001).select(F.col("id").alias("doc_id")),
+             "doc_id", epoch=3, num_shards=64)))
+    )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(

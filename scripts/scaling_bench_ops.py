@@ -560,6 +560,43 @@ def run_geo_split():
     geo_buffered_split(pts, res=10).groupBy("split").count().collect()
 
 
+def run_bloom_probe():
+    # Build a 2^22-bit Bloom filter over 48M BIGINT keys (explode x4 ->
+    # 192M (word, mask) rows -> BIT_OR agg to <= 131k words), then probe
+    # 1M queries through the broadcast state. The agg state is tiny by
+    # construction, so this measures the scan+explode+partial-agg fan-in
+    # — the op's corpus-proportional stage. Summing the probe output
+    # forces both jobs (the probe broadcasts the built state).
+    from osmium_tool_spark.operators.sketches import bloom_build, bloom_probe
+
+    k, m = 4, 1 << 22
+    corpus = spark.range(1, 8 * {n_entities} + 1).select(
+        ((F.col("id") * 2654435761) % 8589934592).alias("v")
+    )
+    state = bloom_build(corpus, "v", k=k, m_bits=m, hash="xxhash64")
+    qs = spark.range(1, 1_000_001).select(
+        ((F.col("id") * 1099511628211) % 17179869184).alias("v")
+    )
+    bloom_probe(state, qs, "v", k=k, m_bits=m, hash="xxhash64").agg(
+        F.sum("maybe_present")
+    ).collect()
+
+
+def run_epoch_shuffle():
+    # 24M ids re-permuted into 256 shards: hash projection -> shard
+    # exchange -> 256 independent in-shard sorts (the window). Summing a
+    # pos-derived column forces the row_number; mod a prime keeps the
+    # ANSI sum in range.
+    from osmium_tool_spark.operators.curation import epoch_shuffle
+
+    docs = spark.range(1, 4 * {n_entities} + 1).select(
+        ((F.col("id") * 2654435761) % 8589934592).alias("doc_id")
+    )
+    epoch_shuffle(docs, "doc_id", epoch=3, num_shards=256).agg(
+        F.sum(F.col("pos") % 97), F.sum("shard")
+    ).collect()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -713,6 +750,8 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("corpus_overlap", run_corpus_overlap),
                  ("aspect_buckets", run_aspect_batches),
                  ("caption_alignment", run_caption_alignment),
+                 ("bloom_probe", run_bloom_probe),
+                 ("epoch_shuffle", run_epoch_shuffle),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
