@@ -2545,6 +2545,29 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table round trip (sources/snapshots.py SnapshotTable —
+    the Iceberg-model layer: immutable data files, manifest chain,
+    atomic current pointer): commit the even-doc_id half of documents
+    as snapshot 1, APPEND the odd half (snapshot 2), then TIME-TRAVEL
+    back to snapshot 1 — the returned rows must be exactly the first
+    commit, byte-for-byte through a parquet write/read cycle and the
+    manifest indirection. The oracle is the plain relational statement
+    of snapshot 1's content; rollback/expiry/metrics-persistence
+    semantics are pinned in tests/test_snapshots.py."""
+    import tempfile
+
+    from osmium_tool_spark.sources.snapshots import SnapshotTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    t = SnapshotTable(tempfile.mkdtemp(prefix="snaptab-"))
+    t.append(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    t.append(spark, docs.filter(F.col("doc_id") % 2 == 1))
+    return t.read(spark, snapshot_id=1).select("doc_id", "n_chars")
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped percentiles from a fixed-grid histogram sketch
     (operators/sketches.py hist_bins/hist_quantiles): p10/p50/p90/p99
@@ -2838,6 +2861,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # snapshot-table time travel (r4l — the storage layer behind
+        # checkpoint metrics persistence; oracled here, full
+        # commit/rollback/expiry semantics pinned in
+        # tests/test_snapshots.py)
+        "snapshot_time_travel": q_snapshot_time_travel,
         # hist_quantiles (r4k — the sketch family is in-window via
         # hll_distinct/corpus_overlap/cm_frequency; oracled here,
         # bit-exact est twin)
@@ -5259,6 +5287,13 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # Snapshot-table time travel: the relational statement of snapshot
+    # 1's content (the even-doc_id commit).
+    o["snapshot_time_travel"] = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+"""
 
     # Histogram quantile sketch: the oracle restates binning, the two
     # windows, the rank target and the in-bin interpolation with the

@@ -50,10 +50,24 @@ class Stage:
     fn: Callable[[SparkSession, DataFrame | None], DataFrame]
 
 
+METRICS_SCHEMA = (
+    "run_root string, stage string, parent string, rows_in long, "
+    "rows_out long, partitions int, partition_rows array<long>, "
+    "max_partition_rows long, skew_ratio double, wall_s double"
+)
+
+
 @dataclass
 class CheckpointedPipeline:
+    """`metrics_table` (a sources.snapshots.SnapshotTable) additionally
+    persists every stage's metrics record as an appended snapshot — the
+    north rule's "per-partition lineage and metrics persisted to
+    Iceberg": the metrics history is itself a queryable, time-travelable
+    table (schema METRICS_SCHEMA), not just driver-side JSON."""
+
     root: str
     stages: list[Stage] = field(default_factory=list)
+    metrics_table: "object | None" = None
 
     def stage(self, name: str):
         """Decorator: register fn(spark, prev_df|None) -> DataFrame."""
@@ -136,6 +150,24 @@ class CheckpointedPipeline:
             os.replace(tmp, self._metrics(st.name))
             with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
                 f.write(json.dumps(metrics) + "\n")
+            if self.metrics_table is not None:
+                row = (
+                    self.root,
+                    st.name,
+                    prev_name,
+                    prev_rows,
+                    rows_out,
+                    len(hist),
+                    hist,
+                    metrics["max_partition_rows"],
+                    metrics["skew_ratio"],
+                    metrics["wall_s"],
+                )
+                self.metrics_table.append(
+                    spark,
+                    spark.createDataFrame([row], METRICS_SCHEMA).coalesce(1),
+                    stage=st.name,
+                )
             prev, prev_name, prev_rows = result, st.name, rows_out
         if prev is None:
             raise ValueError("pipeline has no stages")

@@ -1,0 +1,213 @@
+"""Snapshot-table layer: an Iceberg-model table format over parquet —
+ordered snapshots of immutable data files, time travel, rollback and
+snapshot expiry — for the engine's own state (checkpoint metrics,
+lineage, standing sketch tables) and any append-mostly corpus.
+
+The north rule runs the engine "over Iceberg tables ... with
+per-partition lineage and metrics persisted to Iceberg". This container
+has no Iceberg runtime jar, so the MODEL is implemented from its public
+spec shape (Apache Iceberg spec: table state = a chain of snapshots,
+each listing immutable data files via manifests; readers pin a
+snapshot; writers commit a new manifest and atomically swing the
+current pointer): in production the same call sites bind to a real
+catalog via `spark.table` / `DataFrameWriterV2`. What this layer keeps
+identical to production semantics:
+
+  - **Immutable data files.** A commit never rewrites an existing file;
+    `append` commits parent files + new files, `overwrite` commits new
+    files only. Readers of old snapshots are never invalidated.
+  - **Atomic current pointer.** `CURRENT` is swung by os.replace (POSIX
+    atomic rename) after the manifest is fully written — a crashed
+    writer leaves the table at its previous snapshot, never half-moved
+    (single-writer; catalog CAS in production).
+  - **Time travel / rollback.** `read(snapshot_id=...)` pins any
+    retained snapshot; `rollback(id)` commits a new snapshot whose file
+    list is the old one's (history is append-only — a rollback is
+    itself a snapshot, as in Iceberg).
+  - **Expiry.** `expire(keep_last=n)` drops old manifests and deletes
+    data files no retained snapshot references.
+
+Scale note: the manifest holds relative FILE paths, not row data —
+reading is `spark.read.parquet(*files)`, so plans keep pushdown /
+column pruning / split generation exactly as for any parquet scan, and
+a snapshot of a 10^12-row table is a few KB of JSON. Row counts come
+from parquet footers (a metadata-only count job), never a data scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SnapshotTable:
+    root: str
+
+    # --- layout ----------------------------------------------------------
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifests")
+
+    def _manifest(self, sid: int) -> str:
+        return os.path.join(self._manifest_dir(), f"snap-{sid:08d}.json")
+
+    def _current_file(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def _data_dir(self, sid: int) -> str:
+        return os.path.join(self.root, "data", f"snap-{sid:08d}")
+
+    # --- state -----------------------------------------------------------
+    def current_id(self) -> int | None:
+        try:
+            with open(self._current_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot_ids(self) -> list[int]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self._manifest_dir(), "snap-*.json"))):
+            out.append(int(os.path.basename(p)[len("snap-"):-len(".json")]))
+        return out
+
+    def manifest(self, sid: int | None = None) -> dict:
+        sid = self.current_id() if sid is None else sid
+        if sid is None:
+            raise ValueError(f"snapshot table at {self.root} has no snapshots")
+        try:
+            with open(self._manifest(sid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {sid} not found (expired or never committed)"
+            ) from None
+
+    def history(self) -> list[dict]:
+        return [self.manifest(s) for s in self.snapshot_ids()]
+
+    # --- commits ---------------------------------------------------------
+    def _commit(
+        self,
+        spark: SparkSession,
+        df: DataFrame | None,
+        op: str,
+        inherit_files: list[str],
+        extra: dict | None = None,
+    ) -> int:
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        parent = self.current_id()
+        sid = (parent or 0) + 1
+        new_files: list[str] = []
+        added_rows = 0
+        if df is not None:
+            ddir = self._data_dir(sid)
+            df.write.mode("overwrite").parquet(ddir)
+            new_files = sorted(
+                os.path.relpath(p, self.root)
+                for p in glob.glob(os.path.join(ddir, "*.parquet"))
+            )
+            # footer-stats count: metadata-only, no data scan
+            added_rows = (
+                spark.read.parquet(ddir).count() if new_files else 0
+            )
+        files = inherit_files + new_files
+        man = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": op,
+            "files": files,
+            "added_files": len(new_files),
+            "added_rows": added_rows,
+            "total_files": len(files),
+            "schema": json.loads(df.schema.json()) if df is not None else (
+                self.manifest(parent)["schema"] if parent else None
+            ),
+        }
+        if extra:
+            man.update(extra)
+        tmp = self._manifest(sid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest(sid))
+        ctmp = self._current_file() + ".tmp"
+        with open(ctmp, "w") as f:
+            f.write(str(sid))
+        os.replace(ctmp, self._current_file())
+        return sid
+
+    def append(self, spark: SparkSession, df: DataFrame, **extra) -> int:
+        """Commit a new snapshot = parent's files + df's files."""
+        parent = self.current_id()
+        inherit = self.manifest(parent)["files"] if parent else []
+        return self._commit(spark, df, "append", inherit, extra or None)
+
+    def overwrite(self, spark: SparkSession, df: DataFrame, **extra) -> int:
+        """Commit a new snapshot holding ONLY df's files (old snapshots
+        stay readable until expired)."""
+        return self._commit(spark, df, "overwrite", [], extra or None)
+
+    def rollback(self, spark: SparkSession, sid: int) -> int:
+        """Commit a new snapshot whose content is snapshot `sid`'s.
+        History is append-only: the rollback is itself a snapshot."""
+        old = self.manifest(sid)
+        new = self._commit(
+            spark, None, "rollback", old["files"], {"rolled_back_to": sid}
+        )
+        # content schema follows the rolled-back-to snapshot
+        man = self.manifest(new)
+        man["schema"] = old["schema"]
+        with open(self._manifest(new), "w") as f:
+            json.dump(man, f)
+        return new
+
+    # --- reads -----------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The table at a snapshot (default: current). A plain parquet
+        multi-file scan — pushdown/pruning intact."""
+        man = self.manifest(snapshot_id)
+        if not man["files"]:
+            return spark.createDataFrame([], schema=_schema_of(man))
+        paths = [os.path.join(self.root, p) for p in man["files"]]
+        return spark.read.parquet(*paths)
+
+    # --- maintenance -----------------------------------------------------
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last `keep_last` snapshots; delete data
+        files referenced by NO retained snapshot. Returns expired ids."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        sids = self.snapshot_ids()
+        expired, kept = sids[:-keep_last], sids[-keep_last:]
+        live = set()
+        for s in kept:
+            live.update(self.manifest(s)["files"])
+        for s in expired:
+            dead = [f for f in self.manifest(s)["files"] if f not in live]
+            for f in dead:
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except FileNotFoundError:
+                    pass
+            os.remove(self._manifest(s))
+        # drop now-empty data dirs
+        for d in glob.glob(os.path.join(self.root, "data", "snap-*")):
+            try:
+                if not any(p.endswith(".parquet") for p in os.listdir(d)):
+                    shutil.rmtree(d, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+        return expired
+
+
+def _schema_of(man: dict):
+    from pyspark.sql.types import StructType
+
+    if man.get("schema") is None:
+        raise ValueError("empty snapshot table has no schema to read with")
+    return StructType.fromJson(man["schema"])
