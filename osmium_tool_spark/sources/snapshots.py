@@ -176,6 +176,28 @@ class SnapshotTable:
         paths = [os.path.join(self.root, p) for p in man["files"]]
         return spark.read.parquet(*paths)
 
+    def read_incremental(
+        self, spark: SparkSession, from_id: int, to_id: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED after snapshot `from_id` up to `to_id` (default
+        current) — the Iceberg incremental-scan shape: because data
+        files are immutable and appends inherit, the delta is exactly
+        the files in `to` but not in `from`; only those files are
+        scanned (a 10^12-row table's daily delta reads like a small
+        table). `from_id=0` means everything. Overwrite/rollback
+        commits replace file sets wholesale — the delta then includes
+        any file the old snapshot didn't reference."""
+        to = self.current_id() if to_id is None else to_id
+        if to is None:
+            raise ValueError(f"snapshot table at {self.root} has no snapshots")
+        if from_id > to:
+            raise ValueError(f"from_id {from_id} is after to_id {to}")
+        base = set(self.manifest(from_id)["files"]) if from_id else set()
+        new = [f for f in self.manifest(to)["files"] if f not in base]
+        if not new:
+            return spark.createDataFrame([], schema=_schema_of(self.manifest(to)))
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in new])
+
     # --- maintenance -----------------------------------------------------
     def expire(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last `keep_last` snapshots; delete data

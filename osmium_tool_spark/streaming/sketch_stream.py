@@ -1,0 +1,156 @@
+"""Streaming maintenance of standing sketch tables — the incremental
+half of operators/sketches.py.
+
+A 10^12-row corpus is appended to continuously; re-scanning it to
+refresh a sketch is the one thing a sketch exists to avoid. Because
+every sketch in operators/sketches.py is MERGEABLE (HLL registers
+max-merge, Bloom words OR-merge, count-min cells sum-merge), the
+streaming shape is:
+
+  landing dir --readStream--> micro-batches
+      --foreachBatch-->
+          1. build the batch's DELTA sketch (one scan of the batch)
+          2. merge with the standing state (state is <= m rows — the
+             merge input is two tiny tables, never the corpus)
+          3. commit the merged state as a NEW SNAPSHOT of a
+             sources.snapshots.SnapshotTable, tagged with batch_id
+
+Exactly-once across replays: Structured Streaming's checkpoint replays
+an uncommitted batch after a crash; the maintainer SKIPS any batch_id
+at or below the last committed one (the snapshot manifest carries it),
+so the merge is applied once no matter how often the batch is
+re-delivered. The snapshot chain doubles as sketch TIME TRAVEL: the
+state as of any batch is one `read(snapshot_id=...)` away, and expiry
+keeps the chain bounded.
+
+The state commit is `overwrite` (sketch state is a fixed-size
+register/word/cell table, not an append-only log); old snapshots stay
+readable until expired, so a reader pinned to snapshot k is never
+invalidated by batch k+1.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.snapshots import SnapshotTable
+
+
+class SketchMaintainer:
+    """Maintains one standing sketch table through foreachBatch.
+
+    ``build`` turns a micro-batch DataFrame into its delta sketch
+    state; ``merge`` combines two states (both from
+    operators/sketches.py: hll_registers/hll_merge,
+    bloom_build/bloom_merge, cm_build/cm_merge — any mergeable state
+    works). Wire into a stream with::
+
+        q = (stream.writeStream
+             .foreachBatch(maintainer.process_batch)
+             .option("checkpointLocation", ckpt)
+             .start())
+    """
+
+    def __init__(
+        self,
+        table: SnapshotTable,
+        build: Callable[[DataFrame], DataFrame],
+        merge: Callable[[DataFrame, DataFrame], DataFrame],
+    ):
+        self.table = table
+        self.build = build
+        self.merge = merge
+
+    def last_committed_batch(self) -> int | None:
+        sid = self.table.current_id()
+        while sid:
+            man = self.table.manifest(sid)
+            b = man.get("batch_id")
+            if b is not None:
+                return int(b)
+            sid = man.get("parent_id")
+        return None
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
+        """foreachBatch hook. Returns a small metrics dict (also stamped
+        into the snapshot manifest)."""
+        spark = batch_df.sparkSession
+        last = self.last_committed_batch()
+        if last is not None and batch_id <= last:
+            # checkpoint replay of an already-merged batch: exactly-once
+            return {"batch_id": batch_id, "skipped": True}
+        delta = self.build(batch_df)
+        if self.table.current_id() is None:
+            merged = delta
+        else:
+            merged = self.merge(self.table.read(spark), delta)
+        # materialize BEFORE the overwrite commit: `merged` reads the
+        # table's current files, and a lazy write that scans its own
+        # target would race the state it replaces. The commit writes to
+        # the NEW snapshot's dir (immutable files), so the only ordering
+        # requirement is plan-materialization, which .overwrite's write
+        # action performs against the still-live old snapshot.
+        sid = self.table.overwrite(spark, merged, batch_id=batch_id)
+        man = self.table.manifest(sid)
+        return {
+            "batch_id": batch_id,
+            "snapshot_id": sid,
+            "state_rows": man["added_rows"],
+            "skipped": False,
+        }
+
+
+def hll_maintainer(
+    table: SnapshotTable,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+    hash: str = "xxhash64",
+) -> SketchMaintainer:
+    """Standing HLL register table updated per micro-batch."""
+    from ..operators.sketches import hll_merge, hll_registers
+
+    return SketchMaintainer(
+        table,
+        build=lambda df: hll_registers(df, group_cols, value_col, p, hash),
+        merge=lambda a, b: hll_merge(a, b),
+    )
+
+
+def bloom_maintainer(
+    table: SnapshotTable,
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 1 << 15,
+    hash: str = "xxhash64",
+) -> SketchMaintainer:
+    """Standing Bloom filter updated per micro-batch — the streaming
+    membership pre-filter (probe arrivals against it BEFORE the
+    expensive standing-table anti-join)."""
+    from ..operators.sketches import bloom_build, bloom_merge
+
+    return SketchMaintainer(
+        table,
+        build=lambda df: bloom_build(df, value_col, k, m_bits, hash),
+        merge=lambda a, b: bloom_merge(a, b),
+    )
+
+
+def cm_maintainer(
+    table: SnapshotTable,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    hash: str = "xxhash64",
+    weight_col: str | None = None,
+) -> SketchMaintainer:
+    """Standing count-min table updated per micro-batch."""
+    from ..operators.sketches import cm_build, cm_merge
+
+    return SketchMaintainer(
+        table,
+        build=lambda df: cm_build(df, value_col, d, w, hash, weight_col),
+        merge=lambda a, b: cm_merge(a, b),
+    )

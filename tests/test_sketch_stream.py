@@ -1,0 +1,132 @@
+"""Streaming standing-sketch maintenance (streaming/sketch_stream.py):
+batch-sequence == direct-build equivalence for all three mergeable
+sketches, exactly-once replay skip, snapshot time travel of the state,
+and the end-to-end Structured Streaming drain + resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmium_tool_spark.sources.snapshots import SnapshotTable
+from osmium_tool_spark.streaming.sketch_stream import (
+    SketchMaintainer,
+    bloom_maintainer,
+    cm_maintainer,
+    hll_maintainer,
+)
+
+
+def vals(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("v"))
+
+
+def state_dict(df):
+    return {tuple(r)[:-1]: tuple(r)[-1] for r in df.collect()}
+
+
+class TestMaintainers:
+    def test_hll_batches_equal_direct_build(self, spark, tmp_path):
+        from osmium_tool_spark.operators.sketches import hll_registers
+
+        m = hll_maintainer(
+            SnapshotTable(str(tmp_path / "t")), [], "v", p=8, hash="portable"
+        )
+        m.process_batch(vals(spark, 0, 400), 0)
+        m.process_batch(vals(spark, 300, 800), 1)
+        got = state_dict(m.table.read(spark))
+        want = state_dict(hll_registers(vals(spark, 0, 800), [], "v", 8, "portable"))
+        assert got == want
+
+    def test_bloom_batches_equal_direct_build(self, spark, tmp_path):
+        from osmium_tool_spark.operators.sketches import bloom_build
+
+        m = bloom_maintainer(
+            SnapshotTable(str(tmp_path / "t")), "v", k=3, m_bits=2048, hash="portable"
+        )
+        m.process_batch(vals(spark, 0, 300), 0)
+        m.process_batch(vals(spark, 200, 500), 1)
+        got = state_dict(m.table.read(spark))
+        want = state_dict(bloom_build(vals(spark, 0, 500), "v", 3, 2048, "portable"))
+        assert got == want
+
+    def test_cm_batches_equal_direct_build(self, spark, tmp_path):
+        from osmium_tool_spark.operators.sketches import cm_build
+
+        m = cm_maintainer(
+            SnapshotTable(str(tmp_path / "t")), "v", d=3, w=64, hash="portable"
+        )
+        m.process_batch(vals(spark, 0, 300), 0)
+        m.process_batch(vals(spark, 0, 300), 1)  # same values count twice
+        got = {(r.j, r.bucket): r.cnt for r in m.table.read(spark).collect()}
+        want = {
+            (r.j, r.bucket): 2 * r.cnt
+            for r in cm_build(vals(spark, 0, 300), "v", 3, 64, "portable").collect()
+        }
+        assert got == want
+
+    def test_exactly_once_replay_skipped(self, spark, tmp_path):
+        m = bloom_maintainer(
+            SnapshotTable(str(tmp_path / "t")), "v", k=3, m_bits=2048, hash="portable"
+        )
+        m.process_batch(vals(spark, 0, 100), 0)
+        m.process_batch(vals(spark, 100, 200), 1)
+        before = state_dict(m.table.read(spark))
+        r = m.process_batch(vals(spark, 100, 200), 1)  # checkpoint replay
+        assert r["skipped"] is True
+        r0 = m.process_batch(vals(spark, 0, 100), 0)  # stale replay
+        assert r0["skipped"] is True
+        assert state_dict(m.table.read(spark)) == before
+        assert m.last_committed_batch() == 1
+
+    def test_state_time_travel(self, spark, tmp_path):
+        from osmium_tool_spark.operators.sketches import bloom_build
+
+        m = bloom_maintainer(
+            SnapshotTable(str(tmp_path / "t")), "v", k=3, m_bits=2048, hash="portable"
+        )
+        m.process_batch(vals(spark, 0, 100), 0)
+        m.process_batch(vals(spark, 100, 200), 1)
+        as_of_b0 = state_dict(m.table.read(spark, snapshot_id=1))
+        want = state_dict(bloom_build(vals(spark, 0, 100), "v", 3, 2048, "portable"))
+        assert as_of_b0 == want
+        assert m.table.manifest(1)["batch_id"] == 0
+        assert m.table.manifest(2)["batch_id"] == 1
+
+
+class TestStream:
+    def test_stream_drain_and_resume(self, spark, tmp_path):
+        from osmium_tool_spark.operators.sketches import bloom_build
+
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        vals(spark, 0, 300).coalesce(1).write.mode("append").parquet(landing)
+        vals(spark, 300, 600).coalesce(1).write.mode("append").parquet(landing)
+        m = bloom_maintainer(
+            SnapshotTable(str(tmp_path / "t")), "v", k=3, m_bits=4096, hash="portable"
+        )
+
+        def run():
+            stream = (
+                spark.readStream.schema("v long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            q = (
+                stream.writeStream.foreachBatch(m.process_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got = state_dict(m.table.read(spark))
+        want = state_dict(bloom_build(vals(spark, 0, 600), "v", 3, 4096, "portable"))
+        assert got == want
+
+        # restart with new data: checkpoint skips old files, the state
+        # advances by exactly the new batch
+        vals(spark, 600, 900).coalesce(1).write.mode("append").parquet(landing)
+        run()
+        got2 = state_dict(m.table.read(spark))
+        want2 = state_dict(bloom_build(vals(spark, 0, 900), "v", 3, 4096, "portable"))
+        assert got2 == want2

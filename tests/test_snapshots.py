@@ -168,3 +168,24 @@ class TestPipelineMetricsTable:
         pipe.run(spark)
         lines = open(os.path.join(pipe.root, "lineage.jsonl")).read().splitlines()
         assert len(lines) == 1 and json.loads(lines[0])["rows_out"] == 7
+
+
+class TestIncrementalRead:
+    def test_delta_between_appends(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.append(spark, _df(spark, 0, 10))
+        t.append(spark, _df(spark, 10, 25))
+        t.append(spark, _df(spark, 25, 30))
+        delta = t.read_incremental(spark, from_id=1, to_id=3)
+        assert {r.doc_id for r in delta.collect()} == set(range(10, 30))
+        assert t.read_incremental(spark, 2).count() == 5  # to current
+        assert t.read_incremental(spark, 0, 1).count() == 10
+        assert t.read_incremental(spark, 3, 3).count() == 0
+
+    def test_delta_errors(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        with pytest.raises(ValueError):
+            t.read_incremental(spark, 0)
+        t.append(spark, _df(spark, 0, 3))
+        with pytest.raises(ValueError):
+            t.read_incremental(spark, 2, 1)
