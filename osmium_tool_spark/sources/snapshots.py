@@ -47,7 +47,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass
 class SnapshotTable:
+    """`stats_cols` opts into per-file min/max column stats in the
+    manifest (the Iceberg manifest-stats model): each commit records,
+    for every data file it adds, the min and max of those columns —
+    one extra metadata-scale agg job per commit. `read(where=...)`
+    then prunes whole FILES from the scan when their [min, max] range
+    cannot match, before Spark even opens a footer — the
+    manifest-level half of predicate pushdown (row-group pruning
+    inside surviving files still applies on top)."""
+
     root: str
+    stats_cols: list[str] | None = None
 
     # --- layout ----------------------------------------------------------
     def _manifest_dir(self) -> str:
@@ -116,7 +126,35 @@ class SnapshotTable:
             added_rows = (
                 spark.read.parquet(ddir).count() if new_files else 0
             )
+        file_stats: dict = {}
+        if df is not None and new_files and self.stats_cols:
+            from pyspark.sql import functions as F
+
+            cols = [c for c in self.stats_cols if c in df.columns]
+            if cols:
+                aggs = []
+                for c in cols:
+                    aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+                rows = (
+                    spark.read.parquet(self._data_dir(sid))
+                    .groupBy(F.input_file_name().alias("_f"))
+                    .agg(*aggs)
+                    .collect()
+                )
+                for r in rows:
+                    rel = os.path.relpath(
+                        r["_f"].removeprefix("file://"), self.root
+                    )
+                    file_stats[rel] = {
+                        c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols
+                    }
         files = inherit_files + new_files
+        inherited_stats = (
+            self.manifest(parent).get("file_stats", {}) if parent else {}
+        )
+        file_stats = {**{
+            f: s for f, s in inherited_stats.items() if f in set(files)
+        }, **file_stats}
         man = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -128,6 +166,7 @@ class SnapshotTable:
             "schema": json.loads(df.schema.json()) if df is not None else (
                 self.manifest(parent)["schema"] if parent else None
             ),
+            "file_stats": file_stats,
         }
         if extra:
             man.update(extra)
@@ -167,14 +206,72 @@ class SnapshotTable:
         return new
 
     # --- reads -----------------------------------------------------------
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
         """The table at a snapshot (default: current). A plain parquet
-        multi-file scan — pushdown/pruning intact."""
+        multi-file scan — pushdown/pruning intact. `where` maps a
+        stats column to an inclusive (lo, hi) range (either bound may
+        be None): files whose recorded [min, max] cannot overlap are
+        dropped from the scan at manifest level, and the residual
+        row-level filter is applied to the surviving files — the
+        result is exact, the pruning is just fewer files opened. A
+        file with no recorded stats for the column is never pruned."""
         man = self.manifest(snapshot_id)
-        if not man["files"]:
+        files = self.scan_files(snapshot_id, where)
+        if not files:
             return spark.createDataFrame([], schema=_schema_of(man))
-        paths = [os.path.join(self.root, p) for p in man["files"]]
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*[os.path.join(self.root, p) for p in files])
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(col) <= hi)
+        return df
+
+    def scan_files(
+        self, snapshot_id: int | None = None, where: dict | None = None
+    ) -> list[str]:
+        """The file list `read` would scan (pruning diagnostics)."""
+        man = self.manifest(snapshot_id)
+        if not where:
+            return list(man["files"])
+        stats = man.get("file_stats", {})
+        out = []
+        for f in man["files"]:
+            s = stats.get(f, {})
+            drop = False
+            for col, (lo, hi) in where.items():
+                if col not in s or s[col][0] is None:
+                    continue
+                mn, mx = s[col]
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    drop = True
+                    break
+            if not drop:
+                out.append(f)
+        return out
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the current snapshot's content into `target_files`
+        files (Iceberg rewrite_data_files): an overwrite commit of the
+        coalesced data — readers of old snapshots are untouched, and
+        expiry later reclaims the small files. NOTE for incremental
+        readers: the file-diff after a compaction is the whole table
+        (every file is new); resume incremental chains from the
+        compaction snapshot."""
+        if target_files < 1:
+            raise ValueError(f"target_files must be >= 1, got {target_files}")
+        cur = self.read(spark)
+        return self.overwrite(
+            spark, cur.coalesce(target_files), compacted_from=self.current_id()
+        )
 
     def read_incremental(
         self, spark: SparkSession, from_id: int, to_id: int | None = None

@@ -189,3 +189,52 @@ class TestIncrementalRead:
         t.append(spark, _df(spark, 0, 3))
         with pytest.raises(ValueError):
             t.read_incremental(spark, 2, 1)
+
+
+class TestStatsPruningAndCompact:
+    def test_manifest_stats_prune_files(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"), stats_cols=["doc_id"])
+        t.append(spark, _df(spark, 0, 10).coalesce(1))
+        t.append(spark, _df(spark, 10, 20).coalesce(1))
+        t.append(spark, _df(spark, 20, 30).coalesce(1))
+        man = t.manifest()
+        assert len(man["files"]) == 3
+        assert all(f in man["file_stats"] for f in man["files"])
+        # range inside the middle file: one file scanned
+        assert len(t.scan_files(where={"doc_id": (12, 18)})) == 1
+        # boundary-inclusive ranges keep both touching files
+        assert len(t.scan_files(where={"doc_id": (9, 10)})) == 2
+        # open-ended bounds
+        assert len(t.scan_files(where={"doc_id": (None, 5)})) == 1
+        assert len(t.scan_files(where={"doc_id": (25, None)})) == 1
+        # result is EXACT (residual filter on surviving files)
+        got = sorted(r.doc_id for r in t.read(spark, where={"doc_id": (12, 18)}).collect())
+        assert got == list(range(12, 19))
+        # no-match range reads empty with the right schema
+        empty = t.read(spark, where={"doc_id": (100, 200)})
+        assert empty.count() == 0 and empty.columns == ["doc_id", "text"]
+
+    def test_unstatsed_files_never_pruned(self, spark, tmp_path):
+        plain = SnapshotTable(str(tmp_path / "t"))  # no stats recorded
+        plain.append(spark, _df(spark, 0, 10).coalesce(1))
+        statted = SnapshotTable(plain.root, stats_cols=["doc_id"])
+        statted.append(spark, _df(spark, 10, 20).coalesce(1))
+        # file from the stats-less commit survives any range
+        assert len(statted.scan_files(where={"doc_id": (1000, 2000)})) == 1
+        assert statted.read(spark, where={"doc_id": (0, 5)}).count() == 6
+
+    def test_compact(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"), stats_cols=["doc_id"])
+        for lo in range(0, 40, 10):
+            t.append(spark, _df(spark, lo, lo + 10).coalesce(1))
+        assert len(t.manifest()["files"]) == 4
+        sid = t.compact(spark, target_files=1)
+        man = t.manifest(sid)
+        assert len(man["files"]) == 1
+        assert man["compacted_from"] == 4
+        assert t.read(spark).count() == 40
+        # pre-compaction snapshot still readable; stats refreshed
+        assert t.read(spark, 4).count() == 40
+        assert man["file_stats"][man["files"][0]]["doc_id"] == [0, 39]
+        with pytest.raises(ValueError):
+            t.compact(spark, target_files=0)
