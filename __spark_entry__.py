@@ -2545,6 +2545,21 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-shape training batches over the deterministic epoch
+    shuffle (operators/curation.py training_batches): documents cut
+    into 8-row batches within each of 4 shards; ragged tails dropped
+    so every batch is exactly collective-step-shaped. Pure Column math
+    over epoch_shuffle's output plus one broadcast HAVING join — the
+    oracle replays the whole chain bit-identically."""
+    from osmium_tool_spark.operators.curation import training_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return training_batches(
+        docs, "doc_id", epoch=2, num_shards=4, batch_size=8
+    ).select("doc_id", "shard", "pos", "batch", "pos_in_batch")
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-table round trip (sources/snapshots.py SnapshotTable —
     the Iceberg-model layer: immutable data files, manifest chain,
@@ -2861,6 +2876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # fixed-shape training batches (r4l — the epoch-shuffle family
+        # is in-window via epoch_shuffle; oracled here, full-chain twin)
+        "training_batches": q_training_batches,
         # snapshot-table time travel (r4l — the storage layer behind
         # checkpoint metrics persistence; oracled here, full
         # commit/rollback/expiry semantics pinned in
@@ -5286,6 +5304,14 @@ FROM bfprobe LEFT JOIN bfact USING (value)
 
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
+    )
+
+    # Fixed-shape training batches: the full epoch_shuffle chain + the
+    # batch cut + the HAVING join, replayed bit-identically.
+    from osmium_tool_spark.operators.curation import training_batches_sql
+
+    o["training_batches"] = training_batches_sql(
+        "SELECT doc_id FROM documents", "doc_id", 2, 4, 8, ["doc_id"]
     )
 
     # Snapshot-table time travel: the relational statement of snapshot

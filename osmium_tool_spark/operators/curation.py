@@ -471,3 +471,69 @@ es2 AS (SELECT {collist},
         FROM es1)
 SELECT {collist}, shard, pos FROM es2
 """
+
+
+def training_batches(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int,
+    batch_size: int,
+    drop_ragged: bool = True,
+    hash: str = "portable",
+) -> DataFrame:
+    """The last mile of `epoch_shuffle`: cut each shard's permuted
+    order into fixed-size training batches. batch = pos DIV batch_size
+    (pure Column math over the shuffle output — no extra shuffle or
+    window beyond epoch_shuffle's own), pos_in_batch = pos MOD
+    batch_size. With ``drop_ragged`` (the training default) each
+    shard's trailing partial batch is dropped, so every emitted batch
+    has exactly `batch_size` rows — the fixed-shape contract
+    collective-communication training steps need. Batch ids are
+    (shard, batch) pairs — globally unique and stable across reruns,
+    like everything downstream of the deterministic shuffle.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    out = epoch_shuffle(df, id_col, epoch, num_shards, hash=hash)
+    out = out.withColumn(
+        "batch", F.expr(f"pos DIV {batch_size}").cast("long")
+    ).withColumn("pos_in_batch", (F.col("pos") % batch_size).cast("long"))
+    if drop_ragged:
+        counts = out.groupBy("shard", "batch").agg(F.count("*").alias("_n"))
+        out = (
+            out.join(
+                F.broadcast(counts.filter(F.col("_n") == batch_size)),
+                ["shard", "batch"],
+            )
+            .drop("_n")
+        )
+    return out
+
+
+def training_batches_sql(
+    source_sql: str,
+    id_expr: str,
+    epoch: int,
+    num_shards: int,
+    batch_size: int,
+    cols: list[str],
+    drop_ragged: bool = True,
+) -> str:
+    """DuckDB twin of training_batches(hash='portable')."""
+    inner = epoch_shuffle_sql(source_sql, id_expr, epoch, num_shards, cols)
+    collist = ", ".join(cols)
+    body = f"""\
+WITH tb0 AS ({inner}),
+tb1 AS (SELECT {collist}, shard, pos,
+               CAST(pos // {batch_size} AS BIGINT) AS batch,
+               CAST(pos % {batch_size} AS BIGINT) AS pos_in_batch
+        FROM tb0)"""
+    if not drop_ragged:
+        return body + f"\nSELECT {collist}, shard, pos, batch, pos_in_batch FROM tb1\n"
+    return body + f""",
+tbn AS (SELECT shard, batch FROM tb1 GROUP BY 1, 2
+        HAVING COUNT(*) = {batch_size})
+SELECT {collist}, t.shard, t.pos, t.batch, t.pos_in_batch
+FROM tb1 t JOIN tbn USING (shard, batch)
+"""

@@ -440,3 +440,64 @@ class TestEpochShuffle:
             epoch_shuffle(df, "doc_id", -1, 4)
         with pytest.raises(ValueError):
             epoch_shuffle(df, "doc_id", 0, 4, hash="md5")
+
+
+class TestTrainingBatches:
+    def test_fixed_shape_batches(self, spark):
+        from osmium_tool_spark.operators.curation import training_batches
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        from osmium_tool_spark.operators.curation import epoch_shuffle
+
+        out = training_batches(df, "doc_id", epoch=0, num_shards=4, batch_size=16).collect()
+        sizes = {}
+        for r in out:
+            sizes.setdefault((r.shard, r.batch), []).append(r.pos_in_batch)
+        assert all(sorted(v) == list(range(16)) for v in sizes.values())
+        # ragged tails dropped: kept = sum over shards of 16*floor(n_s/16)
+        full = epoch_shuffle(df, "doc_id", 0, 4).collect()
+        per_shard = {}
+        for r in full:
+            per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
+        want = sum(16 * (n // 16) for n in per_shard.values())
+        assert len(out) == want
+        assert len(out) < 500
+
+    def test_keep_ragged(self, spark):
+        from osmium_tool_spark.operators.curation import training_batches
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        out = training_batches(
+            df, "doc_id", 0, 4, 16, drop_ragged=False
+        ).collect()
+        assert len(out) == 100
+
+    def test_sql_twin(self, spark):
+        import duckdb
+
+        from osmium_tool_spark.operators.curation import (
+            training_batches,
+            training_batches_sql,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        got = sorted(
+            map(tuple, training_batches(df, "doc_id", 5, 4, 8).select(
+                "doc_id", "shard", "pos", "batch", "pos_in_batch").collect())
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(300)])
+        duck = sorted(con.execute(training_batches_sql(
+            "SELECT doc_id FROM t", "doc_id", 5, 4, 8, ["doc_id"]
+        )).fetchall())
+        assert duck == got
+
+    def test_validation(self, spark):
+        from osmium_tool_spark.operators.curation import training_batches
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            training_batches(df, "doc_id", 0, 4, 0)
+
