@@ -2545,6 +2545,34 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the bucketed (IVF-style) ANN against the exact
+    brute-force ground truth (operators/similarity.py topk_recall) —
+    the tuning gauge for every approximate index. Both inputs are the
+    engine's own oracled top-k operators; the recall math is one
+    (query, neighbor) equi-join + two hash-aggs over index-output-
+    sized tables (the corpus is never touched, whatever its size).
+    The DuckDB twin restates both rankers AND the recall division
+    bit-identically."""
+    from osmium_tool_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_bucketed,
+        topk_recall,
+    )
+    from osmium_tool_spark.sources.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = ann_topk(emb, queries, k=5)
+    approx = ann_topk_bucketed(emb, queries, k=5)
+    return topk_recall(approx, exact).select(
+        _L("query_id").alias("query_id"),
+        _L("n_truth").alias("n_truth"),
+        _L("n_hit").alias("n_hit"),
+        F.col("recall").cast("double").alias("recall"),
+    )
+
+
 def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-shape training batches over the deterministic epoch
     shuffle (operators/curation.py training_batches): documents cut
@@ -2876,6 +2904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # ANN recall gauge (r4l — the ANN family is in-window via
+        # ann_topk; oracled here, both rankers + the recall division
+        # restated bit-identically)
+        "ann_recall": q_ann_recall,
         # fixed-shape training batches (r4l — the epoch-shuffle family
         # is in-window via epoch_shuffle; oracled here, full-chain twin)
         "training_batches": q_training_batches,
@@ -5305,6 +5337,35 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # ANN recall gauge: both rankers restated (the exact and bucketed
+    # oracle CTEs) + the hit join and the one recall division.
+    o["ann_recall"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+ex AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_cos_sql('qv', 'cv')} DESC, neighbor_id ASC) AS rank
+  FROM q JOIN c ON query_id <> neighbor_id),
+truth AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= 5),
+bk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_cos_sql('qv', 'cv')} DESC, neighbor_id ASC) AS rank
+  FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id),
+approx AS (SELECT query_id, neighbor_id FROM bk WHERE rank <= 5),
+hits AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM approx a JOIN truth t
+           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         GROUP BY 1),
+base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+         FROM truth GROUP BY 1)
+SELECT CAST(base.query_id AS BIGINT) AS query_id, n_truth,
+       COALESCE(n_hit, 0) AS n_hit,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""
 
     # Fixed-shape training batches: the full epoch_shuffle chain + the
     # batch cut + the HAVING join, replayed bit-identically.

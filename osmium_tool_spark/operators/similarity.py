@@ -1229,3 +1229,46 @@ def knn_geodesic(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist_m", "rank")
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    truth: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    quality gauge every approximate index (bucketed/LSH/IVF/PQ) is
+    tuned by. Inputs are two top-k tables in the engine's standard
+    shape (query_id, neighbor_id, rank, ...); `k` optionally re-cuts
+    both sides. Returns per-query (query_id, n_truth, n_hit, recall)
+    with recall = n_hit / n_truth (ONE division of small exact
+    integers — bit-stable across engines).
+
+    Scale shape: both inputs are |queries| x k rows — index-output
+    scale, not corpus scale; one equi-join on (query_id, neighbor_id)
+    + two hash-aggs. The corpus is never touched: measuring recall
+    costs the same whether the index covers 10^6 or 10^12 vectors
+    (the truth side is the expensive part and is typically sampled —
+    pass a query SAMPLE's exact top-k)."""
+    a = approx.select("query_id", "neighbor_id", "rank")
+    t = truth.select("query_id", "neighbor_id", "rank")
+    if k is not None:
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        a = a.filter(F.col("rank") <= k)
+        t = t.filter(F.col("rank") <= k)
+    hits = (
+        a.join(t.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = t.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).cast("double")
+            / F.col("n_truth").cast("double")
+        ).alias("recall"),
+    )

@@ -292,3 +292,53 @@ def test_ann_topk_empty_query_set(spark):
     out = ann_topk(corpus, corpus.filter("vec_id < 0"), k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+class TestTopkRecall:
+    def _vecs(self, spark, n=80, dim=8):
+        return spark.createDataFrame(
+            [
+                (i, i % 4, [float((i * 31 + j * 17) % 13 - 6) for j in range(dim)])
+                for i in range(n)
+            ],
+            "vec_id long, label int, embedding array<float>",
+        )
+
+    def test_recall_one_for_self(self, spark):
+        from osmium_tool_spark.operators.similarity import ann_topk, topk_recall
+
+        emb = self._vecs(spark)
+        qs = emb.filter(F.col("vec_id") % 10 == 0)
+        exact = ann_topk(emb, qs, k=5)
+        r = topk_recall(exact, exact).collect()
+        assert len(r) == 8
+        assert all(row.recall == 1.0 and row.n_hit == row.n_truth == 5 for row in r)
+
+    def test_bucketed_recall_bounds_and_determinism(self, spark):
+        from osmium_tool_spark.operators.similarity import (
+            ann_topk,
+            ann_topk_bucketed,
+            topk_recall,
+        )
+
+        emb = self._vecs(spark)
+        qs = emb.filter(F.col("vec_id") % 10 == 0)
+        exact = ann_topk(emb, qs, k=5)
+        approx = ann_topk_bucketed(emb, qs, k=5)
+        r1 = sorted(map(tuple, topk_recall(approx, exact).collect()))
+        r2 = sorted(map(tuple, topk_recall(approx, exact).collect()))
+        assert r1 == r2
+        assert all(0.0 <= row[3] <= 1.0 for row in r1)
+        # bucketed scans 1/4 of the corpus: recall must be < 1 somewhere
+        assert any(row[3] < 1.0 for row in r1)
+
+    def test_k_recut_and_validation(self, spark):
+        from osmium_tool_spark.operators.similarity import ann_topk, topk_recall
+
+        emb = self._vecs(spark)
+        qs = emb.filter(F.col("vec_id") % 10 == 0)
+        exact = ann_topk(emb, qs, k=5)
+        r = topk_recall(exact, exact, k=3).collect()
+        assert all(row.n_truth == 3 for row in r)
+        with pytest.raises(ValueError):
+            topk_recall(exact, exact, k=0)
