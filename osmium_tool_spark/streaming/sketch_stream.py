@@ -154,3 +154,36 @@ def cm_maintainer(
         build=lambda df: cm_build(df, value_col, d, w, hash, weight_col),
         merge=lambda a, b: cm_merge(a, b),
     )
+
+
+def tile_maintainer(
+    table: SnapshotTable,
+    res: int,
+    min_res: int = 0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> SketchMaintainer:
+    """Standing tile PYRAMID updated per micro-batch — incremental
+    geospatial rollup. Not a sketch but the same mergeable-state
+    contract: per-(res, cell) counts are sum-combinable, so each
+    micro-batch contributes its own pyramid (operators/tiles.py
+    tile_pyramid over batch-sized input) and the merge is
+    union + one hash-agg over two AGGREGATE-sized tables. The corpus
+    is scanned exactly once ever — the r4 gate's tile_rollup over
+    10^12 rows becomes an O(delta) nightly increment, with the
+    snapshot chain giving "map as of batch k" time travel."""
+    from ..operators.tiles import tile_pyramid
+    from pyspark.sql import functions as F
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("res", "cell")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    return SketchMaintainer(
+        table,
+        build=lambda df: tile_pyramid(df, res, min_res, lon=lon, lat=lat),
+        merge=merge,
+    )

@@ -130,3 +130,34 @@ class TestStream:
         got2 = state_dict(m.table.read(spark))
         want2 = state_dict(bloom_build(vals(spark, 0, 900), "v", 3, 4096, "portable"))
         assert got2 == want2
+
+
+class TestTileMaintainer:
+    def test_incremental_pyramid_equals_direct(self, spark, tmp_path):
+        from osmium_tool_spark.operators.tiles import tile_pyramid
+        from osmium_tool_spark.streaming.sketch_stream import tile_maintainer
+
+        S = 10_000_000
+
+        def pts(lo, hi):
+            return spark.range(lo, hi).select(
+                (((F.col("id") * 37) % 300) * S - 150 * S).alias("lon"),
+                (((F.col("id") * 53) % 150) * S - 75 * S).alias("lat"),
+            )
+
+        m = tile_maintainer(
+            SnapshotTable(str(tmp_path / "t")), res=6, min_res=2
+        )
+        m.process_batch(pts(0, 400), 0)
+        m.process_batch(pts(400, 900), 1)
+        got = {(r.res, r.cell): r.n for r in m.table.read(spark).collect()}
+        want = {
+            (r.res, r.cell): r.n
+            for r in tile_pyramid(pts(0, 900), 6, 2).collect()
+        }
+        assert got == want
+        # replay skip keeps the state fixed
+        assert m.process_batch(pts(400, 900), 1)["skipped"] is True
+        assert {
+            (r.res, r.cell): r.n for r in m.table.read(spark).collect()
+        } == want
