@@ -938,3 +938,62 @@ bfprobe AS (SELECT value,
     if ctes_only:
         return body
     return "WITH " + body + "\nSELECT value, maybe_present FROM bfprobe\n"
+
+
+def bloom_semijoin(
+    corpus: DataFrame,
+    keys: DataFrame,
+    corpus_key: str,
+    keys_key: str | None = None,
+    k: int = 4,
+    m_bits: int = 1 << 20,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """EXACT left-semi join accelerated by a Bloom pre-filter — the
+    10^12-row join shape the sketch exists for. The keys side builds an
+    m_bits filter (state <= m/32 rows, broadcast); the corpus is
+    pre-filtered by k broadcast word-lookups (pure map-side work, the
+    corpus never shuffles for the probe), and only maybe-members reach
+    the exact semi-join. False positives are REMOVED by that final
+    semi-join, so the result equals `corpus.join(keys, key, "left_semi")`
+    row-for-row; the win is the shuffle: at fpr f and selectivity s the
+    exact join's input shrinks from |corpus| to ~(s + f)|corpus|.
+
+    Size m_bits for the keys-side cardinality (`bloom_fpr`); when the
+    keys side is small enough to broadcast outright, Spark's own
+    broadcast semi-join already wins — this shape pays off when BOTH
+    sides are shuffle-scale."""
+    keys_key = corpus_key if keys_key is None else keys_key
+    _check_km(k, m_bits)
+    state = bloom_build(keys, keys_key, k=k, m_bits=m_bits, hash=hash)
+    out = corpus
+    v = F.col(corpus_key)
+    conds = []
+    for j in range(k):
+        pos = _bf_pos(v, j, m_bits, hash)
+        st = state.select(
+            F.col("word").alias(f"_bfw{j}"), F.col("bits").alias(f"_bfb{j}")
+        )
+        out = out.withColumn(f"_bfp{j}", pos).join(
+            F.broadcast(st),
+            F.shiftright(F.col(f"_bfp{j}"), 5).cast("int") == F.col(f"_bfw{j}"),
+            "left",
+        )
+        hit = F.expr(
+            f"CAST(shiftright(COALESCE(_bfb{j}, CAST(0 AS BIGINT)),"
+            f" CAST(_bfp{j} % 32 AS INT)) % 2 AS INT)"
+        )
+        conds.append(hit == 1)
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred & c
+    out = out.filter(pred).drop(
+        *[f"_bfp{j}" for j in range(k)],
+        *[f"_bfw{j}" for j in range(k)],
+        *[f"_bfb{j}" for j in range(k)],
+    )
+    return out.join(
+        keys.select(F.col(keys_key).alias(corpus_key)).distinct(),
+        corpus_key,
+        "left_semi",
+    )

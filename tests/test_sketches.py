@@ -628,3 +628,37 @@ def test_bloom_validation(spark):
         bloom_merge()
     with pytest.raises(ValueError):
         bloom_fpr(4, 1 << 40, 10)
+
+
+def test_bloom_semijoin_exact_and_broadcast(spark):
+    from osmium_tool_spark.operators.sketches import bloom_semijoin
+
+    corpus = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(2000)], "id long, payload string"
+    )
+    keys = spark.createDataFrame([(i * 7,) for i in range(150)], "kid long")
+    got = sorted(
+        r.id for r in bloom_semijoin(corpus, keys, "id", "kid", k=4, m_bits=4096).collect()
+    )
+    want = sorted(
+        r.id
+        for r in corpus.join(
+            keys.select(F.col("kid").alias("id")), "id", "left_semi"
+        ).collect()
+    )
+    assert got == want  # false positives removed; no member lost
+    plan = (
+        bloom_semijoin(corpus, keys, "id", "kid", k=4, m_bits=4096)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4  # k word-lookup probes
+
+
+def test_bloom_semijoin_portable_family(spark):
+    from osmium_tool_spark.operators.sketches import bloom_semijoin
+
+    corpus = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    keys = spark.createDataFrame([(i * 3,) for i in range(50)], "id long")
+    got = {r.id for r in bloom_semijoin(corpus, keys, "id", k=3, m_bits=1024,
+                                        hash="portable").collect()}
+    assert got == {i * 3 for i in range(50) if i * 3 < 500}
