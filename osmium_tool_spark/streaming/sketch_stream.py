@@ -187,3 +187,24 @@ def tile_maintainer(
         build=lambda df: tile_pyramid(df, res, min_res, lon=lon, lat=lat),
         merge=merge,
     )
+
+
+def hist_maintainer(
+    table: SnapshotTable,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> SketchMaintainer:
+    """Standing fixed-grid histogram updated per micro-batch — grouped
+    percentiles over the full corpus readable at any time from <= bins
+    rows per group (operators/sketches.py hist_quantiles over the
+    standing state), with the corpus scanned once ever."""
+    from ..operators.sketches import hist_bins, hist_merge
+
+    return SketchMaintainer(
+        table,
+        build=lambda df: hist_bins(df, group_cols, value_col, lo, hi, bins),
+        merge=lambda a, b: hist_merge(a, b),
+    )

@@ -161,3 +161,35 @@ class TestTileMaintainer:
         assert {
             (r.res, r.cell): r.n for r in m.table.read(spark).collect()
         } == want
+
+
+class TestHistMaintainer:
+    def test_incremental_equals_direct_and_quantiles_read(self, spark, tmp_path):
+        from osmium_tool_spark.operators.sketches import hist_bins, hist_quantiles
+        from osmium_tool_spark.streaming.sketch_stream import hist_maintainer
+
+        def xs(lo, hi):
+            return spark.range(lo, hi).select(
+                (F.col("id") % 2).cast("int").alias("g"),
+                ((F.col("id") * 37) % 1000).cast("double").alias("x"),
+            )
+
+        m = hist_maintainer(
+            SnapshotTable(str(tmp_path / "t")), ["g"], "x", 0.0, 1000.0, 128
+        )
+        m.process_batch(xs(0, 500), 0)
+        m.process_batch(xs(500, 1200), 1)
+        got = {(r.g, r.bin): r.cnt for r in m.table.read(spark).collect()}
+        want = {
+            (r.g, r.bin): r.cnt
+            for r in hist_bins(xs(0, 1200), ["g"], "x", 0.0, 1000.0, 128).collect()
+        }
+        assert got == want
+        # quantiles read straight off the standing state, bit-equal to
+        # the direct build's
+        qa = sorted(map(tuple, hist_quantiles(
+            m.table.read(spark), ["g"], 0.0, 1000.0, 128, [0.5, 0.9]).collect()))
+        qb = sorted(map(tuple, hist_quantiles(
+            hist_bins(xs(0, 1200), ["g"], "x", 0.0, 1000.0, 128),
+            ["g"], 0.0, 1000.0, 128, [0.5, 0.9]).collect()))
+        assert qa == qb
