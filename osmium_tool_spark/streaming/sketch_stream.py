@@ -51,17 +51,29 @@ class SketchMaintainer:
              .foreachBatch(maintainer.process_batch)
              .option("checkpointLocation", ckpt)
              .start())
+
+    ``mode`` selects the commit shape: ``"overwrite"`` (default) for
+    fixed-size mergeable state — the merged state replaces the current
+    snapshot's; ``"append"`` for GROWING state (an index whose rows are
+    per-corpus-row, e.g. IVF codes): the batch's delta is appended and
+    ``merge`` is unused — the snapshot chain IS the merge.
     """
 
     def __init__(
         self,
         table: SnapshotTable,
         build: Callable[[DataFrame], DataFrame],
-        merge: Callable[[DataFrame, DataFrame], DataFrame],
+        merge: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+        mode: str = "overwrite",
     ):
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+        if mode == "overwrite" and merge is None:
+            raise ValueError("overwrite mode needs a merge function")
         self.table = table
         self.build = build
         self.merge = merge
+        self.mode = mode
 
     def last_committed_batch(self) -> int | None:
         sid = self.table.current_id()
@@ -82,17 +94,23 @@ class SketchMaintainer:
             # checkpoint replay of an already-merged batch: exactly-once
             return {"batch_id": batch_id, "skipped": True}
         delta = self.build(batch_df)
-        if self.table.current_id() is None:
-            merged = delta
+        if self.mode == "append":
+            # growing state: the delta only reads the BATCH, never the
+            # table — a plain append commit
+            sid = self.table.append(spark, delta, batch_id=batch_id)
         else:
-            merged = self.merge(self.table.read(spark), delta)
-        # materialize BEFORE the overwrite commit: `merged` reads the
-        # table's current files, and a lazy write that scans its own
-        # target would race the state it replaces. The commit writes to
-        # the NEW snapshot's dir (immutable files), so the only ordering
-        # requirement is plan-materialization, which .overwrite's write
-        # action performs against the still-live old snapshot.
-        sid = self.table.overwrite(spark, merged, batch_id=batch_id)
+            if self.table.current_id() is None:
+                merged = delta
+            else:
+                merged = self.merge(self.table.read(spark), delta)
+            # materialize BEFORE the overwrite commit: `merged` reads the
+            # table's current files, and a lazy write that scans its own
+            # target would race the state it replaces. The commit writes
+            # to the NEW snapshot's dir (immutable files), so the only
+            # ordering requirement is plan-materialization, which
+            # .overwrite's write action performs against the still-live
+            # old snapshot.
+            sid = self.table.overwrite(spark, merged, batch_id=batch_id)
         man = self.table.manifest(sid)
         return {
             "batch_id": batch_id,
@@ -208,3 +226,30 @@ def hist_maintainer(
         build=lambda df: hist_bins(df, group_cols, value_col, lo, hi, bins),
         merge=lambda a, b: hist_merge(a, b),
     )
+
+
+def ann_index_maintainer(
+    table: SnapshotTable,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SketchMaintainer:
+    """Standing IVF-Flat ANN index grown per micro-batch (mode
+    "append"): each arriving embedding batch is assigned to its nearest
+    centroid under a FROZEN codebook (one Arrow-batched pass over the
+    batch only) and its (id, embedding, cid) rows are appended. Query
+    batches serve from the standing index via
+    operators/similarity.ivf_probe_index — the corpus is never
+    re-assigned, and snapshot time travel gives "index as of batch k"
+    (e.g. to reproduce a retrieval run). Re-training the codebook is a
+    batch-side decision: train new centroids, rebuild into a fresh
+    table, swap readers — the frozen-codebook append path stays cheap."""
+    from ..operators.similarity import ivf_assign
+    from pyspark.sql import functions as F
+
+    def build(df: DataFrame) -> DataFrame:
+        return ivf_assign(df, centroids, vec_col, "cids", nprobe=1).select(
+            id_col, vec_col, F.get("cids", 0).alias("cid")
+        )
+
+    return SketchMaintainer(table, build=build, mode="append")

@@ -193,3 +193,54 @@ class TestHistMaintainer:
             hist_bins(xs(0, 1200), ["g"], "x", 0.0, 1000.0, 128),
             ["g"], 0.0, 1000.0, 128, [0.5, 0.9]).collect()))
         assert qa == qb
+
+
+class TestAnnIndexMaintainer:
+    def _vecs(self, spark, lo, hi, dim=8):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 31 + j * 17) % 13 - 6) for j in range(dim)])
+                for i in range(lo, hi)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_incremental_index_serves_like_batch_ivf(self, spark, tmp_path):
+        from osmium_tool_spark.operators.similarity import (
+            ann_topk_ivf,
+            ivf_probe_index,
+            train_ivf_centroids,
+        )
+        from osmium_tool_spark.streaming.sketch_stream import ann_index_maintainer
+
+        b0, b1 = self._vecs(spark, 0, 120), self._vecs(spark, 120, 240)
+        cents = train_ivf_centroids(b0, n_centroids=4, seed=7)
+        m = ann_index_maintainer(SnapshotTable(str(tmp_path / "idx")), cents)
+        m.process_batch(b0, 0)
+        m.process_batch(b1, 1)
+
+        qs = self._vecs(spark, 0, 240).filter(F.col("vec_id") % 40 == 0)
+        served = sorted(map(tuple, ivf_probe_index(
+            m.table.read(spark), qs, cents, k=3, nprobe=2).collect()))
+        batch = sorted(map(tuple, ann_topk_ivf(
+            b0.unionByName(b1), qs, k=3, centroids=cents, nprobe=2).collect()))
+        assert served == batch
+
+        # time travel: the index as of batch 0 only knows batch-0 rows
+        old = ivf_probe_index(
+            m.table.read(spark, snapshot_id=1), qs, cents, k=3, nprobe=2
+        )
+        assert old.filter(F.col("neighbor_id") >= 120).count() == 0
+
+        # replay skip
+        assert m.process_batch(b1, 1)["skipped"] is True
+        assert m.table.read(spark).count() == 240
+
+    def test_mode_validation(self, spark, tmp_path):
+        from osmium_tool_spark.streaming.sketch_stream import SketchMaintainer
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        with pytest.raises(ValueError):
+            SketchMaintainer(t, build=lambda df: df, mode="merge")
+        with pytest.raises(ValueError):
+            SketchMaintainer(t, build=lambda df: df)  # overwrite needs merge
