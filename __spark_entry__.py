@@ -2545,6 +2545,36 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the MinHash-LSH near-dup pair set against
+    the exact n-gram-Jaccard criterion it approximates
+    (operators/dedup.py pair_metrics) — the dedup-tuning gauge, over
+    output-scale pair tables (one canonical-pair equi-join + three
+    count-aggs; the corpus is not re-scanned). The DuckDB twin restates
+    BOTH pair generators (the full MinHash and exact-Jaccard oracles)
+    and the metric divisions bit-identically."""
+    from osmium_tool_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        pair_metrics,
+    )
+    from osmium_tool_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    pred = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=16, band_size=4, threshold=0.1
+    )
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    return pair_metrics(pred.select("a", "b"), truth.select("a", "b")).select(
+        _L("n_pred").alias("n_pred"),
+        _L("n_truth").alias("n_truth"),
+        _L("n_hit").alias("n_hit"),
+        F.col("precision").cast("double").alias("precision"),
+        F.col("recall").cast("double").alias("recall"),
+        F.col("f1").cast("double").alias("f1"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the bucketed (IVF-style) ANN against the exact
     brute-force ground truth (operators/similarity.py topk_recall) —
@@ -2904,6 +2934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # dedup pair-metrics gauge (r4l — the dedup family is
+        # in-window via dedup_minhash_lsh/dedup_ngram_jaccard; oracled
+        # here, both generators + the metric divisions restated)
+        "dedup_pair_metrics": q_dedup_pair_metrics,
         # ANN recall gauge (r4l — the ANN family is in-window via
         # ann_topk; oracled here, both rankers + the recall division
         # restated bit-identically)
@@ -5337,6 +5371,32 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # Dedup pair-metrics gauge: both pair generators (the full MinHash
+    # and exact-Jaccard oracle statements, nested as derived tables —
+    # DuckDB allows WITH inside a subquery) + the canonicalization,
+    # hit join and metric divisions.
+    o["dedup_pair_metrics"] = f"""
+WITH pm_pred AS (SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+                 FROM ({o['dedup_minhash_lsh']})),
+pm_truth AS (SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+             FROM ({o['dedup_ngram_jaccard']})),
+pm_hit AS (SELECT pa, pb FROM pm_pred JOIN pm_truth USING (pa, pb)),
+pm AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pm_pred) AS n_pred,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM pm_truth) AS n_truth,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM pm_hit) AS n_hit)
+SELECT n_pred, n_truth, n_hit,
+       CASE WHEN n_pred > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)
+            ELSE 0.0 END AS precision,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+            ELSE 0.0 END AS recall,
+       CASE WHEN n_pred > 0 AND n_truth > 0 AND n_hit > 0
+            THEN 2.0 * CAST(n_hit AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE)
+            ELSE 0.0 END AS f1
+FROM pm
+"""
 
     # ANN recall gauge: both rankers restated (the exact and bucketed
     # oracle CTEs) + the hit join and the one recall division.

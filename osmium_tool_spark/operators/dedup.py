@@ -744,3 +744,56 @@ def dhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def pair_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Precision / recall / F1 of a predicted near-dup PAIR set against
+    a ground-truth pair set — the tuning gauge for every approximate
+    dedup family (MinHash bands, SimHash radius, dHash bands) against
+    the exact criterion it approximates (e.g. exact n-gram Jaccard at
+    the target threshold on a labeled sample).
+
+    Pairs are canonicalized to (least, greatest) before comparison, so
+    orientation never miscounts. ONE row out:
+    (n_pred, n_truth, n_hit, precision, recall, f1) — each ratio is a
+    single division of exact BIGINTs (bit-stable); empty sides yield
+    0.0 rather than NULL/NaN so downstream thresholds stay total.
+
+    Scale shape: pair tables are output-scale, not corpus-scale; one
+    equi-join on the canonical pair + three count-aggs."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col("a"), F.col("b")).alias("pa"),
+            F.greatest(F.col("a"), F.col("b")).alias("pb"),
+        ).distinct()
+
+    p = canon(pred)
+    t = canon(truth)
+    hit = p.join(t, ["pa", "pb"])
+    counts = (
+        p.agg(F.count("*").alias("n_pred"))
+        .crossJoin(t.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("n_hit").cast("double") / F.col("n_pred").cast("double")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_truth") > 0, F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            (F.col("n_pred") > 0) & (F.col("n_truth") > 0) & (F.col("n_hit") > 0),
+            2.0
+            * F.col("n_hit").cast("double")
+            / (F.col("n_pred") + F.col("n_truth")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )

@@ -311,3 +311,40 @@ class TestContamination:
         out = contamination_flags(docs, docs.limit(1), n=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan  # bench gram set broadcasts
+
+
+class TestPairMetrics:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "a long, b long")
+
+    def test_perfect_partial_orientation(self, spark):
+        from osmium_tool_spark.operators.dedup import pair_metrics
+
+        truth = self._pairs(spark, [(1, 2), (3, 4), (5, 6)])
+        # one reversed (orientation canonicalized), one wrong, one missing
+        pred = self._pairs(spark, [(2, 1), (3, 4), (7, 8)])
+        r = pair_metrics(pred, truth).collect()[0]
+        assert (r.n_pred, r.n_truth, r.n_hit) == (3, 3, 2)
+        assert abs(r.precision - 2 / 3) < 1e-12
+        assert abs(r.recall - 2 / 3) < 1e-12
+        assert abs(r.f1 - 2 * 2 / 6) < 1e-12
+        perfect = pair_metrics(truth, truth).collect()[0]
+        assert (perfect.precision, perfect.recall, perfect.f1) == (1.0, 1.0, 1.0)
+
+    def test_empty_sides_total(self, spark):
+        from osmium_tool_spark.operators.dedup import pair_metrics
+
+        empty = self._pairs(spark, [])
+        some = self._pairs(spark, [(1, 2)])
+        r = pair_metrics(empty, some).collect()[0]
+        assert (r.n_pred, r.precision, r.recall, r.f1) == (0, 0.0, 0.0, 0.0)
+        r2 = pair_metrics(some, empty).collect()[0]
+        assert (r2.n_truth, r2.recall, r2.f1) == (0, 0.0, 0.0)
+
+    def test_duplicate_pairs_counted_once(self, spark):
+        from osmium_tool_spark.operators.dedup import pair_metrics
+
+        pred = self._pairs(spark, [(1, 2), (2, 1), (1, 2)])
+        truth = self._pairs(spark, [(1, 2)])
+        r = pair_metrics(pred, truth).collect()[0]
+        assert (r.n_pred, r.n_hit, r.precision) == (1, 1, 1.0)
