@@ -2545,6 +2545,45 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps over synthesized crawl URLs
+    (operators/curation.py url_host/registrable_domain/domain_cap):
+    the anti-SEO-spam gate — at most 4 documents survive per
+    registrable domain (multi-part public suffixes handled: co.uk,
+    com.au), picked by the deterministic sample-hash order. The DuckDB
+    twin re-runs the SAME host regexes, suffix CASE and window
+    bit-identically."""
+    from osmium_tool_spark.operators.curation import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.example.com"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".shop.co.uk")),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit("files.example.com.au"))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("site"), (F.col("doc_id") % 11).cast("string"),
+                     F.lit(".org")),
+        )
+        .otherwise(F.lit("news.bbc.co.uk"))
+    )
+    urls = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://u:p@"), host, F.lit(":443/p/"),
+                 F.col("doc_id").cast("string")),
+    )
+    return domain_cap(urls, "url", cap=4).select(
+        _L("doc_id").alias("doc_id"),
+        F.col("host"),
+        F.col("domain"),
+        _L("sample_rank").alias("sample_rank"),
+    )
+
+
 def q_dedup_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 of the MinHash-LSH near-dup pair set against
     the exact n-gram-Jaccard criterion it approximates
@@ -2934,6 +2973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # per-domain crawl caps (r4l — the sampling family is
+        # in-window via mixture_sample; oracled here, host regexes +
+        # suffix CASE + window restated)
+        "domain_cap": q_domain_cap,
         # dedup pair-metrics gauge (r4l — the dedup family is
         # in-window via dedup_minhash_lsh/dedup_ngram_jaccard; oracled
         # here, both generators + the metric divisions restated)
@@ -5371,6 +5414,43 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # Per-domain crawl caps: same synth URLs, same host regexes (RE2 ==
+    # Java for these patterns), same suffix CASE, same sample window.
+    from osmium_tool_spark.operators.curation import MULTI_SUFFIXES
+
+    _suf = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    o["domain_cap"] = f"""
+WITH u AS (SELECT doc_id,
+        'https://u:p@' ||
+        CASE WHEN doc_id % 5 = 0 THEN 'www.example.com'
+             WHEN doc_id % 5 = 1 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.shop.co.uk'
+             WHEN doc_id % 5 = 2 THEN 'files.example.com.au'
+             WHEN doc_id % 5 = 3 THEN 'site' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+             ELSE 'news.bbc.co.uk' END ||
+        ':443/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+h AS (SELECT doc_id, url,
+        lower(regexp_extract(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+              '(?:[^@]*@)?([^:]+)', 1)) AS host
+      FROM u),
+d AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
+dom AS (SELECT doc_id, host,
+        CASE WHEN len(parts) <= 2 THEN host
+             WHEN (parts[-2] || '.' || parts[-1]) IN ({_suf}) AND len(parts) >= 3
+                  THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+             ELSE parts[-2] || '.' || parts[-1] END AS domain
+        FROM d),
+r AS (SELECT doc_id, host, domain,
+        row_number() OVER (PARTITION BY domain
+          ORDER BY (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                    * 2654435761) % 1000000007, doc_id) AS rk
+      FROM dom)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, host, domain,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= 4
+"""
 
     # Dedup pair-metrics gauge: both pair generators (the full MinHash
     # and exact-Jaccard oracle statements, nested as derived tables —

@@ -537,3 +537,69 @@ tbn AS (SELECT shard, batch FROM tb1 GROUP BY 1, 2
 SELECT {collist}, t.shard, t.pos, t.batch, t.pos_in_batch
 FROM tb1 t JOIN tbn USING (shard, batch)
 """
+
+
+# Common multi-part public suffixes for the registrable-domain
+# heuristic. NOT the full Public Suffix List (that is a data file a
+# production deploy ships and broadcasts); the heuristic covers the
+# high-traffic two-label suffixes and falls back to last-two-labels.
+MULTI_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an http(s)/ftp URL — scheme, userinfo, port,
+    path, query and fragment stripped. Pure codegen regex + string ops
+    (the same RE works in the DuckDB twin): one extraction, no UDF."""
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_extract(host, r"(?:[^@]*@)?([^:]+)", 1)  # userinfo, port
+    return F.lower(host)
+
+
+def registrable_domain(host: Column) -> Column:
+    """The registrable (pay-level) domain of a host: last two labels,
+    or last three when the trailing two are a known multi-part public
+    suffix (MULTI_SUFFIXES). The per-domain unit for crawl caps and
+    source mixing. Pure Column math over split()."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain document cap — the anti-SEO-spam / source-balance
+    gate every crawl corpus passes through: at most `cap` documents
+    survive per registrable domain, chosen by the deterministic
+    sample-hash order (operators/sample.py balanced_sample), so a hot
+    domain with 10^9 pages contributes exactly `cap` and reruns pick
+    the identical set. Adds (host, domain, sample_rank).
+
+    Scale shape: two codegen projections + balanced_sample's one
+    window partitioned BY DOMAIN with a map-side WindowGroupLimit —
+    the per-partition pre-trim caps every task's output at `cap` rows
+    per domain, so the hot-domain skew is bounded before the
+    exchange."""
+    from .sample import balanced_sample
+
+    staged = df.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    return balanced_sample(staged, ["domain"], cap, id_col=id_col, seed=seed)

@@ -501,3 +501,47 @@ class TestTrainingBatches:
         with _pt.raises(ValueError):
             training_batches(df, "doc_id", 0, 4, 0)
 
+
+
+class TestDomainCap:
+    def test_url_host_and_registrable_domain(self, spark):
+        from osmium_tool_spark.operators.curation import registrable_domain, url_host
+
+        rows = [
+            ("https://WWW.Example.COM/path?q=1", "www.example.com", "example.com"),
+            ("http://user:pw@sub.shop.co.uk:8080/x", "sub.shop.co.uk", "shop.co.uk"),
+            ("https://a.b.c.example.org#frag", "a.b.c.example.org", "example.org"),
+            ("ftp://files.example.com.au/f", "files.example.com.au", "example.com.au"),
+            ("https://localhost/x", "localhost", "localhost"),
+            ("https://news.bbc.co.uk/story", "news.bbc.co.uk", "bbc.co.uk"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+        got = df.select(
+            url_host(F.col("url")).alias("h"),
+            registrable_domain(url_host(F.col("url"))).alias("d"),
+        ).collect()
+        for (u, h, d), r in zip(rows, got):
+            assert r.h == h, (u, r.h)
+            assert r.d == d, (u, r.d)
+
+    def test_domain_cap_limits_and_determinism(self, spark):
+        from osmium_tool_spark.operators.curation import domain_cap
+
+        df = spark.createDataFrame(
+            [
+                (i, f"https://{'spam.example.com' if i % 3 else 'rare.org'}/p/{i}")
+                for i in range(300)
+            ],
+            "doc_id long, url string",
+        )
+        out = domain_cap(df, "url", cap=5).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r.domain, []).append(r.doc_id)
+        assert len(by_dom["example.com"]) == 5
+        assert len(by_dom["rare.org"]) == 5  # 100 rare rows -> capped too
+        again = domain_cap(df, "url", cap=5).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        # different seed -> different (still capped) pick
+        other = domain_cap(df, "url", cap=5, seed=9).collect()
+        assert {r.doc_id for r in other} != {r.doc_id for r in out}
