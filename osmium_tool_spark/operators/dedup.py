@@ -193,6 +193,71 @@ def minhash_signature(shingle_hashes: Column, num_perm: int) -> Column:
     return F.array(*sig)
 
 
+def _sig_bands(hashed: DataFrame, num_perm: int, band_size: int) -> DataFrame:
+    """(id, band_idx, band) rows of a signature table — the LSH key
+    set shared by the batch pair-join and the standing band index."""
+    nbands = num_perm // band_size
+    return hashed.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.slice("sig", i * band_size + 1, band_size).alias("band"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band_idx", "bk.band")
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """The MinHash LSH band keys of a corpus slice: (id, band_idx,
+    band) — the standing-index row format for incremental near-dup
+    (streaming/sketch_stream.py minhash_index_maintainer): two
+    documents are near-dup CANDIDATES iff they share a full band, so
+    a batch-vs-corpus probe is one equi-join on (band_idx, band)
+    against this table, never a re-shingle of the corpus."""
+    assert num_perm % band_size == 0
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = sh.select("id", F.transform("sh", poly_hash).alias("hs")).withColumn(
+        "sig", minhash_signature(F.col("hs"), num_perm)
+    )
+    return _sig_bands(hashed, num_perm, band_size)
+
+
+def minhash_probe_index(
+    index: DataFrame,
+    batch_bands: DataFrame,
+) -> DataFrame:
+    """Near-dup CANDIDATE pairs between a batch and the standing band
+    index: (a=batch id, b=standing id), distinct, self-matches
+    dropped. One equi-join on (band_idx, band) — the batch side is
+    small (broadcast-eligible), the index side is pre-computed; exact
+    Jaccard verification is the caller's join back to the corpus text
+    (the candidates are a guaranteed SUPERSET of the banded pairs the
+    batch operator would emit across the two sides)."""
+    l = batch_bands.select(F.col("id").alias("a"), "band_idx", "band")
+    r = index.select(F.col("id").alias("b"), "band_idx", "band")
+    return (
+        l.join(r, on=["band_idx", "band"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -217,21 +282,7 @@ def minhash_lsh_pairs(
         "id", "sh", F.transform("sh", poly_hash).alias("hs")
     ).withColumn("sig", minhash_signature(F.col("hs"), num_perm)).persist()
 
-    nbands = num_perm // band_size
-    bands = hashed.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.slice("sig", i * band_size + 1, band_size).alias("band"),
-                    )
-                    for i in range(nbands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band_idx", "bk.band")
+    bands = _sig_bands(hashed, num_perm, band_size)
     l = bands.select(F.col("id").alias("a"), "band_idx", "band")
     r = bands.select(F.col("id").alias("b"), "band_idx", "band")
     cand = (

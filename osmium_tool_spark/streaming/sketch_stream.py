@@ -253,3 +253,33 @@ def ann_index_maintainer(
         )
 
     return SketchMaintainer(table, build=build, mode="append")
+
+
+def minhash_index_maintainer(
+    table: SnapshotTable,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> SketchMaintainer:
+    """Standing MinHash LSH band index grown per micro-batch (mode
+    "append") — near-dup-on-arrival at corpus scale: each arriving
+    document batch is shingled/signed ONCE and its (id, band_idx,
+    band) keys appended; probing a batch against the whole standing
+    corpus (operators/dedup.py minhash_probe_index) is one equi-join
+    on the band key, never a re-shingle of 10^12 documents. The
+    exact-dedup sibling is streaming/image_ingest.py's anti-join; this
+    is the NEAR-dup half the r3 verdict called the batch engine's job
+    — made incremental by the standing index. Snapshot time travel =
+    "index as of batch k"; probe-then-append within a batch also
+    catches batch-vs-past dups before they enter."""
+    from ..operators.dedup import minhash_bands
+
+    return SketchMaintainer(
+        table,
+        build=lambda df: minhash_bands(
+            df, id_col, text_col, n=n, num_perm=num_perm, band_size=band_size
+        ),
+        mode="append",
+    )

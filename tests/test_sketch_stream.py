@@ -244,3 +244,62 @@ class TestAnnIndexMaintainer:
             SketchMaintainer(t, build=lambda df: df, mode="merge")
         with pytest.raises(ValueError):
             SketchMaintainer(t, build=lambda df: df)  # overwrite needs merge
+
+
+class TestMinhashIndexMaintainer:
+    def _docs(self, spark, lo, hi):
+        # every third doc repeats an earlier text -> cross-batch near-dups
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    " ".join(
+                        f"w{(i - (i % 90)) * 7 + j}" if i % 3 == 0 else f"w{i * 13 + j}"
+                        for j in range(30)
+                    ),
+                )
+                for i in range(lo, hi)
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_probe_matches_batch_operator_cross_pairs(self, spark, tmp_path):
+        from osmium_tool_spark.operators.dedup import (
+            minhash_bands,
+            minhash_probe_index,
+        )
+        from osmium_tool_spark.streaming.sketch_stream import minhash_index_maintainer
+
+        b0, b1 = self._docs(spark, 0, 90), self._docs(spark, 90, 180)
+        m = minhash_index_maintainer(SnapshotTable(str(tmp_path / "idx")))
+        m.process_batch(b0, 0)
+
+        # probe the NEW batch against the standing (batch-0) index
+        bands1 = minhash_bands(b1, "doc_id", "text")
+        got = {
+            (r.a, r.b)
+            for r in minhash_probe_index(m.table.read(spark), bands1).collect()
+        }
+        # ground truth: band matches across the two slices, computed flat
+        all_bands = minhash_bands(b0.unionByName(b1), "doc_id", "text")
+        l = all_bands.select(F.col("id").alias("a"), "band_idx", "band")
+        r = all_bands.select(F.col("id").alias("b"), "band_idx", "band")
+        flat = {
+            (ra, rb)
+            for ra, rb in (
+                (row.a, row.b)
+                for row in l.join(r, on=["band_idx", "band"])
+                .filter(F.col("a") != F.col("b"))
+                .select("a", "b")
+                .distinct()
+                .collect()
+            )
+            if ra >= 90 and rb < 90  # batch-1 id probed against batch-0 id
+        }
+        assert got == flat
+        assert got  # the repeated texts must actually collide
+
+        # append batch 1; index now answers for the full corpus
+        m.process_batch(b1, 1)
+        assert m.table.read(spark).count() == all_bands.count()
+        assert m.process_batch(b1, 1)["skipped"] is True
