@@ -2545,6 +2545,54 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diamond_layer(spark, n_polys: int, c1: int, c2: int, rb: int, rs: int):
+    """Deterministic diamond-polygon layer (same construction as
+    q_polygon_rasterize; constants chosen so NO cell center falls
+    within 4 scaled units of any boundary at res 9 — verified
+    empirically, making the closed-form |dx|+|dy| oracle exact with no
+    boundary drop)."""
+    k = F.col("id")
+    cx0 = (k * c1) % 3_200_000_000 - 1_600_000_000
+    cy0 = (k * c2) % 1_600_000_000 - 800_000_000
+    rr = F.lit(rb) + (k % 5) * rs
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    return spark.range(n_polys).select(
+        k.alias("poly_id"),
+        F.array(
+            F.array(pt(cx0 + rr, cy0), pt(cx0, cy0 + rr), pt(cx0 - rr, cy0),
+                    pt(cx0, cy0 - rr), pt(cx0 + rr, cy0))
+        ).alias("rings"),
+    )
+
+
+def q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-cross-layer overlap matrix (operators/tiles.py
+    polygon_overlap): two diamond layers rasterized independently at
+    res 9, met by ONE equi-join on the cell key + a hash-agg — no
+    polygon x polygon pairing ever forms, the screening shape for
+    exact overlay at 10^6-polygon layers. Counts are exact cell areas;
+    iou is one BIGINT division. The DuckDB oracle restates BOTH
+    layers' closed-form rasterizations (|dx|+|dy| < r on cell centers
+    — exact for these constants, zero boundary-ambiguous cells) and
+    the join/count/iou tail."""
+    from osmium_tool_spark.operators.tiles import polygon_overlap
+
+    a = _diamond_layer(spark, 48, 2654435761, 2246822519, 20_000_000, 10_000_000)
+    b = _diamond_layer(spark, 37, 2246822519, 2654435761, 35_000_000, 7_000_000)
+    out = polygon_overlap(a, b, res=9, id_a="id_a", id_b="id_b")
+    return out.select(
+        _L("id_a").alias("id_a"),
+        _L("id_b").alias("id_b"),
+        _L("n_shared").alias("n_shared"),
+        _L("n_a").alias("n_a"),
+        _L("n_b").alias("n_b"),
+        F.col("iou").cast("double").alias("iou"),
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps over synthesized crawl URLs
     (operators/curation.py url_host/registrable_domain/domain_cap):
@@ -2973,6 +3021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # layer-overlap matrix (r4l — the raster family is in-window
+        # via polygon_rasterize; oracled here, both layers' closed
+        # forms + the join/count/iou tail restated)
+        "polygon_overlap": q_polygon_overlap,
         # per-domain crawl caps (r4l — the sampling family is
         # in-window via mixture_sample; oracled here, host regexes +
         # suffix CASE + window restated)
@@ -5414,6 +5466,46 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # Layer overlap matrix: both layers' closed-form rasterizations +
+    # the cell join, counts and the one iou division.
+    def _diamond_raster_sql(tag: str, n_polys: int, c1: int, c2: int,
+                            rb: int, rs: int) -> str:
+        return f"""\
+p{tag} AS (SELECT k AS poly_id,
+   (k*{c1}) % 3200000000 - 1600000000 AS cx0,
+   (k*{c2}) % 1600000000 - 800000000 AS cy0,
+   {rb} + (k % 5)*{rs} AS r
+ FROM range({n_polys}) t(k)),
+b{tag} AS (SELECT poly_id, cx0, cy0, r,
+   greatest(least(CAST(floor(((cx0 - r) + 1800000000) * 512 / 3600000000) AS BIGINT), 511), 0) AS ix0,
+   greatest(least(CAST(floor(((cx0 + r) + 1800000000) * 512 / 3600000000) AS BIGINT), 511), 0) AS ix1,
+   greatest(least(CAST(floor(((cy0 - r) + 900000000) * 512 / 1800000000) AS BIGINT), 511), 0) AS iy0,
+   greatest(least(CAST(floor(((cy0 + r) + 900000000) * 512 / 1800000000) AS BIGINT), 511), 0) AS iy1 FROM p{tag}),
+c{tag} AS (SELECT poly_id, cx0, cy0, r, cx, cy FROM b{tag},
+   LATERAL (SELECT unnest(generate_series(ix0, ix1)) AS cx) u1,
+   LATERAL (SELECT unnest(generate_series(iy0, iy1)) AS cy) u2),
+s{tag} AS (SELECT poly_id, cx, cy,
+   abs((CAST(1024 AS BIGINT)*(-1800000000) + (2*cx+1)*3600000000)
+       - CAST(1024 AS BIGINT)*cx0)
+   + abs((CAST(1024 AS BIGINT)*(-900000000) + (2*cy+1)*1800000000)
+       - CAST(1024 AS BIGINT)*cy0) AS sd,
+   CAST(1024 AS BIGINT)*r AS rs FROM c{tag}),
+r{tag} AS (SELECT poly_id, cx, cy FROM s{tag} WHERE sd < rs)"""
+
+    o["polygon_overlap"] = f"""
+WITH {_diamond_raster_sql('A', 48, 2654435761, 2246822519, 20_000_000, 10_000_000)},
+{_diamond_raster_sql('B', 37, 2246822519, 2654435761, 35_000_000, 7_000_000)},
+naa AS (SELECT poly_id AS ida, CAST(COUNT(*) AS BIGINT) AS n_a FROM rA GROUP BY 1),
+nbb AS (SELECT poly_id AS idb, CAST(COUNT(*) AS BIGINT) AS n_b FROM rB GROUP BY 1),
+sh AS (SELECT a.poly_id AS ida, b.poly_id AS idb, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM rA a JOIN rB b ON a.cx = b.cx AND a.cy = b.cy
+       GROUP BY 1, 2)
+SELECT CAST(sh.ida AS BIGINT) AS id_a, CAST(sh.idb AS BIGINT) AS id_b,
+       n_shared, n_a, n_b,
+       CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) AS iou
+FROM sh JOIN naa ON sh.ida = naa.ida JOIN nbb ON sh.idb = nbb.idb
+"""
 
     # Per-domain crawl caps: same synth URLs, same host regexes (RE2 ==
     # Java for these patterns), same suffix CASE, same sample window.

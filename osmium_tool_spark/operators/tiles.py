@@ -896,3 +896,55 @@ def segment_tile_assign(
         "way_id", "seq",
         F.col("cx").alias("tile_ix"), F.col("cy").alias("tile_iy"),
     )
+
+
+def polygon_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    res: int,
+    id_a: str = "poly_id",
+    id_b: str = "poly_id",
+) -> DataFrame:
+    """Overlap matrix between two polygon LAYERS at raster resolution
+    `res` — the layer-cross-layer analytics op (admin x landuse,
+    extract-region x coverage): for every pair sharing at least one
+    interior cell, (id_a, id_b, n_shared, n_a, n_b, iou) where the
+    counts are res-cell areas and iou = n_shared/(n_a + n_b - n_shared)
+    (one division of exact BIGINTs).
+
+    Scale shape: each layer rasterizes independently (the y-banded edge
+    equi-join of `polygon_rasterize`), then ONE equi-join on the cell
+    key + one hash-agg — no polygon x polygon pairing ever forms; the
+    cell IS the spatial index, so two layers of 10^6 polygons meet only
+    where they actually overlap. Precision is the cell grid (raise
+    `res` to tighten); exact vector overlay is a different op this one
+    deliberately is not — at corpus scale the raster matrix is the
+    screening pass that makes any exact refinement affordable."""
+    ra = polygon_rasterize(a, res).select(
+        F.col("poly_id").alias("ida"), "cx", "cy"
+    )
+    rb = polygon_rasterize(b, res).select(
+        F.col("poly_id").alias("idb"), "cx", "cy"
+    )
+    na = ra.groupBy("ida").agg(F.count("*").alias("n_a"))
+    nb = rb.groupBy("idb").agg(F.count("*").alias("n_b"))
+    shared = (
+        ra.join(rb, ["cx", "cy"])
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            F.col("ida").alias(id_a if id_a != id_b else "id_a"),
+            F.col("idb").alias(id_b if id_a != id_b else "id_b"),
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("iou"),
+        )
+    )

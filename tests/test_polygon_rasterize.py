@@ -124,3 +124,50 @@ def test_bbox_cap_fails_loud(spark):
     df = _poly(spark, [_diamond(0, 0, 30 * D)])
     with pytest.raises(Exception, match="covers more than"):
         polygon_rasterize(df, res=9, max_cells_per_polygon=100).collect()
+
+
+class TestPolygonOverlap:
+    S = 10_000_000
+
+    def _squares(self, spark, specs):
+        from pyspark.sql import functions as F
+
+        def pt(x, y):
+            return F.struct(
+                F.lit(x).cast("long").alias("x"), F.lit(y).cast("long").alias("y")
+            )
+
+        rows = []
+        for pid, x0, y0, w in specs:
+            rows.append((pid, x0, y0, w))
+        df = spark.createDataFrame(rows, "poly_id long, x0 long, y0 long, w long")
+        ring = F.array(
+            F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+            F.struct((F.col("x0") + F.col("w")).alias("x"), F.col("y0").alias("y")),
+            F.struct((F.col("x0") + F.col("w")).alias("x"), (F.col("y0") + F.col("w")).alias("y")),
+            F.struct(F.col("x0").alias("x"), (F.col("y0") + F.col("w")).alias("y")),
+            F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+        )
+        return df.select("poly_id", F.array(ring).alias("rings"))
+
+    def test_identical_layers_self_iou_one(self, spark):
+        from osmium_tool_spark.operators.tiles import polygon_overlap
+
+        # two far-apart squares: no cross pairs, each self-pair iou 1.0
+        a = self._squares(spark, [(1, 0, 0, 40 * self.S), (2, 90 * self.S, 0, 40 * self.S)])
+        out = polygon_overlap(a, a, res=8, id_a="id_a", id_b="id_b").collect()
+        assert sorted((r.id_a, r.id_b) for r in out) == [(1, 1), (2, 2)]
+        assert all(r.iou == 1.0 and r.n_shared == r.n_a == r.n_b for r in out)
+
+    def test_partial_overlap_counts(self, spark):
+        from osmium_tool_spark.operators.tiles import polygon_overlap
+
+        w = 64 * self.S
+        a = self._squares(spark, [(1, 0, 0, w)])
+        b = self._squares(spark, [(7, w // 2, 0, w)])  # right half overlaps
+        r = polygon_overlap(a, b, res=8, id_a="id_a", id_b="id_b").collect()[0]
+        assert (r.id_a, r.id_b) == (1, 7)
+        assert 0 < r.n_shared < r.n_a
+        # cell-count overlap of a half-offset equal square ~ half the area
+        assert abs(r.n_shared / r.n_a - 0.5) < 0.15
+        assert abs(r.iou - r.n_shared / (r.n_a + r.n_b - r.n_shared)) < 1e-15
