@@ -2568,6 +2568,29 @@ def _diamond_layer(spark, n_polys: int, c1: int, c2: int, rb: int, rs: int):
     )
 
 
+def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the road network
+    (operators/network.hop_distance): the reachability / service-area
+    primitive, run as O(radius) rounds of frontier-sized joins against
+    the edge table (never a driver-side graph). Sources are a
+    deterministic node subset; rounds are capped at 8. The DuckDB
+    twin replays the BFS as a depth-bounded recursive CTE with
+    MIN-hops reduction — bit-identical levels."""
+    from osmium_tool_spark.operators.network import hop_distance
+    from osmium_tool_spark.sources import testdata as td
+
+    ways = td.ways_from_orders(spark, sf_dir).filter(F.col("id") % 31 == 0)
+    srcs = (
+        ways.select(F.explode("refs").alias("node"))
+        .filter(F.col("node") % 41 == 0)
+        .distinct()
+    )
+    out = hop_distance(ways, srcs, max_hops=8)
+    return out.select(
+        _L("node").alias("node"), F.col("hops").cast("long").alias("hops")
+    )
+
+
 def q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layer-cross-layer overlap matrix (operators/tiles.py
     polygon_overlap): two diamond layers rasterized independently at
@@ -3021,6 +3044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # multi-source BFS hops (r4l — the graph family is in-window
+        # via network_components; oracled here, depth-bounded
+        # recursive-CTE twin)
+        "hop_distance": q_hop_distance,
         # layer-overlap matrix (r4l — the raster family is in-window
         # via polygon_rasterize; oracled here, both layers' closed
         # forms + the join/count/iou tail restated)
@@ -5466,6 +5493,30 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # Multi-source BFS hops: same edge derivation as
+    # network_components; depth-bounded recursive CTE + MIN reduction.
+    o["hop_distance"] = """
+WITH RECURSIVE
+pr AS (SELECT l_orderkey,
+              list(l_partkey ORDER BY l_linenumber, l_partkey) AS refs
+       FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1),
+ed AS (SELECT unnest(list_transform(range(1, len(refs)),
+                                    i -> {'u': refs[i], 'v': refs[i+1]})) AS s
+       FROM pr WHERE len(refs) >= 2),
+p AS (SELECT DISTINCT s.u AS a, s.v AS b FROM ed WHERE s.u != s.v),
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+src AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+        WHERE l_orderkey % 31 = 0 AND l_partkey % 41 = 0),
+bfs(node, hops) AS (
+  SELECT node, 0 FROM src
+  UNION
+  SELECT e.v, bfs.hops + 1 FROM e JOIN bfs ON e.u = bfs.node
+  WHERE bfs.hops < 8
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY node
+"""
 
     # Layer overlap matrix: both layers' closed-form rasterizations +
     # the cell join, counts and the one iou division.

@@ -67,3 +67,60 @@ def network_components(
         F.col("cluster_id").alias("component_id"),
         "component_size",
     )
+
+
+def hop_distance(
+    ways: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 20,
+    id_col: str = "id",
+    refs_col: str = "refs",
+) -> DataFrame:
+    """Breadth-first hop distance from a SET of source nodes over the
+    way network — the reachability/service-area primitive (how many
+    graph hops from any station / entrance / depot), run as a
+    distributed frontier expansion: each round joins the CURRENT
+    frontier (only newly-reached nodes, monotonically shrinking in
+    connected regions) against the edge table, anti-joins the settled
+    set, and stamps the round number. O(radius) rounds of
+    frontier-sized joins — the edge table is the only corpus-scale
+    side and is traversed once per round via an equi-join on u;
+    `localCheckpoint` truncates lineage per round (the dup_clusters
+    discipline). Unreached nodes are absent (the caller left-joins and
+    fills with NULL/inf); `max_hops` bounds the rounds, so a
+    pathological 10^6-long chain costs max_hops rounds, not 10^6.
+
+    Returns (node, hops) with hops = minimal edge count from the
+    nearest source (0 for the sources themselves). Weighted shortest
+    paths are deliberately out of scope — hop BFS is the screening
+    pass; exact weighted routing belongs to a router over the
+    extracted subgraph."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    edges = way_edges(ways, id_col, refs_col)
+    # undirected: traverse both orientations through one table
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    settled = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        reached = reached.localCheckpoint(eager=True)
+        if reached.isEmpty():
+            break
+        settled = settled.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return settled

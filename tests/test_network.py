@@ -67,3 +67,42 @@ def test_cycle(spark):
     out = network_components(df).collect()
     assert {r.node_id for r in out} == {5, 6, 7, 8}
     assert all(r.component_id == 5 and r.component_size == 4 for r in out)
+
+
+class TestHopDistance:
+    def _ways(self, spark, chains):
+        return spark.createDataFrame(
+            [(i, refs) for i, refs in enumerate(chains)],
+            "id long, refs array<long>",
+        )
+
+    def test_chain_and_branch(self, spark):
+        from osmium_tool_spark.operators.network import hop_distance
+
+        # 1-2-3-4-5 chain, plus branch 3-10-11; island 20-21
+        ways = self._ways(spark, [[1, 2, 3, 4, 5], [3, 10, 11], [20, 21]])
+        src = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.hops for r in hop_distance(ways, src).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 3, 11: 4}
+
+    def test_multi_source_min_and_cap(self, spark):
+        from osmium_tool_spark.operators.network import hop_distance
+
+        ways = self._ways(spark, [[1, 2, 3, 4, 5, 6, 7]])
+        src = spark.createDataFrame([(1,), (7,)], "node long")
+        got = {r.node: r.hops for r in hop_distance(ways, src).collect()}
+        assert got == {1: 0, 7: 0, 2: 1, 6: 1, 3: 2, 5: 2, 4: 3}
+        capped = {r.node: r.hops for r in hop_distance(ways, src, max_hops=1).collect()}
+        assert capped == {1: 0, 7: 0, 2: 1, 6: 1}
+
+    def test_unreachable_absent_and_validation(self, spark):
+        from osmium_tool_spark.operators.network import hop_distance
+
+        import pytest as _pt
+
+        ways = self._ways(spark, [[1, 2], [20, 21]])
+        src = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.hops for r in hop_distance(ways, src).collect()}
+        assert 20 not in got and 21 not in got
+        with _pt.raises(ValueError):
+            hop_distance(ways, src, max_hops=-1)
