@@ -2591,6 +2591,36 @@ def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortest_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest distances
+    (operators/network.shortest_distance): bounded-round distributed
+    Bellman-Ford — each round relaxes only edges out of the IMPROVED
+    node set (settled regions cost nothing), 6 rounds. Edge weights
+    are a deterministic orientation-independent function of the
+    canonical endpoint pair. The DuckDB twin replays the relaxation
+    as a depth-bounded recursive CTE with MIN-dist reduction: the
+    6-round Bellman-Ford result IS the min over paths of <= 6 edges,
+    which is exactly what the bounded recursion enumerates."""
+    from osmium_tool_spark.operators.network import shortest_distance, way_edges
+    from osmium_tool_spark.sources import testdata as td
+
+    ways = td.ways_from_orders(spark, sf_dir).filter(F.col("id") % 31 == 0)
+    e = way_edges(ways)
+    w = (
+        (F.least("u", "v") * 31 + F.greatest("u", "v") * 17) % 97 + 1
+    ).cast("long")
+    weighted = e.select("u", "v", w.alias("w"))
+    srcs = (
+        ways.select(F.explode("refs").alias("node"))
+        .filter(F.col("node") % 41 == 0)
+        .distinct()
+    )
+    out = shortest_distance(weighted, srcs, max_rounds=6)
+    return out.select(
+        _L("node").alias("node"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 def q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layer-cross-layer overlap matrix (operators/tiles.py
     polygon_overlap): two diamond layers rasterized independently at
@@ -3044,6 +3074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and pinned by their direct byte goldens) --
         "export_lines": q_export_lines,
         "pbf_roundtrip": q_pbf_roundtrip,
+        # weighted shortest distances (r4l — graph family in-window
+        # via network_components; oracled here, bounded recursive-CTE
+        # relaxation twin)
+        "shortest_distance": q_shortest_distance,
         # multi-source BFS hops (r4l — the graph family is in-window
         # via network_components; oracled here, depth-bounded
         # recursive-CTE twin)
@@ -5493,6 +5527,32 @@ FROM bfprobe LEFT JOIN bfact USING (value)
     o["epoch_shuffle"] = epoch_shuffle_sql(
         "SELECT doc_id FROM documents", "doc_id", 7, 16, ["doc_id"]
     )
+
+    # Weighted shortest distances: same edges + the deterministic
+    # weight; depth-bounded recursive relaxation + MIN reduction.
+    o["shortest_distance"] = """
+WITH RECURSIVE
+pr AS (SELECT l_orderkey,
+              list(l_partkey ORDER BY l_linenumber, l_partkey) AS refs
+       FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1),
+ed AS (SELECT unnest(list_transform(range(1, len(refs)),
+                                    i -> {'u': refs[i], 'v': refs[i+1]})) AS s
+       FROM pr WHERE len(refs) >= 2),
+p AS (SELECT DISTINCT s.u AS a, s.v AS b FROM ed WHERE s.u != s.v),
+pw AS (SELECT a, b, (least(a, b) * 31 + greatest(a, b) * 17) % 97 + 1 AS w
+       FROM p),
+e AS (SELECT a AS u, b AS v, w FROM pw UNION SELECT b, a, w FROM pw),
+src AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+        WHERE l_orderkey % 31 = 0 AND l_partkey % 41 = 0),
+bf(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM src
+  UNION
+  SELECT e.v, bf.dist + e.w, bf.hops + 1 FROM e JOIN bf ON e.u = bf.node
+  WHERE bf.hops < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bf GROUP BY node
+"""
 
     # Multi-source BFS hops: same edge derivation as
     # network_components; depth-bounded recursive CTE + MIN reduction.

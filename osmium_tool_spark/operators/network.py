@@ -124,3 +124,65 @@ def hop_distance(
         settled = settled.unionByName(reached).localCheckpoint(eager=True)
         frontier = reached
     return settled
+
+
+def shortest_distance(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest distances by bounded-round
+    distributed Bellman-Ford over an undirected (u, v, w) edge table
+    (w a non-negative BIGINT): each round relaxes every edge out of
+    the IMPROVED set only — (node, dist) joins the adjacency, a
+    hash-agg takes the per-node MIN, and nodes whose best distance
+    got better form the next round's frontier, so settled regions stop
+    costing anything. Convergence = an empty improved set (early
+    exit) or `max_rounds` (a distance then reflects the best path of
+    <= max_rounds edges — the screening contract; weighted exact
+    routing beyond that belongs to a router over the extracted
+    subgraph). localCheckpoint truncates lineage per round.
+
+    Returns (node, dist) — dist = minimal edge-weight sum from the
+    nearest source (0 for sources). Unreached nodes are absent."""
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    adj = (
+        edges.select("u", "v", F.col("w").cast("long").alias("w"))
+        .unionByName(
+            edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v"),
+                F.col("w").cast("long").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = cand.join(best, "node", "left")
+        improved = (
+            joined.filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

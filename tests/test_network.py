@@ -106,3 +106,50 @@ class TestHopDistance:
         assert 20 not in got and 21 not in got
         with _pt.raises(ValueError):
             hop_distance(ways, src, max_hops=-1)
+
+
+class TestShortestDistance:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "u long, v long, w long")
+
+    def test_weighted_vs_hops_divergence(self, spark):
+        from osmium_tool_spark.operators.network import shortest_distance
+
+        # 1->3 direct (w=10) vs 1->2->3 (w=2+3): weighted picks the detour
+        e = self._edges(spark, [(1, 3, 10), (1, 2, 2), (2, 3, 3)])
+        src = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in shortest_distance(e, src).collect()}
+        assert got == {1: 0, 2: 2, 3: 5}
+
+    def test_multi_source_and_round_cap(self, spark):
+        from osmium_tool_spark.operators.network import shortest_distance
+
+        chain = self._edges(spark, [(i, i + 1, 1) for i in range(1, 7)])
+        src = spark.createDataFrame([(1,), (7,)], "node long")
+        got = {r.node: r.dist for r in shortest_distance(chain, src).collect()}
+        assert got == {1: 0, 7: 0, 2: 1, 6: 1, 3: 2, 5: 2, 4: 3}
+        capped = {
+            r.node: r.dist
+            for r in shortest_distance(chain, src, max_rounds=1).collect()
+        }
+        assert capped == {1: 0, 7: 0, 2: 1, 6: 1}
+
+    def test_relaxation_improves_early_round_result(self, spark):
+        from osmium_tool_spark.operators.network import shortest_distance
+
+        # node 4 first reached expensively (1->4 w=100), later improved
+        # via the long cheap chain 1->2->3->4 (3 edges, total 3)
+        e = self._edges(spark, [(1, 4, 100), (1, 2, 1), (2, 3, 1), (3, 4, 1)])
+        src = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in shortest_distance(e, src).collect()}
+        assert got[4] == 3
+
+    def test_validation(self, spark):
+        from osmium_tool_spark.operators.network import shortest_distance
+
+        import pytest as _pt
+
+        e = self._edges(spark, [(1, 2, 1)])
+        src = spark.createDataFrame([(1,)], "node long")
+        with _pt.raises(ValueError):
+            shortest_distance(e, src, max_rounds=-1)
