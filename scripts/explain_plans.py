@@ -530,6 +530,51 @@ def main() -> None:
              spark.range(1, 50_001).select(F.col("id").alias("doc_id")),
              "doc_id", epoch=3, num_shards=64)))
     )
+    from osmium_tool_spark.operators.sketches import bloom_semijoin
+
+    bcorpus = spark.range(1, 100_001).select(F.col("id"))
+    bkeys = spark.range(1, 5_001).select((F.col("id") * 7).alias("id"))
+    sections.append(
+        ("bloom_semijoin (k BroadcastHashJoin word-lookups PRE-FILTER the "
+         "corpus map-side; only maybe-members reach the exact semi-join "
+         "exchange)",
+         capture_explain(bloom_semijoin(bcorpus, bkeys, "id", k=4,
+                                        m_bits=1 << 15)))
+    )
+    from osmium_tool_spark.operators.curation import domain_cap
+
+    urls = spark.range(1, 50_001).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://site"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url"),
+    )
+    sections.append(
+        ("domain_cap (codegen regex projections + ONE window keyed by "
+         "domain with map-side WindowGroupLimit — hot-domain skew bounded "
+         "before the exchange)",
+         capture_explain(domain_cap(urls, "url", cap=5)))
+    )
+    from osmium_tool_spark.operators.tiles import polygon_overlap as _po
+
+    kk2 = F.col("id")
+    _cx = (kk2 * 2654435761) % 3_200_000_000 - 1_600_000_000
+    _cy = (kk2 * 2246822519) % 1_600_000_000 - 800_000_000
+    _rr = 30_000_000 + (kk2 % 5) * 10_000_000
+
+    def _pt2(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    _polys = spark.range(64).select(
+        kk2.alias("poly_id"),
+        F.array(F.array(_pt2(_cx + _rr, _cy), _pt2(_cx, _cy + _rr),
+                        _pt2(_cx - _rr, _cy), _pt2(_cx, _cy - _rr),
+                        _pt2(_cx + _rr, _cy))).alias("rings"),
+    )
+    sections.append(
+        ("polygon_overlap (two independent rasterizations meet in ONE "
+         "cell-key equi-join + hash-agg — no polygon x polygon pairing)",
+         capture_explain(_po(_polys, _polys, res=8, id_a="id_a", id_b="id_b")))
+    )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
