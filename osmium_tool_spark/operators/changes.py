@@ -52,6 +52,46 @@ def time_filter(history: DataFrame, t_from: int, t_to: int | None = None) -> Dat
     return canonical_sort(out.drop("__next_ts"))
 
 
+def history_intervals(history: DataFrame) -> DataFrame:
+    """SCD-2 validity intervals from a history file: every (type, id,
+    version) with the half-open window [valid_from, valid_to) during
+    which it WAS the live version, plus is_current / is_delete flags.
+
+    time_filter answers "the snapshot at instant T" by recomputing the
+    lead() bound per query (command_time_filter.cpp:155-176 is the same
+    rule one object at a time); materializing the intervals ONCE turns
+    every subsequent as-of question into a range predicate — the
+    slowly-changing-dimension table warehouses build from CDC streams,
+    and the form a time-travel join against a 10^12-row history wants
+    (valid_from <= T < coalesce(valid_to, inf) is sargable; parquet
+    min/max stats prune whole files per T).
+
+    valid_to is the NEXT version's timestamp (NULL while current —
+    half-open, so same-instant re-edits yield zero-length windows,
+    matching time_filter's is_visible_at rule that such versions are
+    never visible at any instant). A tombstone (visible=false) still
+    OPENS an interval — is_delete marks it; "visible at T" remains
+    valid_from <= T < valid_to AND NOT is_delete, exactly
+    DiffObject::is_visible_at.
+
+    Scale shape: ONE window function over (type, id) — the same
+    exchange time_filter already pays, paid once instead of per query;
+    no join, no UDF, no second shuffle (the flags are column math over
+    the lead).
+    """
+    w = Window.partitionBy("type", "id").orderBy("version")
+    nxt = F.lead("ts").over(w)
+    return history.select(
+        "type",
+        "id",
+        "version",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        (~F.col("visible")).alias("is_delete"),
+    )
+
+
 def apply_changes(
     base: DataFrame,
     changes: list[DataFrame],

@@ -1019,6 +1019,120 @@ def way_area_centroid(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+DEG2RAD = 0.017453292519943295  # pi/180 as the shared double literal
+
+# 1/3!..1/13! with alternating signs — the odd Taylor coefficients of
+# sin past the leading x, as exact double literals shared with the SQL
+# twin (sin_poly_sql).
+SIN_POLY_COEFFS = (
+    -0.16666666666666666,      # -1/6
+    0.008333333333333333,      # 1/120
+    -0.0001984126984126984,    # -1/5040
+    2.7557319223985893e-06,    # 1/362880
+    -2.505210838544172e-08,    # -1/39916800
+    1.6059043836821613e-10,    # 1/6227020800
+)
+
+
+def sin_poly(x: Column) -> Column:
+    """Degree-13 odd Taylor sine in Horner form — a pure-IEEE
+    reproducible sine for |x| <= pi/2 (max error ~7e-10 at the poles):
+    identical multiplies/adds with identical literals produce
+    bit-identical doubles in every IEEE engine, which builtin sin()
+    does not (JVM vs libm differ at ulp level)."""
+    x2 = x * x
+    acc = F.lit(SIN_POLY_COEFFS[-1])
+    for coef in reversed(SIN_POLY_COEFFS[:-1]):
+        acc = F.lit(coef) + x2 * acc
+    return x * (F.lit(1.0) + x2 * acc)
+
+
+def sin_poly_sql(x: str) -> str:
+    """DuckDB twin of sin_poly — same Horner order, same literals
+    (CAST AS DOUBLE so no literal lands in DECIMAL arithmetic)."""
+    x2 = f"(({x})*({x}))"
+    acc = f"CAST({SIN_POLY_COEFFS[-1]!r} AS DOUBLE)"
+    for coef in reversed(SIN_POLY_COEFFS[:-1]):
+        acc = f"(CAST({coef!r} AS DOUBLE) + {x2}*{acc})"
+    return f"(({x}) * (1.0 + {x2}*{acc}))"
+
+
+def way_area_geodesic(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Spherical (geodesic) ring area per way:
+    (id, n_nodes, area_m2, is_ccw_sph).
+
+    way_area_centroid gives the EXACT planar fixed-point area — the
+    reference's own orientation frame (area::detail CCW test). On the
+    sphere that planar value distorts by cos(lat): a building footprint
+    at lat 60 reads 2x small. This is the meters-true companion, the
+    same relationship way_length_m has to planar dist2: the spherical
+    polygon area by the line-integral formula of Chamberlain & Duquette
+    2007 (JPL Publication 07-3, "Some algorithms for polygons on a
+    sphere"; the formula GIS engines ship publicly):
+
+        total = sum over directed edges (lam2 - lam1) *
+                                        (2 + sin(phi1) + sin(phi2))
+        area  = |total| * R^2 / 2      (sign = orientation)
+
+    folded SEQUENTIALLY in ref order (deterministic left fold — float
+    addition is order-sensitive; a shuffle-order sum would not replay
+    bit-identically), with the closing edge last->first added
+    explicitly (closed rings contribute a zero term there, so open and
+    closed inputs need no branch).
+
+    Cross-engine bit-exactness: builtin sin()/radians() are NOT
+    reproducible between engines (JVM Math.sin vs libm differ at ulp
+    level; Math.toRadians computes x/180*pi while DuckDB computes
+    x*(pi/180)), and for continent-sized rings those ulps survive the
+    x R^2/2 scaling, while quantizing edge terms would destroy
+    small-ring precision instead. So the metric is DEFINED over a
+    pure-IEEE sine: the degree-13 odd Taylor polynomial in Horner
+    form (`sin_poly`, max error 7e-10 at the poles — far below any
+    analytic use of a ring area), with degrees->radians as one
+    multiply by the DEG2RAD literal. Every operation is then plain
+    IEEE +,*,fold in a fixed order with identical literals in both
+    engines, so the doubles match bit-for-bit with NO rounding
+    anywhere. Unresolved refs propagate NULL; rings with fewer than 3
+    resolved coords are dropped.
+
+    Scale shape: identical to way_length_m — locations_join is the one
+    corpus-sized exchange pair; the fold is a codegen'd higher-order
+    function over per-way arrays, zero extra shuffle, no UDF.
+    """
+    from .similarity import EARTH_RADIUS_M, FIXED_POINT
+
+    joined = locations_join(ways, nodes).filter(F.size("coords") >= 3)
+    c = F.col("coords")
+    fx = float(FIXED_POINT)
+
+    def term(p, q) -> Column:
+        lam1 = (p["__lon"] / fx) * F.lit(DEG2RAD)
+        lam2 = (q["__lon"] / fx) * F.lit(DEG2RAD)
+        phi1 = (p["__lat"] / fx) * F.lit(DEG2RAD)
+        phi2 = (q["__lat"] / fx) * F.lit(DEG2RAD)
+        return (lam2 - lam1) * (F.lit(2.0) + sin_poly(phi1) + sin_poly(phi2))
+
+    def edge(i: Column) -> Column:
+        return term(F.element_at(c, i), F.element_at(c, i + F.lit(1)))
+
+    closing = term(F.element_at(c, F.size(c)), F.element_at(c, 1))
+    total = (
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + edge(i),
+        )
+        + closing
+    )
+    half_r2 = EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+    return joined.select(
+        "id",
+        F.size(c).cast("long").alias("n_nodes"),
+        (F.abs(total) * F.lit(half_r2)).alias("area_m2"),
+        F.when(total.isNotNull(), total < 0).alias("is_ccw_sph"),
+    )
+
+
 def _polyline_enc(d: Column) -> Column:
     """Encoded-polyline chunk string for ONE signed delta: zigzag to a
     non-negative int, 5-bit little-endian chunks, 0x20 continuation bit,

@@ -39,6 +39,66 @@ def resize_dims(w: Column, h: Column, max_side: int) -> tuple[Column, Column]:
     )
 
 
+def augment_crops(
+    images: DataFrame,
+    epoch: int,
+    min_scale_pct: int = 60,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Deterministic per-epoch augmentation parameters: a random-crop
+    rectangle + horizontal-flip decision per image —
+    (image_id, epoch, crop_x, crop_y, crop_w, crop_h, flip).
+
+    The vision-training counterpart of epoch_shuffle: every epoch each
+    image gets fresh augmentation draws, but with NO RNG state anywhere
+    — every draw is a pure function of (image_id, epoch), so a resumed
+    or re-run job (plans.CheckpointedPipeline) regenerates the
+    identical crops, and a worker crash never desynchronizes the
+    stream. The draws ride the same exact-integer 32-bit avalanche
+    family as sketches/epoch_shuffle (`_portable_h32` — wrap-free
+    products, ANSI-SQL twin, bit-identical in DuckDB), one independent
+    hash stream per parameter.
+
+    Draw semantics (all integer, no float anywhere):
+      scale_pct ~ uniform[min_scale_pct, 100]  (aspect-preserving)
+      crop_w/h  = max(1, floor(dim * scale_pct / 100))
+      crop_x    ~ uniform[0, w - crop_w]   (crop always in-bounds)
+      crop_y    ~ uniform[0, h - crop_h]
+      flip      ~ uniform{false, true}
+
+    Scale shape: a zero-shuffle projection — pure Column math appended
+    to the scan, exactly like text.py's one-scan metrics; pixel
+    application then rides the resize_images mapInPandas path (crop is
+    a slice of the decoded array) without any extra exchange because
+    the rect travels WITH the row.
+    """
+    if not 1 <= min_scale_pct <= 100:
+        raise ValueError(f"min_scale_pct must be in [1,100], got {min_scale_pct}")
+    from .sketches import P31, _portable_h32
+
+    def draw(stream: int) -> Column:
+        salt = ((epoch + 1) * 0x9E3779B1 + stream * 0x85EBCA6B) % P31
+        k = ((F.col(id_col).cast("long") % P31) + P31) % P31
+        return _portable_h32(k.bitwiseXOR(F.lit(salt)))
+
+    span = 101 - min_scale_pct
+    s_pct = F.lit(min_scale_pct) + draw(0) % span
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    crop_w = F.greatest(F.lit(1), F.floor(w * s_pct / 100).cast("long"))
+    crop_h = F.greatest(F.lit(1), F.floor(h * s_pct / 100).cast("long"))
+    return images.select(
+        F.col(id_col).alias("image_id"),
+        F.lit(epoch).cast("int").alias("epoch"),
+        (draw(1) % (w - crop_w + 1)).alias("crop_x"),
+        (draw(2) % (h - crop_h + 1)).alias("crop_y"),
+        crop_w.alias("crop_w"),
+        crop_h.alias("crop_h"),
+        (draw(3) % 2 == 1).alias("flip"),
+    )
+
+
 def resize_images(images: DataFrame, max_side: int) -> DataFrame:
     """Resize stage: Arrow-batched mapInPandas over the binary payload.
 

@@ -127,6 +127,86 @@ def rrf_fuse(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    max_df: int | None = None,
+    min_df: int = 1,
+    quantize: int = 6,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords:
+    (doc_id, term, tf, df, score, rank).
+
+    The corpus-keyword half of the retrieval family: bm25_topk scores
+    documents FOR a query; this scores terms FOR a document — the
+    keyword-extraction / topic-labeling primitive training-data
+    pipelines use for corpus inspection, cluster naming and
+    quality-stratified sampling (Salton & Buckley 1988 term weighting).
+
+    Scoring is classic tf·idf with the smooth idf both sklearn and
+    Lucene document publicly: idf = ln((1+N)/(1+df)) + 1 — strictly
+    positive, defined even for df = N. Scores are quantized (default
+    6 dp) BEFORE ranking so float summation order cannot flip near-tie
+    ranks between runs or against the SQL oracle; ties break by term
+    asc (deterministic total order).
+
+    Scale shape, and why it survives 100 TB: the postings build is the
+    one corpus-sized explode + hash aggregate (reusable via the
+    ``postings`` parameter — at scale the standing index from
+    build_postings is read back from parquet, not rebuilt). df-by-term
+    aggregates the postings to vocab size; the postings⋈df join is
+    term-keyed (vocab-sized build side — Spark's AQE broadcasts it
+    when it fits, else a plain shuffle join on a high-cardinality key
+    with no skew hazard since ``max_df`` caps the hottest terms). The
+    final per-doc top-k is row_number over (score desc, term asc)
+    filtered to rank<=k — Spark compiles it to WindowGroupLimit, so
+    each map task emits at most docs×k rows into the last exchange.
+
+    ``max_df`` drops terms in more than that many docs (stop-term cap,
+    same escape hatch as bm25_topk / ngram_jaccard_pairs); ``min_df``
+    drops hapax noise below the threshold.
+    """
+    if postings is None:
+        postings, _ = build_postings(docs, doc_id=doc_id, text=text)
+
+    n_docs = docs.select(F.col(doc_id)).distinct().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df_by_term = df_by_term.filter(F.col("df") <= F.lit(max_df))
+    if min_df > 1:
+        df_by_term = df_by_term.filter(F.col("df") >= F.lit(min_df))
+
+    scored = (
+        postings.join(df_by_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                quantize,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

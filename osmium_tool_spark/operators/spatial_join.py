@@ -769,3 +769,119 @@ def snap_points(
         F.col("m.dist2").alias("dist2"),
         F.col("m.t").alias("t"),
     )
+
+
+def dist_join(
+    points: DataFrame,
+    radius: int,
+    others: DataFrame | None = None,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Distance-band spatial join: every pair of points within `radius`
+    fixed-point units — (id_a, id_b, dist2). The all-pairs-within-r
+    primitive (co-location mining, duplicate-capture detection, spatial
+    autocorrelation neighborhoods) that complements the kNN family:
+    knn_cellring answers "the k nearest", this answers "everything
+    within r" with an exact integer predicate.
+
+    osmium-tool has no pairwise spatial join; this extends its
+    location-index machinery (SURVEY.md §2.4 spatial join family) the
+    same way snap_points does, over the shared fixed-point
+    equirectangular frame (planar distance; no antimeridian wrap —
+    documented contract of the planar cell ops).
+
+    Scale shape, and why it is never all-pairs: the cell resolution is
+    derived from the radius so one cell spans >= radius in both axes.
+    The left side emits ONE row per point (its own cell); the right
+    side emits its deduplicated clamped 3x3 neighbor ring (<=9 rows).
+    Any pair within r differs by <=1 cell per axis, so candidates meet
+    in EXACTLY the left point's cell — one equi-join on (ix, iy), no
+    ring re-probe, no second pass, and each surviving pair appears
+    exactly once (the ring is array_distinct-ed, so edge clamping
+    cannot double-emit). Candidate volume is sum over cells of
+    n_left(cell) x n_right(3x3 ring) — bounded by local density, not
+    corpus size. Dense-cell skew is AQE's skew-join case; at planet
+    hotspots pre-split with salt_column (operators/skew.py).
+
+    Exactness: the predicate is integer math end-to-end — |dx|,|dy|
+    <= radius pre-filter (which also bounds the squares away from
+    int64 overflow: radius <= 1.8e9 keeps dx^2+dy^2 < 6.5e18), then
+    dx*dx + dy*dy <= radius*radius in long arithmetic. `dist2` is the
+    exact squared planar distance; callers take sqrt only for display.
+
+    Self-join mode (others=None) returns each unordered pair once
+    (id_a < id_b, self-pairs excluded); two-frame mode returns every
+    (points.id, others.id) pair within r.
+    """
+    if radius <= 0:
+        raise ValueError(f"dist_join: radius must be positive, got {radius}")
+    if radius > _LAT_SPAN:
+        raise ValueError(f"dist_join: radius {radius} exceeds the domain")
+    import math as _math
+
+    res = min(30, max(0, int(_math.floor(_math.log2(_LAT_SPAN / radius)))))
+    n = 1 << res
+
+    def _cells(df: DataFrame, side: str, ring: bool) -> DataFrame:
+        from ..functions.cells import _ix, _iy
+
+        base = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(lon_col).cast("long").alias(f"lon_{side}"),
+            F.col(lat_col).cast("long").alias(f"lat_{side}"),
+            _ix(F.col(lon_col), res).alias("cx"),
+            _iy(F.col(lat_col), res).alias("cy"),
+        )
+        if not ring:
+            return base.withColumnRenamed("cx", "jx").withColumnRenamed("cy", "jy")
+        offs = F.array_distinct(
+            F.array(
+                *[
+                    F.struct(
+                        F.greatest(
+                            F.lit(0),
+                            F.least(F.lit(n - 1), F.col("cx") + dx),
+                        ).alias("jx"),
+                        F.greatest(
+                            F.lit(0),
+                            F.least(F.lit(n - 1), F.col("cy") + dy),
+                        ).alias("jy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        )
+        return base.select(
+            f"id_{side}", f"lon_{side}", f"lat_{side}", F.explode(offs).alias("c")
+        ).select(
+            f"id_{side}",
+            f"lon_{side}",
+            f"lat_{side}",
+            F.col("c.jx").alias("jx"),
+            F.col("c.jy").alias("jy"),
+        )
+
+    left = _cells(points, "a", ring=False)
+    right = _cells(points if others is None else others, "b", ring=True)
+    cand = left.join(right, ["jx", "jy"])
+    if others is None:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    r = int(radius)
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (F.col("lon_a") - F.col("lon_b")).alias("dx"),
+            (F.col("lat_a") - F.col("lat_b")).alias("dy"),
+        )
+        .filter((F.abs(F.col("dx")) <= r) & (F.abs(F.col("dy")) <= r))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("dist2"),
+        )
+        .filter(F.col("dist2") <= F.lit(r * r))
+    )

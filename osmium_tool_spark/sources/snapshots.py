@@ -295,6 +295,84 @@ class SnapshotTable:
             return spark.createDataFrame([], schema=_schema_of(self.manifest(to)))
         return spark.read.parquet(*[os.path.join(self.root, f) for f in new])
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str] | str,
+        when_matched: str = "update",
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO the current snapshot (Iceberg/SQL MERGE, copy-on-
+        write): source rows whose key matches a target row UPDATE it
+        (replace the whole row) or DELETE it (`when_matched="delete"`);
+        source rows with no match INSERT (unless
+        `insert_not_matched=False`); target rows with no match carry
+        over unchanged. Commits one new snapshot (operation "merge");
+        old snapshots stay readable — time travel across a merge works
+        like any other commit.
+
+        MERGE requires the source keys to be unique (the SQL standard's
+        cardinality rule, which Iceberg enforces as "a row may not be
+        updated by multiple source rows"): enforced here with one
+        delta-sized aggregate that raises before anything is written.
+
+        Scale shape: the rewrite is ONE target scan + an anti semi-join
+        against the source keys — the source is the delta (orders of
+        magnitude smaller than the table), so AQE broadcasts the key
+        side and the target never shuffles. Copy-on-write rewrites the
+        whole content into the new snapshot's files (the Iceberg COW
+        table mode); with `stats_cols` manifest pruning a production
+        merge-on-read variant would rewrite only matched files — the
+        semantics committed here are identical.
+        """
+        keys = [on] if isinstance(on, str) else list(on)
+        if not keys:
+            raise ValueError("merge_into: empty key list")
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"merge_into: when_matched must be update|delete, got {when_matched!r}"
+            )
+        from pyspark.sql import functions as F
+
+        dups = (
+            source.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dups:
+            raise ValueError(
+                f"merge_into: source has duplicate keys, e.g. "
+                f"{tuple(dups[0][k] for k in keys)}"
+            )
+        target = self.read(spark)
+        if set(source.columns) != set(target.columns):
+            raise ValueError(
+                f"merge_into: source columns {sorted(source.columns)} != "
+                f"target columns {sorted(target.columns)}"
+            )
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        if when_matched == "update":
+            incoming = (
+                source
+                if insert_not_matched
+                else source.join(target.select(*keys), keys, "left_semi")
+            )
+        else:  # delete
+            incoming = (
+                source.join(target.select(*keys), keys, "left_anti")
+                if insert_not_matched
+                else None
+            )
+        merged = (
+            kept.unionByName(incoming.select(*target.columns))
+            if incoming is not None
+            else kept
+        )
+        return self._commit(spark, merged, "merge", [])
+
     # --- maintenance -----------------------------------------------------
     def expire(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last `keep_last` snapshots; delete data
