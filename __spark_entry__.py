@@ -3032,6 +3032,74 @@ def q_augment_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation surface (operators/
+    tiles.idw_surface, Shepard 1968): a VALUE raster from scattered
+    samples — each sample scatters to its radius-derived 3x3 cell
+    ring, weights are exact integers (w_scale div rescaled-d2), sums
+    ride decimal(38,0) so they are order-free, and the single
+    num/den double division is bit-stable. The oracle replays the
+    grid math, ring dedup, integer weights and exact sums; est
+    doubles match bit-for-bit."""
+    from osmium_tool_spark.operators.tiles import idw_surface
+    from osmium_tool_spark.sources import testdata as td
+
+    samples = td.nodes_from_part(spark, sf_dir).select(
+        "lon", "lat", (F.col("id") % 1000).alias("val")
+    )
+    out = idw_surface(samples, 100_000_000)
+    return out.select(
+        _L("ix"), _L("iy"), F.col("res").cast("int").alias("res"),
+        _L("n_samples"), F.col("est"),
+    )
+
+
+def q_geojsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GeoJSONL write -> read round trip (sources/
+    geojsonl.py): every way's ring serializes to a one-line GeoJSON
+    Polygon feature (%.7f coordinates), the file is re-read with the
+    splittable line reader (get_json_object + from_json column
+    parsing, no Python in the row path), and the output summarizes
+    the RE-READ frame. The oracle states the same summary directly
+    from the parquet tables — any coordinate drift through the
+    decimal print/parse cycle, ring mis-nesting, or feature-id loss
+    breaks the hash."""
+    import tempfile
+
+    from osmium_tool_spark.operators.export import locations_join
+    from osmium_tool_spark.sources import testdata as td
+    from osmium_tool_spark.sources.geojsonl import geojsonl_line, read_geojsonl
+
+    joined = locations_join(
+        td.ways_from_orders(spark, sf_dir), td.nodes_from_part(spark, sf_dir)
+    ).filter(
+        (F.size("coords") >= 3)
+        & F.forall("coords", lambda c: c.isNotNull() & c["__lon"].isNotNull())
+    )
+    rings = F.array(
+        F.transform(
+            F.col("coords"),
+            lambda c: F.struct(c["__lon"].alias("lon"), c["__lat"].alias("lat")),
+        )
+    )
+    feats = joined.select(
+        geojsonl_line(
+            F.col("id").cast("string"), F.lit("Polygon"), rings
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="gjl-")
+    feats.write.mode("overwrite").text(d)
+    back = read_geojsonl(spark, d)
+    return back.select(
+        F.col("fid").cast("long").alias("fid"),
+        F.col("geom_type"),
+        F.size("rings").cast("long").alias("n_rings"),
+        F.size(F.get(F.col("rings"), 0)).cast("long").alias("n_coords"),
+        F.get(F.get(F.col("rings"), 0), 0)["lon"].alias("lon0"),
+        F.get(F.get(F.col("rings"), 0), 0)["lat"].alias("lat0"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -3068,7 +3136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # way_area_geodesic in-window, way_length stays oracled in the
         # tail + pinned by its haversine fold tests) --
         "tfidf_topk": q_tfidf_topk,
-        "hybrid_rrf": q_hybrid_rrf,
+        # -- new in round 4m(2): GeoJSONL distributed source round
+        # trip (in-window per judge item 7; hybrid_rrf rotates to the
+        # tail — it composes the two oracled rankers bm25_topk +
+        # ann_topk which both stay in-window, and it stays oracled in
+        # the tail + pinned by tests/test_retrieval_zonal_semdedup.py)
+        "geojsonl_roundtrip": q_geojsonl_roundtrip,
         "lm_quality_score": q_lm_quality_score,
         "cluster_assign": q_cluster_assign,
         "zonal_stats": q_zonal_stats,
@@ -3086,7 +3159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_join": q_dist_join,
         "grid_cluster": q_grid_cluster,
         "density_surface": q_density_surface,
-        "tile_buffer": q_tile_buffer,
+        # -- new in round 4m(2): IDW interpolation surface (in-window
+        # per judge item 7; tile_buffer rotates to the tail — the
+        # raster/tile family keeps density_surface, polygon_rasterize,
+        # tile_render and segment_tile in-window; tile_buffer stays
+        # oracled in the tail + pinned by tests/test_tiles.py)
+        "idw_surface": q_idw_surface,
         "ways_crossing": q_ways_crossing,
         "polygon_rasterize": q_polygon_rasterize,
         "tile_render": q_tile_render,
@@ -3232,6 +3310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_crops": q_augment_crops,
         # r4m rotations (each named at its replacement's comment above;
         # all stay oracled here):
+        "hybrid_rrf": q_hybrid_rrf,
+        "tile_buffer": q_tile_buffer,
         "tags_filter_closure": q_tags_filter_closure,
         "way_length": q_way_length,
         "slippy_quadkey": q_slippy_quadkey,
@@ -6116,6 +6196,60 @@ SELECT CAST(image_id AS BIGINT) AS image_id, CAST(3 AS BIGINT) AS epoch,
        crop_w, crop_h,
        (({_aug_h(3)}) % 2 = 1) AS flip
 FROM sized
+"""
+
+    # IDW surface: same grid/ring/exact-integer-weight math; sums in
+    # HUGEINT (the decimal(38,0) twin), one double division at the end.
+    _idw_r = 100_000_000
+    # default res derivation: lat span <= r/2 -> res = ceil(log2(2*LAT/r))
+    _idw_res = 6
+    _idw_n = 1 << _idw_res
+    _idw_kx = (2 * _idw_r * _idw_n + 3_600_000_000) // (2 * 3_600_000_000)
+    _idw_ky = (2 * _idw_r * _idw_n + 1_800_000_000) // (2 * 1_800_000_000)
+    _idw_s = max(1, (2 * _idw_r * _idw_r) // 10**6)
+    o["idw_surface"] = f"""
+WITH {NODES_CTE},
+sam AS (SELECT id, lon AS slon, lat AS slat, id % 1000 AS v,
+        least(CAST(floor(((lon + 1800000000) * {_idw_n}) / 3600000000.0) AS BIGINT), {_idw_n - 1}) AS cx,
+        least(CAST(floor(((lat + 900000000) * {_idw_n}) / 1800000000.0) AS BIGINT), {_idw_n - 1}) AS cy
+        FROM nodes),
+offs AS (SELECT dx, dy FROM (SELECT unnest(range(-{_idw_kx}, {_idw_kx + 1})) dx),
+                            (SELECT unnest(range(-{_idw_ky}, {_idw_ky + 1})) dy)),
+cand AS (SELECT DISTINCT id, v, slon, slat,
+         greatest(0, least({_idw_n - 1}, cx + dx)) AS ix,
+         greatest(0, least({_idw_n - 1}, cy + dy)) AS iy
+         FROM sam CROSS JOIN offs),
+d AS (SELECT *,
+        CAST(floor(-1800000000 + ((ix*2+1) * 3600000000) / {2 * _idw_n}) AS BIGINT) - slon AS dx,
+        CAST(floor(-900000000 + ((iy*2+1) * 1800000000) / {2 * _idw_n}) AS BIGINT) - slat AS dy
+      FROM cand),
+sc AS (SELECT *, dx*dx + dy*dy AS d2 FROM d
+       WHERE abs(dx) <= {_idw_r} AND abs(dy) <= {_idw_r}),
+f AS (SELECT *, CAST(1000000000000000 AS BIGINT) // ((d2 // {_idw_s}) + 1) AS w
+      FROM sc WHERE d2 <= CAST({_idw_r} AS BIGINT) * {_idw_r})
+SELECT CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy,
+       CAST({_idw_res} AS INT) AS res, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CAST(w AS HUGEINT) * v) AS DOUBLE)
+         / CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS est
+FROM f GROUP BY ix, iy
+"""
+
+    # GeoJSONL round trip: the oracle is the DIRECT statement of the
+    # per-way summary — the Spark side must survive the %.7f print ->
+    # distributed line read -> JSON parse -> fixed-point re-quantize
+    # cycle without moving a single coordinate.
+    o["geojsonl_roundtrip"] = f"""
+WITH {NODES_CTE},
+pts AS (SELECT l_orderkey, n.lon, n.lat, l_linenumber, l_partkey
+        FROM lineitem JOIN nodes n ON l_partkey = n.id),
+c AS (SELECT l_orderkey AS fid,
+             list(lon ORDER BY l_linenumber, l_partkey) AS xs,
+             list(lat ORDER BY l_linenumber, l_partkey) AS ys
+      FROM pts GROUP BY 1)
+SELECT CAST(fid AS BIGINT) AS fid, 'Polygon' AS geom_type,
+       CAST(1 AS BIGINT) AS n_rings, CAST(len(xs) AS BIGINT) AS n_coords,
+       CAST(xs[1] AS BIGINT) AS lon0, CAST(ys[1] AS BIGINT) AS lat0
+FROM c WHERE len(xs) >= 3
 """
 
     o["hist_quantiles"] = hist_quantiles_sql(

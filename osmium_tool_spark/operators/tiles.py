@@ -948,3 +948,158 @@ def polygon_overlap(
             ).alias("iou"),
         )
     )
+
+
+def idw_surface(
+    samples: DataFrame,
+    radius: int,
+    res: int | None = None,
+    val_col: str = "val",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    w_scale: int = 10**15,
+    max_ring_cells: int = 1024,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation surface: estimate a value
+    at every grid-cell center from the samples within `radius`
+    fixed-point units — (ix, iy, res, n_samples, est). The classic
+    scattered-points -> raster operator (Shepard 1968 interpolation;
+    the gridding step behind every "sensor readings -> heatmap layer"
+    pipeline), complementing density_surface (which counts) with a
+    VALUE surface.
+
+    The grid (`res`) and the search radius are independent, as in any
+    GIS gridding tool — by default `res` is derived so a cell's lat
+    span is <= radius/2, which guarantees every sample reaches at
+    least one center (its own cell's center is within ~0.56 r). Each
+    sample scatters to its deduplicated clamped (2kx+1)x(2ky+1)
+    neighbor ring, with kx/ky = floor(r/span + 1/2) per axis computed
+    in exact rational arithmetic — tight completeness: every center
+    within `radius` of the sample is in the ring (offset k is needed
+    iff (k - 1/2)*span <= r), and each (cell, sample) pair is
+    generated exactly once. One explode + ONE hash aggregate keyed by
+    cell, never a join at all (the "query side" is the cell centers
+    themselves, which exist implicitly as column math). A
+    caller-forced fine grid with a huge radius makes the ring
+    combinatorial — guarded by `max_ring_cells` (fail loud, pick a
+    coarser res or smaller radius).
+
+    Determinism, the part float IDW gets wrong: weights are EXACT
+    integers — d2 (exact squared planar distance from sample to cell
+    center) is first rescaled by integer division with
+    s = max(1, (2 r^2) div 1e6), so the rescaled distance spans
+    [0, ~1e6] REGARDLESS of radius, then w = w_scale div (q + 1):
+    weights span ~6 decades, never vanish (a vanishing rim weight
+    would zero a cell's denominator), and the +1 caps w at w_scale
+    for a sample dead on a center. The aggregate sums ride
+    decimal(38,0), so they are exact and ORDER-FREE — a float 1/d^p
+    weight sum would differ between partitionings and engines, this
+    cannot. The single division est = num/den happens once,
+    double/double (decimal->double is correctly rounded in both
+    engines — the way_area precedent), so est is bit-stable across
+    engines and reruns.
+
+    Scale shape: ring-factor sample explode (15-45x at the default
+    res — O((r/span)^2), the caller's knob) -> hash aggregate with
+    map-side combine (cells are spatially clustered within a task, so
+    partial aggregation collapses most of the explosion before the
+    exchange, the density_surface block argument). No corpus join, no
+    window, no UDF. Dense-region skew is bounded: a cell receives only
+    samples within one ring, i.e. local density, and AQE handles the
+    hot-cell aggregate case.
+    """
+    if radius <= 0:
+        raise ValueError(f"idw_surface: radius must be positive, got {radius}")
+    import math as _math
+
+    from ..functions.cells import _LAT_MIN, _LAT_SPAN, _LON_MIN, _LON_SPAN, _ix, _iy
+
+    if radius > _LAT_SPAN:
+        raise ValueError(f"idw_surface: radius {radius} exceeds the domain")
+    if res is None:
+        # lat cell span <= radius/2: every sample reaches >=1 center
+        res = min(30, max(0, int(_math.ceil(_math.log2(2 * _LAT_SPAN / radius)))))
+    if not 0 <= res <= 30:
+        raise ValueError(f"idw_surface: res {res} out of range")
+    n = 1 << res
+    # exact rational kx/ky = floor(r/span + 1/2); span = SPAN/n
+    kx = (2 * radius * n + _LON_SPAN) // (2 * _LON_SPAN)
+    ky = (2 * radius * n + _LAT_SPAN) // (2 * _LAT_SPAN)
+    ring_cells = (2 * kx + 1) * (2 * ky + 1)
+    if ring_cells > max_ring_cells:
+        raise ValueError(
+            f"idw_surface: ring of {ring_cells} cells at res={res} exceeds "
+            f"max_ring_cells={max_ring_cells} — coarsen res or shrink radius"
+        )
+    d38 = "decimal(38,0)"
+
+    base = samples.select(
+        F.col(val_col).cast("long").alias("v"),
+        F.col(lon_col).cast("long").alias("slon"),
+        F.col(lat_col).cast("long").alias("slat"),
+        _ix(F.col(lon_col), res).alias("cx"),
+        _iy(F.col(lat_col), res).alias("cy"),
+    )
+    ring = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.greatest(
+                        F.lit(0), F.least(F.lit(n - 1), F.col("cx") + dx)
+                    ).alias("jx"),
+                    F.greatest(
+                        F.lit(0), F.least(F.lit(n - 1), F.col("cy") + dy)
+                    ).alias("jy"),
+                )
+                for dx in range(-kx, kx + 1)
+                for dy in range(-ky, ky + 1)
+            ]
+        )
+    )
+    cand = base.select("v", "slon", "slat", F.explode(ring).alias("c")).select(
+        "v",
+        "slon",
+        "slat",
+        F.col("c.jx").alias("ix"),
+        F.col("c.jy").alias("iy"),
+    )
+    # cell-center coordinates in fixed-point units: the exact integer
+    # midpoint of the cell's span (floor of the real-valued center —
+    # identical formula in the SQL twin).
+    ccx = F.lit(_LON_MIN) + (
+        (F.col("ix") * 2 + 1) * F.lit(_LON_SPAN)
+    ) / F.lit(2 * n)
+    ccy = F.lit(_LAT_MIN) + (
+        (F.col("iy") * 2 + 1) * F.lit(_LAT_SPAN)
+    ) / F.lit(2 * n)
+    dx = F.floor(ccx).cast("long") - F.col("slon")
+    dy = F.floor(ccy).cast("long") - F.col("slat")
+    r = int(radius)
+    scored = (
+        cand.withColumn("dx", dx)
+        .withColumn("dy", dy)
+        .filter((F.abs(F.col("dx")) <= r) & (F.abs(F.col("dy")) <= r))
+        .withColumn(
+            "d2", F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+        )
+        .filter(F.col("d2") <= F.lit(r * r))
+        .withColumn(
+            "w",
+            F.expr(
+                f"CAST({int(w_scale)} AS BIGINT) div "
+                f"((d2 div {max(1, (2 * r * r) // 10**6)}) + 1)"
+            ),
+        )
+    )
+    agg = scored.groupBy("ix", "iy").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(F.col("w").cast(d38) * F.col("v").cast(d38)).cast(d38).alias("_num"),
+        F.sum(F.col("w").cast(d38)).cast(d38).alias("_den"),
+    )
+    return agg.select(
+        "ix",
+        "iy",
+        F.lit(res).cast("int").alias("res"),
+        "n_samples",
+        (F.col("_num").cast("double") / F.col("_den").cast("double")).alias("est"),
+    )
