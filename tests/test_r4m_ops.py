@@ -254,3 +254,61 @@ def test_augment_crops_full_scale_identity_possible(spark):
 def test_augment_crops_bad_pct(spark):
     with pytest.raises(ValueError, match="min_scale_pct"):
         augment_crops(_imgs(spark), epoch=0, min_scale_pct=0)
+
+
+# ----------------------------------------------------- property coverage
+def test_sin_poly_error_bound():
+    """sin_poly stays within 7e-10 of true sin over [-pi/2, pi/2] —
+    pure numpy check of the degree-13 Taylor bound the geodesic-area
+    docstring claims (no Spark needed)."""
+    import numpy as np
+
+    from osmium_tool_spark.operators.export import SIN_POLY_COEFFS
+
+    x = np.linspace(-math.pi / 2, math.pi / 2, 200001)
+    x2 = x * x
+    acc = np.full_like(x, SIN_POLY_COEFFS[-1])
+    for c in reversed(SIN_POLY_COEFFS[:-1]):
+        acc = c + x2 * acc
+    approx = x * (1.0 + x2 * acc)
+    assert float(np.max(np.abs(approx - np.sin(x)))) < 7e-10
+
+
+def test_dist_join_hypothesis_bruteforce(spark):
+    """Randomized completeness/exactness: arbitrary point sets and
+    radii across cell resolutions == O(n^2) brute force."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    coord = st.tuples(
+        st.integers(min_value=-1_800_000_000, max_value=1_799_999_999),
+        st.integers(min_value=-900_000_000, max_value=899_999_999),
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(coord, min_size=2, max_size=25),
+        radius=st.sampled_from(
+            [1_000, 5_000_000, 87_654_321, 400_000_000, 1_800_000_000]
+        ),
+    )
+    def check(pts, radius):
+        rows = [(i, lo, la) for i, (lo, la) in enumerate(pts)]
+        got = {
+            (r.id_a, r.id_b, r.dist2)
+            for r in dist_join(_points(spark, rows), radius).collect()
+        }
+        want = set()
+        for i, (xa, ya) in enumerate(pts):
+            for j in range(i + 1, len(pts)):
+                xb, yb = pts[j]
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= radius * radius:
+                    want.add((i, j, d2))
+        assert got == want
+
+    check()
