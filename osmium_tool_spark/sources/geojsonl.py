@@ -67,10 +67,10 @@ def _ring(coords: Column) -> Column:
     )
 
 
-def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Read a newline-delimited GeoJSON feature file distributed; see
-    module docstring for the normalized schema."""
-    raw = spark.read.text(path).filter(F.trim("value") != "")
+def _normalize(raw: DataFrame) -> DataFrame:
+    """One-feature-JSON-per-row `value` column -> the normalized schema
+    (shared by the distributed line reader and the FeatureCollection
+    fallback, so both produce byte-identical frames)."""
     gtype = F.get_json_object("value", "$.geometry.type")
     gcoords = F.get_json_object("value", "$.geometry.coordinates")
 
@@ -103,7 +103,7 @@ def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
             F.transform(rings, lambda _: F.lit(0).cast("int")),
         )
     )
-    return raw.select(
+    return raw.filter(F.trim("value") != "").select(
         F.get_json_object("value", "$.id").alias("fid"),
         F.when(
             gtype.isin("Point", "LineString", "Polygon", "MultiPolygon"), gtype
@@ -114,6 +114,14 @@ def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
             F.get_json_object("value", "$.properties"), "map<string,string>"
         ).alias("properties"),
     )
+
+
+def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a newline-delimited GeoJSON feature file distributed; see
+    module docstring for the normalized schema. `.gz`/`.bz2` suffixed
+    files decompress transparently (Hadoop codec-by-extension — at the
+    cost of splittability, the usual compressed-text trade)."""
+    return _normalize(spark.read.text(path))
 
 
 def geojsonl_line(
@@ -200,3 +208,51 @@ def geojsonl_line(
         coords,
         props,
     )
+
+
+def read_geojson_collection(
+    spark: SparkSession,
+    path: str,
+    max_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Plain single-document GeoJSON FeatureCollection reader — the
+    format users actually have on disk before anyone re-shards it.
+
+    A FeatureCollection is ONE json document; there is no line
+    structure to split, so (exactly like the o5m reader's documented
+    constraint, sources/o5m.py) this parses driver-side behind a size
+    guard and fails loud past it: at corpus scale the answer is "store
+    features line-delimited" (read_geojsonl), not a silent
+    driver-memory gamble. The parsed features re-enter the engine
+    through the SAME normalization path: each feature re-serializes to
+    its compact single-line JSON and the result is handed to the
+    distributed column parser, so both readers produce byte-identical
+    frames and every downstream test covers both.
+    """
+    import json
+    import os
+
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"read_geojson_collection: {path} is {size} bytes "
+            f"(> {max_bytes}); a single-document FeatureCollection is "
+            "not splittable — convert to line-delimited GeoJSON and use "
+            "read_geojsonl"
+        )
+    opener = open
+    if path.endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    with opener(path, "rt") as f:
+        doc = json.load(f)
+    if doc.get("type") != "FeatureCollection" or "features" not in doc:
+        raise ValueError(
+            f"read_geojson_collection: {path} is not a FeatureCollection"
+        )
+    lines = [
+        (json.dumps(feat, separators=(",", ":")),) for feat in doc["features"]
+    ]
+    tmp = spark.createDataFrame(lines or [("",)], "value string")
+    return _normalize(tmp)

@@ -173,3 +173,56 @@ def test_geojsonl_negative_and_seven_decimals_exact(spark):
            for r in df.collect()}
     for i, v in enumerate(vals):
         assert got[i] == (v, -(v // 2))
+
+
+def test_geojson_collection_matches_lines(spark):
+    """FeatureCollection fallback produces the identical frame the
+    distributed line reader produces for the same features."""
+    import json
+
+    feats = [json.loads(x) for x in FEATURES[:4]]
+    d = tempfile.mkdtemp(prefix="gjc-")
+    p = os.path.join(d, "fc.geojson")
+    with open(p, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    from osmium_tool_spark.sources.geojsonl import read_geojson_collection
+
+    a = sorted(map(str, read_geojson_collection(spark, p).collect()))
+    b = sorted(map(str, read_geojsonl(spark, _write(FEATURES[:4])).collect()))
+    assert a == b
+
+
+def test_geojson_collection_size_guard(spark):
+    from osmium_tool_spark.sources.geojsonl import read_geojson_collection
+
+    p = _write(FEATURES[:1])
+    with pytest.raises(ValueError, match="not splittable"):
+        read_geojson_collection(spark, p, max_bytes=10)
+    with pytest.raises(ValueError, match="not a FeatureCollection"):
+        read_geojson_collection(spark, p)  # ndjson, not a collection
+
+
+def test_geojson_collection_gz(spark):
+    import gzip
+    import json
+
+    feats = [json.loads(x) for x in FEATURES[:2]]
+    d = tempfile.mkdtemp(prefix="gjc-gz-")
+    p = os.path.join(d, "fc.geojson.gz")
+    with gzip.open(p, "wt") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    from osmium_tool_spark.sources.geojsonl import read_geojson_collection
+
+    assert read_geojson_collection(spark, p).count() == 2
+
+
+def test_geojsonl_gz_lines(spark):
+    """Compressed ndjson reads transparently (codec by extension)."""
+    import gzip
+
+    d = tempfile.mkdtemp(prefix="gjl-gz-")
+    p = os.path.join(d, "f.geojsonl.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(FEATURES) + "\n")
+    rows = {r.fid for r in read_geojsonl(spark, p).collect()}
+    assert rows == {"a1", None, "p", "mp", "bad"}
