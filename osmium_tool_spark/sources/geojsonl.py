@@ -256,3 +256,28 @@ def read_geojson_collection(
     ]
     tmp = spark.createDataFrame(lines or [("",)], "value string")
     return _normalize(tmp)
+
+
+def polygons_from_features(features: DataFrame) -> DataFrame:
+    """Adapt the normalized feature frame to the spatial_join polygon
+    contract: (poly_id, rings) with (x, y) ring structs — so a GeoJSON
+    feature layer plugs straight into build_polygon_cell_index /
+    spatial_join (the corpus-scale "which admin area contains each
+    image" join) with zero driver-side geometry handling. Keeps
+    Polygon and MultiPolygon features (a multipolygon's rings pool
+    into one even-odd geometry, the engine's multipolygon model —
+    functions/geometry.py ring pooling); drops everything else."""
+    return features.filter(
+        F.col("geom_type").isin("Polygon", "MultiPolygon")
+    ).select(
+        F.col("fid").alias("poly_id"),
+        F.transform(
+            F.col("rings"),
+            lambda ring: F.transform(
+                ring,
+                lambda p: F.struct(
+                    p["lon"].alias("x"), p["lat"].alias("y")
+                ),
+            ),
+        ).alias("rings"),
+    )

@@ -226,3 +226,25 @@ def test_geojsonl_gz_lines(spark):
         f.write("\n".join(FEATURES) + "\n")
     rows = {r.fid for r in read_geojsonl(spark, p).collect()}
     assert rows == {"a1", None, "p", "mp", "bad"}
+
+
+def test_geojsonl_feeds_spatial_join(spark):
+    """End-to-end composition: GeoJSON feature layer -> spatial_join.
+    A unit square and a disjoint square classify points correctly."""
+    from osmium_tool_spark.operators.spatial_join import spatial_join
+    from osmium_tool_spark.sources.geojsonl import polygons_from_features
+
+    feats = [
+        '{"type":"Feature","id":"sq1","geometry":{"type":"Polygon",'
+        '"coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]},"properties":{}}',
+        '{"type":"Feature","id":"sq2","geometry":{"type":"Polygon",'
+        '"coordinates":[[[5,5],[6,5],[6,6],[5,6],[5,5]]]},"properties":{}}',
+    ]
+    polys = polygons_from_features(read_geojsonl(spark, _write(feats)))
+    pts = spark.createDataFrame(
+        [(1, 5_000_000, 5_000_000),    # inside sq1
+         (2, 55_000_000, 55_000_000),  # inside sq2
+         (3, 30_000_000, 30_000_000)], # inside neither
+        "id long, lon long, lat long")
+    got = {(r.poly_id, r.id) for r in spatial_join(pts, polys).collect()}
+    assert got == {("sq1", 1), ("sq2", 2)}
