@@ -70,7 +70,11 @@ def _ring(coords: Column) -> Column:
 def _normalize(raw: DataFrame) -> DataFrame:
     """One-feature-JSON-per-row `value` column -> the normalized schema
     (shared by the distributed line reader and the FeatureCollection
-    fallback, so both produce byte-identical frames)."""
+    fallback, so both produce byte-identical frames). Leading RS bytes
+    (0x1E) are stripped, so RFC 8142 GeoJSON Text Sequences — including
+    this engine's own export `to_geojsonseq` output and the reference's
+    geojsonseq files — read back directly."""
+    raw = raw.withColumn("value", F.regexp_replace("value", "^\x1e+", ""))
     gtype = F.get_json_object("value", "$.geometry.type")
     gcoords = F.get_json_object("value", "$.geometry.coordinates")
 
