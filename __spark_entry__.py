@@ -3100,6 +3100,20 @@ def q_geojsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_way_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank over the way network (operators/
+    network.way_pagerank, 3 power iterations): rank div degree
+    contributions, damped integer update — every quantity exact, so
+    the per-node sums are order-free and the DuckDB oracle replays
+    the iterations bit-for-bit (the weighted-propagation archetype
+    completing the graph family next to components/BFS/Bellman-Ford)."""
+    from osmium_tool_spark.operators.network import way_pagerank
+    from osmium_tool_spark.sources import testdata as td
+
+    out = way_pagerank(td.ways_from_orders(spark, sf_dir), iters=3)
+    return out.select(_L("node_id"), _L("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gate records the FIRST 50 entries (dict order). Order
     # policy (round-2 verdict): queries that were past the window in r2
@@ -3308,6 +3322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracle.py at sf0.01 this round):
         "history_intervals": q_history_intervals,
         "augment_crops": q_augment_crops,
+        # (r4m(3): integer PageRank — graph family keeps
+        # network_components in-window; shortest/hop distance are
+        # verified tail siblings)
+        "way_rank": q_way_rank,
         # r4m rotations (each named at its replacement's comment above;
         # all stay oracled here):
         "hybrid_rrf": q_hybrid_rrf,
@@ -6250,6 +6268,27 @@ SELECT CAST(fid AS BIGINT) AS fid, 'Polygon' AS geom_type,
        CAST(1 AS BIGINT) AS n_rings, CAST(len(xs) AS BIGINT) AS n_coords,
        CAST(xs[1] AS BIGINT) AS lon0, CAST(ys[1] AS BIGINT) AS lat0
 FROM c WHERE len(xs) >= 3
+"""
+
+    # integer PageRank: unrolled 3-iteration twin of the exact integer
+    # power iteration (rank // deg contributions, damped integer update).
+    o["way_rank"] = """
+WITH pairs AS (
+  SELECT l_orderkey AS wid, l_partkey AS node,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem),
+e0 AS (SELECT node AS u, nxt AS v FROM pairs WHERE nxt IS NOT NULL AND node <> nxt),
+sym AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+adj AS (SELECT s.u, s.v, d.deg FROM sym s JOIN deg d USING (u)),
+r0 AS (SELECT u AS node_id, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+r1 AS (SELECT a.v AS node_id, 150000000000 + (85 * sum(r.rank // a.deg)) // 100 AS rank
+       FROM adj a JOIN r0 r ON a.u = r.node_id GROUP BY a.v),
+r2 AS (SELECT a.v AS node_id, 150000000000 + (85 * sum(r.rank // a.deg)) // 100 AS rank
+       FROM adj a JOIN r1 r ON a.u = r.node_id GROUP BY a.v),
+r3 AS (SELECT a.v AS node_id, 150000000000 + (85 * sum(r.rank // a.deg)) // 100 AS rank
+       FROM adj a JOIN r2 r ON a.u = r.node_id GROUP BY a.v)
+SELECT CAST(node_id AS BIGINT) AS node_id, CAST(rank AS BIGINT) AS rank FROM r3
 """
 
     o["hist_quantiles"] = hist_quantiles_sql(

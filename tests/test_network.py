@@ -153,3 +153,61 @@ class TestShortestDistance:
         src = spark.createDataFrame([(1,)], "node long")
         with _pt.raises(ValueError):
             shortest_distance(e, src, max_rounds=-1)
+
+
+class TestWayPagerank:
+    def _ways(self, spark, refs_lists):
+        return spark.createDataFrame(
+            [(i + 1, refs) for i, refs in enumerate(refs_lists)],
+            "id long, refs array<long>")
+
+    def test_star_graph_center_ranks_highest(self, spark):
+        from osmium_tool_spark.operators.network import way_pagerank
+
+        # star: center 1 connected to 2..5
+        ways = self._ways(spark, [[2, 1, 3], [4, 1, 5]])
+        ranks = {r.node_id: r.rank
+                 for r in way_pagerank(ways, iters=5).collect()}
+        assert len(ranks) == 5
+        center = ranks[1]
+        leaves = [ranks[i] for i in (2, 3, 4, 5)]
+        assert all(center > v for v in leaves)
+        assert len(set(leaves)) == 1  # symmetry: all leaves identical
+
+    def test_regular_graph_uniform(self, spark):
+        from osmium_tool_spark.operators.network import way_pagerank
+
+        # cycle of 4: every node degree 2 -> ranks identical and
+        # EXACTLY preserved by the integer update
+        ways = self._ways(spark, [[1, 2, 3, 4, 1]])
+        ranks = {r.node_id: r.rank
+                 for r in way_pagerank(ways, iters=3).collect()}
+        assert len(set(ranks.values())) == 1
+        # closed form: r = base + (85 * r') // 100 converges from 1e12
+        s = 10**12
+        r = s
+        for _ in range(3):
+            r = (s * 15) // 100 + (85 * r) // 100
+        assert ranks[1] == r
+
+    def test_deterministic_across_partitionings(self, spark):
+        from osmium_tool_spark.operators.network import way_pagerank
+
+        refs = [[(i * 7) % 50, (i * 13) % 50, (i * 29) % 50]
+                for i in range(2, 40)]
+        ways = self._ways(spark, refs)
+        a = sorted(map(tuple, way_pagerank(ways, iters=3).collect()))
+        b = sorted(map(tuple,
+                       way_pagerank(ways.repartition(7), iters=3).collect()))
+        assert a == b
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.network import way_pagerank
+
+        ways = self._ways(spark, [[1, 2]])
+        with _pytest.raises(ValueError, match="iters"):
+            way_pagerank(ways, iters=0)
+        with _pytest.raises(ValueError, match="damping"):
+            way_pagerank(ways, damping_num=100)
