@@ -74,6 +74,24 @@ def augment_crops(
     a slice of the decoded array) without any extra exchange because
     the rect travels WITH the row.
     """
+    cols = _augment_draw_cols(epoch, min_scale_pct, id_col, w_col, h_col)
+    return images.select(
+        F.col(id_col).alias("image_id"),
+        F.lit(epoch).cast("int").alias("epoch"),
+        *[v.alias(k) for k, v in cols.items()],
+    )
+
+
+def _augment_draw_cols(
+    epoch: int,
+    min_scale_pct: int,
+    id_col: str,
+    w_col: str,
+    h_col: str,
+) -> dict[str, Column]:
+    """The augment_crops draw columns keyed by output name (shared with
+    crop_images so the rect applied to pixels is bit-identical to the
+    one the parameter op reports)."""
     if not 1 <= min_scale_pct <= 100:
         raise ValueError(f"min_scale_pct must be in [1,100], got {min_scale_pct}")
     from .sketches import P31, _portable_h32
@@ -88,15 +106,91 @@ def augment_crops(
     w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
     crop_w = F.greatest(F.lit(1), F.floor(w * s_pct / 100).cast("long"))
     crop_h = F.greatest(F.lit(1), F.floor(h * s_pct / 100).cast("long"))
-    return images.select(
+    return {
+        "crop_x": draw(1) % (w - crop_w + 1),
+        "crop_y": draw(2) % (h - crop_h + 1),
+        "crop_w": crop_w,
+        "crop_h": crop_h,
+        "flip": draw(3) % 2 == 1,
+    }
+
+
+def crop_images(
+    images: DataFrame,
+    epoch: int,
+    min_scale_pct: int = 60,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """APPLY the per-epoch augmentation draws to real pixels: decode the
+    grayscale PNG payload with the from-spec codec (functions/png.py —
+    no image library), slice the crop rectangle, mirror when the flip
+    draw says so, re-encode — (image_id, epoch, w, h, crop_x, crop_y,
+    flip, bytes) where (w, h) are the crop dims and `bytes` is a valid
+    PNG of the augmented image.
+
+    The rect comes from the SAME draw columns augment_crops reports
+    (`_augment_draw_cols`), staged onto the row before the kernel, so
+    the pixel stage adds NO exchange — the Arrow-batched mapInPandas
+    rides the scan exactly like resize_images, but with real pixels
+    end-to-end (the crop is an array slice; flip is np.fliplr — both
+    exact, so the output is deterministic byte-for-byte and
+    checkpoint-replayable like every draw in this family)."""
+    staged = images.select(
         F.col(id_col).alias("image_id"),
         F.lit(epoch).cast("int").alias("epoch"),
-        (draw(1) % (w - crop_w + 1)).alias("crop_x"),
-        (draw(2) % (h - crop_h + 1)).alias("crop_y"),
-        crop_w.alias("crop_w"),
-        crop_h.alias("crop_h"),
-        (draw(3) % 2 == 1).alias("flip"),
+        F.col("bytes").alias("__png"),
+        *[
+            v.alias(f"__{k}")
+            for k, v in _augment_draw_cols(
+                epoch, min_scale_pct, id_col, "w", "h"
+            ).items()
+        ],
     )
+    from ..sources.images import _png_by_value
+
+    _png_by_value()
+    from ..functions import png as _png
+
+    decode, encode, luma = _png.decode, _png.encode_gray, _png.luma
+
+    def apply_crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "image_id": [], "epoch": [], "w": [], "h": [],
+                "crop_x": [], "crop_y": [], "flip": [], "bytes": [],
+            }
+            # itertuples mangles leading-underscore names; iterate the
+            # columns directly
+            cols = zip(
+                pdf["image_id"], pdf["epoch"], pdf["__png"],
+                pdf["__crop_x"], pdf["__crop_y"], pdf["__crop_w"],
+                pdf["__crop_h"], pdf["__flip"],
+            )
+            for iid, ep, png_b, x, y, cw, ch, flip in cols:
+                img = decode(bytes(png_b))
+                if img.ndim == 3:
+                    img = img[:, :, 0] if img.shape[2] == 1 else luma(img)
+                x, y, cw, ch = int(x), int(y), int(cw), int(ch)
+                sub = img[y:y + ch, x:x + cw]
+                if bool(flip):
+                    sub = np.fliplr(sub)
+                out["image_id"].append(iid)
+                out["epoch"].append(ep)
+                out["w"].append(cw)
+                out["h"].append(ch)
+                out["crop_x"].append(x)
+                out["crop_y"].append(y)
+                out["flip"].append(bool(flip))
+                out["bytes"].append(encode(np.ascontiguousarray(sub)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id long, epoch int, w int, h int, crop_x int, crop_y int, "
+        "flip boolean, bytes binary"
+    )
+    return staged.mapInPandas(apply_crop, schema=schema)
 
 
 def resize_images(images: DataFrame, max_side: int) -> DataFrame:
@@ -528,4 +622,50 @@ def alignment_filter(
     before training)."""
     return alignment_scores(pairs, img_vec_col, txt_vec_col, score_col).filter(
         F.col(score_col) >= min_score
+    )
+
+
+def png_pixel_checksums(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Exact integer pixel checksums of PNG payloads: passthrough of all
+    non-binary columns plus (px_sum, px_wsum) — the plain sum of pixel
+    values and the column-weighted sum sum(pixel * (x+1)). Together the
+    pair pins WHICH pixels a producing stage emitted and in WHAT
+    horizontal order (a mirrored crop keeps px_sum but flips px_wsum),
+    while staying pure integer arithmetic a SQL oracle can recompute
+    from the source pattern — the verification hook that lets real
+    pixel stages (crop_images, mosaic) be driver-gated end-to-end.
+    Arrow-batched mapInPandas with the from-spec codec shipped by
+    value; one pass, no shuffle."""
+    from ..sources.images import _png_by_value
+
+    _png_by_value()
+    from ..functions import png as _png
+
+    decode, luma = _png.decode, _png.luma
+    keep = [c for c in images.columns if c != bytes_col]
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {c: pdf[c] for c in keep}
+            ps, ws = [], []
+            for b in pdf[bytes_col]:
+                img = decode(bytes(b))
+                if img.ndim == 3:
+                    img = img[:, :, 0] if img.shape[2] == 1 else luma(img)
+                a = img.astype(np.int64)
+                ps.append(int(a.sum()))
+                ws.append(int((a * (np.arange(a.shape[1]) + 1)).sum()))
+            out["px_sum"] = ps
+            out["px_wsum"] = ws
+            yield pd.DataFrame(out)
+
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in images.schema.fields
+        if f.name != bytes_col
+    )
+    return images.mapInPandas(
+        sums, schema=f"{keep_schema}, px_sum long, px_wsum long"
     )

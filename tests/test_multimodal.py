@@ -88,3 +88,68 @@ def test_extract_features_chains_into_ann(imgs):
     for k in v:
         if k in v2:
             assert v[k] == v2[k]
+
+
+class TestCropImages:
+    def _imgs(self, spark, n=8, w=24, h=20):
+        from osmium_tool_spark.sources.images import encode_pattern_png_images
+
+        base = spark.createDataFrame(
+            [(i, (i * 37) % 256, w, h) for i in range(n)],
+            "image_id long, val int, w int, h int")
+        return encode_pattern_png_images(base)
+
+    def test_params_match_augment_crops(self, spark):
+        from osmium_tool_spark.operators.multimodal import (
+            augment_crops, crop_images)
+
+        imgs = self._imgs(spark)
+        got = {r.image_id: (r.crop_x, r.crop_y, r.w, r.h, r.flip)
+               for r in crop_images(imgs, epoch=5).collect()}
+        want = {r.image_id: (r.crop_x, r.crop_y, r.crop_w, r.crop_h, r.flip)
+                for r in augment_crops(
+                    imgs.select("image_id", "w", "h"), epoch=5).collect()}
+        assert got == want
+
+    def test_pixels_exact(self, spark):
+        import numpy as np
+
+        from osmium_tool_spark.functions import png as P
+        from osmium_tool_spark.operators.multimodal import crop_images
+
+        for r in crop_images(self._imgs(spark), epoch=3).collect():
+            img = P.decode(bytes(r.bytes))
+            img = img[:, :, 0] if img.ndim == 3 else img
+            val = (r.image_id * 37) % 256
+            exp = np.array(
+                [[(val * 31 + x * 7 + y * 13) % 256 for x in range(24)]
+                 for y in range(20)], dtype=np.uint8)
+            sub = exp[r.crop_y:r.crop_y + r.h, r.crop_x:r.crop_x + r.w]
+            if r.flip:
+                sub = np.fliplr(sub)
+            assert img.shape == (r.h, r.w)
+            assert np.array_equal(img, sub)
+
+    def test_full_scale_identity(self, spark):
+        from osmium_tool_spark.functions import png as P
+        from osmium_tool_spark.operators.multimodal import crop_images
+
+        imgs = self._imgs(spark, n=3)
+        src = {r.image_id: bytes(r.bytes) for r in imgs.collect()}
+        for r in crop_images(imgs, epoch=1, min_scale_pct=100).collect():
+            if not r.flip:
+                assert bytes(r.bytes) == src[r.image_id]  # byte identity
+
+    def test_checksums_flip_sensitive(self, spark):
+        """px_sum invariant under mirror; px_wsum not (for asymmetric
+        content) — the pair pins orientation."""
+        from osmium_tool_spark.operators.multimodal import (
+            crop_images, png_pixel_checksums)
+
+        imgs = self._imgs(spark, n=20)
+        out = png_pixel_checksums(crop_images(imgs, epoch=2)).collect()
+        assert len(out) == 20
+        flipped = [r for r in out if r.flip]
+        assert flipped  # hash-uniform: some flips in 20 draws
+        for r in out:
+            assert r.px_sum > 0 and r.px_wsum > 0
