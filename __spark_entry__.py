@@ -3131,6 +3131,38 @@ def q_crop_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixup partner assignment (operators/curation.
+    mixup_pairs): shard-local cyclic pairing over the epoch_shuffle
+    permutation plus an independent integer mixing-weight stream —
+    pure functions of (id, epoch), so resumed epochs regenerate
+    identical pairs. The oracle wraps the epoch_shuffle SQL twin with
+    the same lead()/first_value() window and lam hash stream."""
+    from osmium_tool_spark.operators.curation import mixup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = mixup_pairs(docs, "doc_id", epoch=2, num_shards=8)
+    return out.select(
+        _L("id"), _L("partner_id"), _L("epoch"),
+        F.col("shard").cast("int").alias("shard"), _L("lam_permille"),
+    )
+
+
+def q_way_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the way network (operators/
+    network.way_triangles, degree-ordered node-iterator join — Suri &
+    Vassilvitskii 2011): orientation makes each triangle close exactly
+    once and bounds wedge volume by m^1.5. The oracle restates it as
+    the plain u<v<w three-way self-join over the deduplicated edge
+    set — any lost/duplicated triangle or mis-oriented wedge breaks
+    the hash."""
+    from osmium_tool_spark.operators.network import way_triangles
+    from osmium_tool_spark.sources import testdata as td
+
+    out = way_triangles(td.ways_from_orders(spark, sf_dir))
+    return out.select(_L("node_id"), _L("n_triangles"))
+
+
 def q_way_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank over the way network (operators/
     network.way_pagerank, 3 power iterations): rank div degree
@@ -3363,6 +3395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # network_components in-window; shortest/hop distance are
         # verified tail siblings)
         "way_rank": q_way_rank,
+        "way_triangles": q_way_triangles,
+        "mixup_pairs": q_mixup_pairs,
         "image_dhash": q_image_dhash,
         # r4m rotations (each named at its replacement's comment above;
         # all stay oracled here):
@@ -6359,6 +6393,52 @@ SELECT CAST(image_id AS BIGINT) AS image_id, CAST(3 AS BIGINT) AS epoch,
        CAST(sum(pv) AS BIGINT) AS px_sum,
        CAST(sum(pv * (x + 1)) AS BIGINT) AS px_wsum
 FROM pix GROUP BY image_id, cw, ch, cx, cy, flip
+"""
+
+    # triangle counts: plain u<v<w three-way self-join twin.
+    o["way_triangles"] = """
+WITH pairs AS (
+  SELECT l_orderkey AS wid, l_partkey AS node,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+  FROM lineitem),
+e0 AS (SELECT node AS u, nxt AS v FROM pairs WHERE nxt IS NOT NULL AND node <> nxt),
+e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM e0),
+tris AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v),
+corners AS (
+  SELECT x AS node_id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris)
+SELECT CAST(node_id AS BIGINT) AS node_id,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node_id
+"""
+
+    # mixup pairing: epoch_shuffle twin + same-window lead/first_value
+    # + the independent lam hash stream.
+    from osmium_tool_spark.operators.curation import (
+        epoch_shuffle_sql as _es_sql,
+    )
+
+    _mix_es = _es_sql("SELECT doc_id FROM documents", "doc_id", 2, 8, ["doc_id"])
+    _mix_salt = ((2 + 1) * 0x9E3779B1 + 7 * 0x85EBCA6B) % 2147483647
+    _mx0 = f"xor(((doc_id % 2147483647) + 2147483647) % 2147483647, {_mix_salt})"
+    _mx1 = f"(xor(({_mx0}) >> 16, {_mx0}) * 73244475) % 4294967296"
+    _mx2 = f"(xor(({_mx1}) >> 16, {_mx1}) * 73244475) % 4294967296"
+    _mix_lam = f"xor(({_mx2}) >> 16, {_mx2}) % 1001"
+    o["mixup_pairs"] = f"""
+WITH shuffled AS ({_mix_es})
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(coalesce(
+         lead(doc_id) OVER (PARTITION BY shard ORDER BY pos),
+         first_value(doc_id) OVER (PARTITION BY shard ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ) AS BIGINT) AS partner_id,
+       CAST(2 AS BIGINT) AS epoch,
+       CAST(shard AS INTEGER) AS shard,
+       CAST({_mix_lam} AS BIGINT) AS lam_permille
+FROM shuffled
 """
 
     o["hist_quantiles"] = hist_quantiles_sql(

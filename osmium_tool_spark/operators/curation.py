@@ -603,3 +603,63 @@ def domain_cap(
         "domain", registrable_domain(F.col("host"))
     )
     return balanced_sample(staged, ["domain"], cap, id_col=id_col, seed=seed)
+
+
+def mixup_pairs(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int,
+    lam_scale: int = 1000,
+) -> DataFrame:
+    """Deterministic per-epoch mixup partner assignment: every example
+    gets a partner and an integer mixing weight —
+    (id, partner_id, epoch, shard, lam_permille). The pairing stage of
+    mixup-style augmentation (Zhang et al. 2018, "mixup: Beyond
+    Empirical Risk Minimization"): inputs blend as
+    lam*x_i + (1-lam)*x_j, and at corpus scale the PAIRING must be a
+    pure function of (id, epoch) — no RNG state, no global shuffle of
+    payloads — so a resumed epoch regenerates identical pairs.
+
+    Built ON epoch_shuffle's permutation: partner = the NEXT example
+    in this epoch's shard order, wrapping the last back to the shard's
+    first (a shard-local cyclic derangement — no fixed points except
+    the degenerate 1-example shard, which self-pairs; at training
+    scale shards hold ~1e6+ examples and the epoch salt re-deals
+    membership every epoch). lam_permille draws from an independent
+    portable-hash stream in [0, lam_scale].
+
+    Scale shape: epoch_shuffle's one exchange + per-shard window, plus
+    a lead()/first_value() on the SAME window — Spark computes both in
+    the single per-shard sort, no extra exchange, no join; payloads
+    are fetched by the training reader via the (id, partner_id) pairs,
+    never moved here.
+    """
+    if lam_scale < 1:
+        raise ValueError(f"lam_scale must be >= 1, got {lam_scale}")
+    from .sketches import A_MIX, M32, P31
+
+    staged = epoch_shuffle(df, id_col, epoch, num_shards)
+    v = F.col(id_col)
+    # independent lam stream: re-salt with a distinct stream constant
+    salt = ((epoch + 1) * 0x9E3779B1 + 7 * 0x85EBCA6B) % P31
+    x = ((v.cast("long") % P31) + P31) % P31
+    y = x.bitwiseXOR(F.lit(salt))
+    y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+    y = F.shiftright(y, 16).bitwiseXOR(y) * A_MIX % (M32 + 1)
+    lam = F.shiftright(y, 16).bitwiseXOR(y) % (lam_scale + 1)
+
+    w = Window.partitionBy("shard").orderBy(F.col("pos").asc())
+    partner = F.coalesce(
+        F.lead(id_col).over(w),
+        F.first(id_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    return staged.select(
+        v.alias("id"),
+        partner.alias("partner_id"),
+        F.lit(epoch).cast("int").alias("epoch"),
+        F.col("shard"),
+        lam.cast("long").alias("lam_permille"),
+    )

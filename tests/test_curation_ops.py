@@ -545,3 +545,50 @@ class TestDomainCap:
         # different seed -> different (still capped) pick
         other = domain_cap(df, "url", cap=5, seed=9).collect()
         assert {r.doc_id for r in other} != {r.doc_id for r in out}
+
+
+class TestMixupPairs:
+    def _docs(self, spark, n=40):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def test_valid_pairing(self, spark):
+        from osmium_tool_spark.operators.curation import mixup_pairs
+
+        rows = mixup_pairs(self._docs(spark), "doc_id", epoch=1,
+                           num_shards=4).collect()
+        assert len(rows) == 40
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rs in by_shard.items():
+            ids = {r.id for r in rs}
+            partners = [r.partner_id for r in rs]
+            # cyclic within shard: partners form a permutation of ids
+            assert set(partners) == ids
+            if len(rs) > 1:
+                assert all(r.partner_id != r.id for r in rs)
+            assert all(0 <= r.lam_permille <= 1000 for r in rs)
+
+    def test_deterministic_and_epoch_varies(self, spark):
+        from osmium_tool_spark.operators.curation import mixup_pairs
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, mixup_pairs(docs, "doc_id", 3, 4).collect()))
+        b = sorted(map(tuple, mixup_pairs(docs, "doc_id", 3, 4).collect()))
+        c = sorted(map(tuple, mixup_pairs(docs, "doc_id", 4, 4).collect()))
+        assert a == b and a != c
+
+    def test_singleton_shard_self_pairs(self, spark):
+        from osmium_tool_spark.operators.curation import mixup_pairs
+
+        one = self._docs(spark, 1)
+        r = mixup_pairs(one, "doc_id", 0, 1).collect()[0]
+        assert r.partner_id == r.id
+
+    def test_bad_lam_scale(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.curation import mixup_pairs
+
+        with _pytest.raises(ValueError, match="lam_scale"):
+            mixup_pairs(self._docs(spark), "doc_id", 0, 1, lam_scale=0)

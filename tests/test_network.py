@@ -211,3 +211,34 @@ class TestWayPagerank:
             way_pagerank(ways, iters=0)
         with _pytest.raises(ValueError, match="damping"):
             way_pagerank(ways, damping_num=100)
+
+
+class TestWayTriangles:
+    def _ways(self, spark, refs_lists):
+        return spark.createDataFrame(
+            [(i + 1, refs) for i, refs in enumerate(refs_lists)],
+            "id long, refs array<long>")
+
+    def test_k4_plus_pendant(self, spark):
+        from osmium_tool_spark.operators.network import way_triangles
+
+        ways = self._ways(spark, [[1, 2, 3, 1], [1, 4, 2], [3, 4], [4, 5]])
+        got = {r.node_id: r.n_triangles
+               for r in way_triangles(ways).collect()}
+        # K4: every node sits in C(3,2)=3 triangles; pendant 5 in none
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_triangle_free(self, spark):
+        from osmium_tool_spark.operators.network import way_triangles
+
+        ways = self._ways(spark, [[1, 2, 3, 4, 5]])  # path: no triangles
+        assert way_triangles(ways).count() == 0
+
+    def test_duplicate_edges_counted_once(self, spark):
+        from osmium_tool_spark.operators.network import way_triangles
+
+        # the same triangle drawn by two overlapping ways
+        ways = self._ways(spark, [[1, 2, 3, 1], [2, 1, 3]])
+        got = {r.node_id: r.n_triangles
+               for r in way_triangles(ways).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
