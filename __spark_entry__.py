@@ -3131,6 +3131,42 @@ def q_crop_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/asof.interval_join, banded
+    equi-join — the 1-D temporal sibling of dist_join's cell trick):
+    which object-version validity windows (history_intervals, closed
+    windows only) overlap which CLOSED changeset windows. A raw range
+    theta-join would plan as a nested loop; the banded form pairs on a
+    day-bucket key with the max-start dedup rule. The oracle is the
+    plain overlap theta-join (fine at oracle scale) — any lost band,
+    double-counted pair or off-by-one at the half-open boundary breaks
+    rows/hash."""
+    from osmium_tool_spark.operators.asof import interval_join
+    from osmium_tool_spark.operators.changes import history_intervals
+    from osmium_tool_spark.sources import testdata as td
+
+    iv = history_intervals(td.history_from_events(spark, sf_dir)).filter(
+        F.col("valid_to").isNotNull()
+    ).select(
+        (F.col("id") * 1000 + F.col("version")).alias("key"),
+        F.col("valid_from").alias("start"),
+        F.col("valid_to").alias("end"),
+    )
+    cs = td.changesets_from_events(spark, sf_dir).filter(
+        F.col("closed_at").isNotNull() & (F.col("id") % 11 == 0)
+    ).select(
+        F.col("id").alias("key"),
+        F.col("created_at").alias("start"),
+        F.col("closed_at").alias("end"),
+    )
+    out = interval_join(
+        iv, cs, bucket=86_400_000_000, left_id="key", right_id="key"
+    )
+    return out.select(
+        _L("id_a"), _L("id_b"), _L("ov_start"), _L("ov_end")
+    )
+
+
 def q_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixup partner assignment (operators/curation.
     mixup_pairs): shard-local cyclic pairing over the epoch_shuffle
@@ -3397,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_rank": q_way_rank,
         "way_triangles": q_way_triangles,
         "mixup_pairs": q_mixup_pairs,
+        "interval_join": q_interval_join,
         "image_dhash": q_image_dhash,
         # r4m rotations (each named at its replacement's comment above;
         # all stay oracled here):
@@ -6439,6 +6476,27 @@ SELECT CAST(doc_id AS BIGINT) AS id,
        CAST(shard AS INTEGER) AS shard,
        CAST({_mix_lam} AS BIGINT) AS lam_permille
 FROM shuffled
+"""
+
+    # interval overlap: plain half-open theta-join twin of the banded
+    # equi-join (validity windows x closed changeset windows).
+    o["interval_join"] = f"""
+WITH {HIST_CTE},
+iv AS (
+  SELECT id * 1000 + version AS key, ts AS s,
+         lead(ts) OVER (PARTITION BY id ORDER BY version) AS e
+  FROM hist),
+ivc AS (SELECT key, s, e FROM iv WHERE e IS NOT NULL AND s < e),
+cs AS (
+  SELECT event_id AS key, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 86400) * 1000000 AS e
+  FROM events
+  WHERE NOT (event_type IN ('view', 'click')) AND event_id % 11 = 0),
+csc AS (SELECT key, s, e FROM cs WHERE s < e)
+SELECT CAST(a.key AS BIGINT) AS id_a, CAST(b.key AS BIGINT) AS id_b,
+       CAST(greatest(a.s, b.s) AS BIGINT) AS ov_start,
+       CAST(least(a.e, b.e) AS BIGINT) AS ov_end
+FROM ivc a JOIN csc b ON a.s < b.e AND b.s < a.e
 """
 
     o["hist_quantiles"] = hist_quantiles_sql(

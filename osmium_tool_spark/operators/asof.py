@@ -63,3 +63,98 @@ def asof_join(
     for c in value_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair of HALF-OPEN
+    intervals [start, end) that overlap — (id_a, id_b, ov_start,
+    ov_end). The 1-D temporal sibling of dist_join's cell trick, and
+    the missing classic next to asof_join (which matches a POINT to
+    its preceding interval): session x outage overlap, validity-window
+    intersection over history_intervals output, ad-impression x
+    campaign windows.
+
+    Spark plans a raw `l.start < r.end AND r.start < l.end` theta-join
+    as a broadcast nested loop — a cross product at scale. The banded
+    formulation stays an EQUI-join: each interval emits one row per
+    `bucket`-sized time band it touches, pairs meet on the band key,
+    and the exact overlap predicate filters. An overlapping pair would
+    meet in EVERY shared band — the standard dedup rule keeps only the
+    band containing max(l.start, r.start) (each pair's overlap start
+    lies in exactly one band), so no distinct pass and no double
+    counting. Candidate volume is sum over bands of n_l x n_r — local
+    density, not corpus size; `bucket` tunes span-explosion vs
+    band-crowding exactly like dist_join's radius-derived resolution
+    (pick bucket ~ the median interval length; a degenerate interval
+    longer than ~1e6 buckets fails loud rather than exploding).
+
+    Exact integer semantics throughout: half-open overlap iff
+    l.start < r.end AND r.start < l.end; ov_start/ov_end are the
+    intersection bounds.
+    """
+    if bucket <= 0:
+        raise ValueError(f"interval_join: bucket must be positive, got {bucket}")
+
+    def banded(df: DataFrame, idc: str, side: str) -> DataFrame:
+        s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+        first_b = F.floor(s / bucket).cast("long")
+        last_b = F.floor((e - 1) / bucket).cast("long")
+        n_bands = F.greatest(last_b - first_b + 1, F.lit(1))
+        staged = df.select(
+            F.col(idc).alias(f"id_{side}"),
+            s.alias(f"s_{side}"),
+            e.alias(f"e_{side}"),
+            first_b.alias("__fb"),
+            n_bands.alias("__nb"),
+        ).filter(F.col(f"s_{side}") < F.col(f"e_{side}"))
+        # band-explosion guard evaluated IN the plan (no extra job):
+        # the task fails loud the moment a degenerate interval appears
+        staged = staged.withColumn(
+            "__nb",
+            F.when(
+                F.col("__nb") <= 1_000_000, F.col("__nb")
+            ).otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        "interval_join: an interval spans > 1e6 buckets"
+                        " — raise `bucket` (band explosion guard)"
+                    ),
+                ).cast("long")
+            ),
+        )
+        return staged.select(
+            f"id_{side}",
+            f"s_{side}",
+            f"e_{side}",
+            F.explode(
+                F.sequence(F.col("__fb"), F.col("__fb") + F.col("__nb") - 1)
+            ).alias("band"),
+        )
+
+    la = banded(left, left_id, "a")
+    rb = banded(right, right_id, "b")
+    ov_s = F.greatest(F.col("s_a"), F.col("s_b"))
+    ov_e = F.least(F.col("e_a"), F.col("e_b"))
+    return (
+        la.join(rb, "band")
+        .filter(
+            (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+            & (F.floor(ov_s / bucket).cast("long") == F.col("band"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            ov_s.alias("ov_start"),
+            ov_e.alias("ov_end"),
+        )
+    )

@@ -64,3 +64,74 @@ def test_asof_join_plan_has_no_join_node(spark):
     plan = buf.getvalue()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" not in plan  # union + window only
+
+
+class TestIntervalJoin:
+    def _iv(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, start long, end long")
+
+    def _brute(self, a, b):
+        out = []
+        for i, s1, e1 in a:
+            if s1 >= e1:
+                continue
+            for j, s2, e2 in b:
+                if s2 >= e2:
+                    continue
+                if s1 < e2 and s2 < e1:
+                    out.append((i, j, max(s1, s2), min(e1, e2)))
+        return sorted(out)
+
+    def test_halfopen_boundary(self, spark):
+        from osmium_tool_spark.operators.asof import interval_join
+
+        a = [(1, 0, 10)]
+        b = [(2, 10, 20), (3, 9, 20)]  # touching is NOT overlap
+        got = sorted(map(tuple, interval_join(
+            self._iv(spark, a), self._iv(spark, b), 5,
+            left_id="id", right_id="id").collect()))
+        assert got == [(1, 3, 9, 10)]
+
+    @staticmethod
+    def _rand(seed, n):
+        import random
+
+        rng = random.Random(seed)
+        out = []
+        for i in range(n):
+            s = rng.randint(-500, 2000)
+            out.append((i, s, s + rng.randint(1, 300)))
+        return out
+
+    def test_bruteforce_parity_across_buckets(self, spark):
+        from osmium_tool_spark.operators.asof import interval_join
+
+        a, b = self._rand(1, 120), self._rand(2, 120)
+        want = self._brute(a, b)
+        for bucket in (1, 17, 256, 5000):
+            got = sorted(map(tuple, interval_join(
+                self._iv(spark, a), self._iv(spark, b), bucket,
+                left_id="id", right_id="id").collect()))
+            assert got == want, bucket
+
+    def test_empty_and_degenerate(self, spark):
+        from osmium_tool_spark.operators.asof import interval_join
+
+        a = [(1, 5, 5), (2, 9, 3)]  # empty / inverted dropped
+        b = [(9, 0, 100)]
+        assert interval_join(self._iv(spark, a), self._iv(spark, b), 10,
+                             left_id="id", right_id="id").count() == 0
+
+    def test_band_explosion_guard(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.asof import interval_join
+
+        a = [(1, 0, 10**9)]
+        b = [(9, 0, 100)]
+        with _pytest.raises(Exception, match="band explosion"):
+            interval_join(self._iv(spark, a), self._iv(spark, b), 1,
+                          left_id="id", right_id="id").collect()
+        with _pytest.raises(ValueError, match="positive"):
+            interval_join(self._iv(spark, a), self._iv(spark, b), 0,
+                          left_id="id", right_id="id")
