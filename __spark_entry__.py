@@ -3131,6 +3131,58 @@ def q_crop_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-cover compaction (functions/cells.compact_cover — the H3
+    compact / S2 normalization for the Morton quadtree): the res-9
+    diamond rasterizations from polygon_rasterize compact down to
+    res 4, replacing every full sibling quad by its parent level by
+    level (one shrinking hash aggregate per level, no joins). The
+    oracle unrolls the five levels over the closed-form rasterization
+    and re-derives every emitted (res, morton) — a phantom quad, lost
+    child or wrong parent arithmetic breaks rows/hash."""
+    from osmium_tool_spark.functions.cells import (
+        cell_from_xy,
+        compact_cover,
+    )
+    from osmium_tool_spark.operators.tiles import polygon_rasterize
+
+    k = F.col("id")
+    cx0 = (k * 2654435761) % 3_200_000_000 - 1_600_000_000
+    cy0 = (k * 2246822519) % 1_600_000_000 - 800_000_000
+    rr = 20_000_000 + (k % 5) * 10_000_000
+
+    def pt(x, y):
+        return F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    polys = spark.range(48).select(
+        k.alias("poly_id"),
+        F.array(
+            F.array(pt(cx0 + rr, cy0), pt(cx0, cy0 + rr), pt(cx0 - rr, cy0),
+                    pt(cx0, cy0 - rr), pt(cx0 + rr, cy0))
+        ).alias("rings"),
+    )
+    rast = polygon_rasterize(polys, res=9)
+    # same boundary-robustness filter as q_polygon_rasterize, so both
+    # engines compact the identical input cover
+    n = 1 << 9
+    p = F.col("poly_id")
+    bx = (p * 2654435761) % 3_200_000_000 - 1_600_000_000
+    by = (p * 2246822519) % 1_600_000_000 - 800_000_000
+    br = 20_000_000 + (p % 5) * 10_000_000
+    px = F.lit(2 * n * -1_800_000_000) + (2 * F.col("cx") + 1) * F.lit(3_600_000_000)
+    py = F.lit(2 * n * -900_000_000) + (2 * F.col("cy") + 1) * F.lit(1_800_000_000)
+    sd = F.abs(px - 2 * n * bx) + F.abs(py - 2 * n * by)
+    cells = rast.filter(F.abs(sd - 2 * n * br) > 4).select(
+        "poly_id", cell_from_xy(F.col("cx"), F.col("cy"), 9).alias("cell")
+    )
+    out = compact_cover(cells, res=9, min_res=4, key_cols=["poly_id"])
+    return out.select(
+        _L("poly_id"),
+        F.shiftright("cell", 56).cast("long").alias("res"),
+        F.col("cell").bitwiseAND(F.lit((1 << 56) - 1)).cast("long").alias("morton"),
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/asof.interval_join, banded
     equi-join — the 1-D temporal sibling of dist_join's cell trick):
@@ -3434,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_triangles": q_way_triangles,
         "mixup_pairs": q_mixup_pairs,
         "interval_join": q_interval_join,
+        "compact_cover": q_compact_cover,
         "image_dhash": q_image_dhash,
         # r4m rotations (each named at its replacement's comment above;
         # all stay oracled here):
@@ -6497,6 +6550,80 @@ SELECT CAST(a.key AS BIGINT) AS id_a, CAST(b.key AS BIGINT) AS id_b,
        CAST(greatest(a.s, b.s) AS BIGINT) AS ov_start,
        CAST(least(a.e, b.e) AS BIGINT) AS ov_end
 FROM ivc a JOIN csc b ON a.s < b.e AND b.s < a.e
+"""
+
+    # compact_cover: closed-form rasterization feeding five unrolled
+    # quad-compaction levels; morton re-derived per level by explicit
+    # bit interleave (disjoint bits, so + == OR).
+    o["compact_cover"] = f"""
+WITH p AS (SELECT k AS poly_id,
+   (k*2654435761) % 3200000000 - 1600000000 AS cx0,
+   (k*2246822519) % 1600000000 - 800000000 AS cy0,
+   20000000 + (k % 5)*10000000 AS r
+ FROM range(48) t(k)),
+b AS (SELECT poly_id, cx0, cy0, r,
+   greatest({_ix_sql('cx0 - r', 9)}, 0) AS ix0,
+   greatest({_ix_sql('cx0 + r', 9)}, 0) AS ix1,
+   greatest({_iy_sql('cy0 - r', 9)}, 0) AS iy0,
+   greatest({_iy_sql('cy0 + r', 9)}, 0) AS iy1 FROM p),
+c AS (SELECT poly_id, cx0, cy0, r, cx, cy FROM b,
+   LATERAL (SELECT unnest(generate_series(ix0, ix1)) AS cx) u1,
+   LATERAL (SELECT unnest(generate_series(iy0, iy1)) AS cy) u2),
+s AS (SELECT poly_id, cx, cy,
+   abs((CAST({_rn} AS BIGINT)*(-1800000000) + (2*cx+1)*3600000000)
+       - CAST({_rn} AS BIGINT)*cx0)
+   + abs((CAST({_rn} AS BIGINT)*(-900000000) + (2*cy+1)*1800000000)
+       - CAST({_rn} AS BIGINT)*cy0) AS sd,
+   CAST({_rn} AS BIGINT)*r AS rs FROM c),
+lvl9 AS (SELECT poly_id, cx, cy FROM s WHERE sd < rs AND abs(sd - rs) > 4),
+agg9 AS (SELECT poly_id, cx // 2 AS px, cy // 2 AS py, count(*) AS nn,
+        list(cx) AS kx, list(cy) AS ky
+ FROM lvl9 GROUP BY 1, 2, 3),
+lvl8 AS (SELECT poly_id, px AS cx, py AS cy FROM agg9 WHERE nn = 4),
+agg8 AS (SELECT poly_id, cx // 2 AS px, cy // 2 AS py, count(*) AS nn,
+        list(cx) AS kx, list(cy) AS ky
+ FROM lvl8 GROUP BY 1, 2, 3),
+lvl7 AS (SELECT poly_id, px AS cx, py AS cy FROM agg8 WHERE nn = 4),
+agg7 AS (SELECT poly_id, cx // 2 AS px, cy // 2 AS py, count(*) AS nn,
+        list(cx) AS kx, list(cy) AS ky
+ FROM lvl7 GROUP BY 1, 2, 3),
+lvl6 AS (SELECT poly_id, px AS cx, py AS cy FROM agg7 WHERE nn = 4),
+agg6 AS (SELECT poly_id, cx // 2 AS px, cy // 2 AS py, count(*) AS nn,
+        list(cx) AS kx, list(cy) AS ky
+ FROM lvl6 GROUP BY 1, 2, 3),
+lvl5 AS (SELECT poly_id, px AS cx, py AS cy FROM agg6 WHERE nn = 4),
+agg5 AS (SELECT poly_id, cx // 2 AS px, cy // 2 AS py, count(*) AS nn,
+        list(cx) AS kx, list(cy) AS ky
+ FROM lvl5 GROUP BY 1, 2, 3),
+lvl4 AS (SELECT poly_id, px AS cx, py AS cy FROM agg5 WHERE nn = 4)
+SELECT poly_id, CAST(9 AS BIGINT) AS res,
+       CAST(((((u.x >> 0) & 1) << 0) + (((u.y >> 0) & 1) << 1) + (((u.x >> 1) & 1) << 2) + (((u.y >> 1) & 1) << 3) + (((u.x >> 2) & 1) << 4) + (((u.y >> 2) & 1) << 5) + (((u.x >> 3) & 1) << 6) + (((u.y >> 3) & 1) << 7) + (((u.x >> 4) & 1) << 8) + (((u.y >> 4) & 1) << 9) + (((u.x >> 5) & 1) << 10) + (((u.y >> 5) & 1) << 11) + (((u.x >> 6) & 1) << 12) + (((u.y >> 6) & 1) << 13) + (((u.x >> 7) & 1) << 14) + (((u.y >> 7) & 1) << 15) + (((u.x >> 8) & 1) << 16) + (((u.y >> 8) & 1) << 17)) AS BIGINT) AS morton
+FROM agg9, LATERAL (SELECT unnest(kx) AS x, unnest(ky) AS y) u
+WHERE nn <> 4
+UNION ALL
+SELECT poly_id, CAST(8 AS BIGINT) AS res,
+       CAST(((((u.x >> 0) & 1) << 0) + (((u.y >> 0) & 1) << 1) + (((u.x >> 1) & 1) << 2) + (((u.y >> 1) & 1) << 3) + (((u.x >> 2) & 1) << 4) + (((u.y >> 2) & 1) << 5) + (((u.x >> 3) & 1) << 6) + (((u.y >> 3) & 1) << 7) + (((u.x >> 4) & 1) << 8) + (((u.y >> 4) & 1) << 9) + (((u.x >> 5) & 1) << 10) + (((u.y >> 5) & 1) << 11) + (((u.x >> 6) & 1) << 12) + (((u.y >> 6) & 1) << 13) + (((u.x >> 7) & 1) << 14) + (((u.y >> 7) & 1) << 15)) AS BIGINT) AS morton
+FROM agg8, LATERAL (SELECT unnest(kx) AS x, unnest(ky) AS y) u
+WHERE nn <> 4
+UNION ALL
+SELECT poly_id, CAST(7 AS BIGINT) AS res,
+       CAST(((((u.x >> 0) & 1) << 0) + (((u.y >> 0) & 1) << 1) + (((u.x >> 1) & 1) << 2) + (((u.y >> 1) & 1) << 3) + (((u.x >> 2) & 1) << 4) + (((u.y >> 2) & 1) << 5) + (((u.x >> 3) & 1) << 6) + (((u.y >> 3) & 1) << 7) + (((u.x >> 4) & 1) << 8) + (((u.y >> 4) & 1) << 9) + (((u.x >> 5) & 1) << 10) + (((u.y >> 5) & 1) << 11) + (((u.x >> 6) & 1) << 12) + (((u.y >> 6) & 1) << 13)) AS BIGINT) AS morton
+FROM agg7, LATERAL (SELECT unnest(kx) AS x, unnest(ky) AS y) u
+WHERE nn <> 4
+UNION ALL
+SELECT poly_id, CAST(6 AS BIGINT) AS res,
+       CAST(((((u.x >> 0) & 1) << 0) + (((u.y >> 0) & 1) << 1) + (((u.x >> 1) & 1) << 2) + (((u.y >> 1) & 1) << 3) + (((u.x >> 2) & 1) << 4) + (((u.y >> 2) & 1) << 5) + (((u.x >> 3) & 1) << 6) + (((u.y >> 3) & 1) << 7) + (((u.x >> 4) & 1) << 8) + (((u.y >> 4) & 1) << 9) + (((u.x >> 5) & 1) << 10) + (((u.y >> 5) & 1) << 11)) AS BIGINT) AS morton
+FROM agg6, LATERAL (SELECT unnest(kx) AS x, unnest(ky) AS y) u
+WHERE nn <> 4
+UNION ALL
+SELECT poly_id, CAST(5 AS BIGINT) AS res,
+       CAST(((((u.x >> 0) & 1) << 0) + (((u.y >> 0) & 1) << 1) + (((u.x >> 1) & 1) << 2) + (((u.y >> 1) & 1) << 3) + (((u.x >> 2) & 1) << 4) + (((u.y >> 2) & 1) << 5) + (((u.x >> 3) & 1) << 6) + (((u.y >> 3) & 1) << 7) + (((u.x >> 4) & 1) << 8) + (((u.y >> 4) & 1) << 9)) AS BIGINT) AS morton
+FROM agg5, LATERAL (SELECT unnest(kx) AS x, unnest(ky) AS y) u
+WHERE nn <> 4
+UNION ALL
+SELECT poly_id, CAST(4 AS BIGINT) AS res,
+       CAST(((((cx >> 0) & 1) << 0) + (((cy >> 0) & 1) << 1) + (((cx >> 1) & 1) << 2) + (((cy >> 1) & 1) << 3) + (((cx >> 2) & 1) << 4) + (((cy >> 2) & 1) << 5) + (((cx >> 3) & 1) << 6) + (((cy >> 3) & 1) << 7)) AS BIGINT) AS morton
+FROM lvl4
 """
 
     o["hist_quantiles"] = hist_quantiles_sql(

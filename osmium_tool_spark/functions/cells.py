@@ -485,3 +485,68 @@ def quadkey_col(tx: Column, ty: Column, zoom: int) -> Column:
         )
         chars.append(F.lit("0123").substr((digit + 1).cast("int"), F.lit(1)))
     return F.concat(*chars)
+
+
+def compact_cover(
+    cells: "DataFrame",
+    res: int,
+    min_res: int = 0,
+    key_cols: list[str] | None = None,
+    cell_col: str = "cell",
+):
+    """Compact a cell cover: wherever all FOUR children of a parent are
+    present, replace them by the parent, repeated down to `min_res` —
+    the H3 `compact` / S2 cell-union normalization, for this engine's
+    Morton quadtree ids. A polygon's res-12 cover shrinks by ~4x per
+    fully-interior level; the compacted set is what a standing index
+    stores and what Iceberg partition pruning matches with RANGE
+    predicates (a parent's children share its bit prefix, so one
+    parent row subsumes four child ranges — fewer manifest entries,
+    same pruning power).
+
+    Input: distinct cell ids at exactly resolution `res` (packed
+    (res<<56)|morton form, `cell_col`), optionally grouped by
+    `key_cols` (per-polygon covers compact independently). Output:
+    the same columns with MIXED-resolution cell ids covering exactly
+    the same area. Precondition: rows distinct per (key, cell) —
+    duplicates would fake a full quad; enforce upstream (every cover
+    producer in this engine emits distinct cells).
+
+    Scale shape: res - min_res rounds, each ONE hash aggregate keyed
+    by (key, parent) over only the CURRENT level's rows; a full quad
+    (count == 4) emits its parent into the next level, partial quads
+    emit their children to the output. The frame shrinks
+    geometrically, so total work is ~4/3 of the input — the same
+    cascading-re-agg argument as tile_pyramid. No joins at all: the
+    anti-join ("children of non-full parents") is expressed inside
+    the aggregate via collect_list, which is bounded (<= 4 entries)
+    by construction.
+    """
+    from pyspark.sql import functions as _F
+
+    if not 0 <= min_res <= res <= MAX_RES:
+        raise ValueError(f"compact_cover: need 0 <= min_res <= res <= {MAX_RES}")
+    keys = list(key_cols or [])
+    cur = cells.select(*keys, _F.col(cell_col).alias("cell"))
+    done = []
+    for r in range(res, min_res, -1):
+        parent = cell_parent(_F.col("cell"), r, r - 1)
+        agg = cur.groupBy(*keys, parent.alias("__p")).agg(
+            _F.count("*").alias("__n"),
+            _F.collect_list("cell").alias("__kids"),
+        )
+        full = agg.filter(_F.col("__n") == 4).select(
+            *keys, _F.col("__p").alias("cell")
+        )
+        partial = (
+            agg.filter(_F.col("__n") != 4)
+            .select(*keys, _F.explode("__kids").alias("cell"))
+        )
+        done.append(partial)
+        cur = full
+        # lineage grows one agg per level (<= 30); no checkpoint needed
+    done.append(cur)
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

@@ -113,3 +113,71 @@ def test_flat_when_min_equals_max(spark, points):
 def test_bad_res_raises(spark, points):
     with pytest.raises(ValueError):
         quadtree_leaves(points, capacity=10, max_res=2, min_res=3)
+
+
+class TestCompactCover:
+    def _cells(self, spark, rows, res):
+        from osmium_tool_spark.functions.cells import cell_from_xy
+
+        return spark.createDataFrame(rows, "pid long, x long, y long").select(
+            "pid", cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"))
+
+    @staticmethod
+    def _unpack(rows):
+        return sorted((r.pid, r.cell >> 56, r.cell & ((1 << 56) - 1))
+                      for r in rows)
+
+    def test_full_quad_compacts(self, spark):
+        from osmium_tool_spark.functions.cells import compact_cover
+
+        rows = [(1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1), (1, 3, 3)]
+        got = self._unpack(compact_cover(
+            self._cells(spark, rows, 2), res=2, min_res=0,
+            key_cols=["pid"]).collect())
+        assert got == [(1, 1, 0), (1, 2, 15)]
+
+    def test_cascades_to_min_res(self, spark):
+        from osmium_tool_spark.functions.cells import compact_cover
+
+        # a full 4x4 block at res 2 -> one res-0 cell
+        rows = [(1, x, y) for x in range(4) for y in range(4)]
+        got = self._unpack(compact_cover(
+            self._cells(spark, rows, 2), res=2, min_res=0,
+            key_cols=["pid"]).collect())
+        assert got == [(1, 0, 0)]
+        # min_res=1 stops one level earlier: four res-1 cells
+        got1 = self._unpack(compact_cover(
+            self._cells(spark, rows, 2), res=2, min_res=1,
+            key_cols=["pid"]).collect())
+        assert got1 == [(1, 1, 0), (1, 1, 1), (1, 1, 2), (1, 1, 3)]
+
+    def test_keys_compact_independently(self, spark):
+        from osmium_tool_spark.functions.cells import compact_cover
+
+        quad = [(1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1)]
+        three = [(2, 0, 0), (2, 1, 0), (2, 0, 1)]
+        got = self._unpack(compact_cover(
+            self._cells(spark, quad + three, 2), res=2, min_res=0,
+            key_cols=["pid"]).collect())
+        assert (1, 1, 0) in got                # pid 1 compacted
+        assert sum(1 for g in got if g[0] == 2) == 3  # pid 2 unchanged
+
+    def test_area_preserved(self, spark):
+        """Sum of 4^(res - cell_res) over the output equals the input
+        cell count — compaction never changes the covered area."""
+        from osmium_tool_spark.functions.cells import compact_cover
+
+        rows = {(7, (i * 13) % 16, (i * 7) % 16) for i in range(200)}
+        df = self._cells(spark, sorted(rows), 4)
+        out = compact_cover(df, res=4, min_res=0, key_cols=["pid"]).collect()
+        area = sum(4 ** (4 - (r.cell >> 56)) for r in out)
+        assert area == len(rows)
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.functions.cells import compact_cover
+
+        df = self._cells(spark, [(1, 0, 0)], 2)
+        with _pytest.raises(ValueError, match="min_res"):
+            compact_cover(df, res=2, min_res=3)
