@@ -929,7 +929,7 @@ def to_pg(feats: DataFrame, geometry: str = "ewkb") -> DataFrame:
 
 def way_area_centroid(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """EXACT signed ring area + centroid per way:
-    (id, n_nodes, area2, is_ccw, cx, cy).
+    (id, n_nodes, area2, is_ccw, x1, y1, cx_num, cy_num, cx, cy).
 
     The area half of the export geometry assembly — the reference
     computes ring orientation the same way to assemble multipolygons
@@ -948,12 +948,22 @@ def way_area_centroid(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     full world coordinates (sums bounded ~1e32 << 1e38). `area2` is
     twice the signed area in fixed-point units², emitted as its exact
     decimal digits (a string both engines print identically);
-    `is_ccw` = area2 > 0 (the reference's orientation rule). The
-    centroid is the single-division IEEE form — exact-integer
-    numerators/denominator cast to double once, one divide, one add —
-    so both engines produce bit-identical doubles; NULL for degenerate
-    (zero-area) rings. Unresolved refs propagate NULL through the fold
-    (callers decide error policy, mirroring export --show-errors).
+    `is_ccw` = area2 > 0 (the reference's orientation rule).
+
+    Centroid exactness contract (round-5 fix): the EXACT surface is the
+    integer quadruple (x1, y1, cx_num, cy_num) — first-vertex anchor
+    plus the translated shoelace centroid numerators as decimal digit
+    strings, with the shared denominator 3*area2 derivable from
+    `area2`. The full centroid is cx = x1 + cx_num/(3*area2). The
+    convenience doubles `cx`/`cy` perform that division in IEEE double;
+    they are accurate to ~1 ulp but NOT cross-engine bit-identical:
+    Spark's decimal(38,0)->double conversion and e.g. DuckDB's
+    HUGEINT->double round differently above 2^53 (observed: ~10/11k
+    real rows differ in the last ulps), so equality checks must use the
+    integer columns, never the doubles (CORRECTNESS_r04 way_area
+    red-row lesson). cx/cy are NULL for degenerate (zero-area) rings.
+    Unresolved refs propagate NULL through the fold (callers decide
+    error policy, mirroring export --show-errors).
 
     Scale shape: identical to way_length_m — locations_join is the one
     corpus-sized exchange pair; the folds are codegen'd higher-order
@@ -1010,6 +1020,10 @@ def way_area_centroid(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         "n_nodes",
         F.col("__a2").cast("string").alias("area2"),
         F.when(F.col("__a2").isNotNull(), F.col("__a2") > 0).alias("is_ccw"),
+        F.col("__x1").cast("long").alias("x1"),
+        F.col("__y1").cast("long").alias("y1"),
+        F.col("__nx").cast("string").alias("cx_num"),
+        F.col("__ny").cast("string").alias("cy_num"),
         F.when(F.col("__a2") != 0,
                F.col("__x1").cast("double")
                + F.col("__nx").cast("double") / (F.lit(3.0) * a2d)).alias("cx"),

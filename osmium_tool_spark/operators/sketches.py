@@ -544,7 +544,7 @@ cmq AS (SELECT value, {fold31_sql('value')} AS x FROM
         (SELECT DISTINCT {query_expr} AS value FROM ({queries_sql})
          WHERE ({query_expr}) IS NOT NULL)),
 cmqrows AS ({qrows}),
-cml AS (SELECT value, MIN(COALESCE(cnt, 0)) AS est
+cml AS (SELECT value, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
         FROM cmqrows LEFT JOIN cmcounts USING (j, bucket) GROUP BY value)"""
     if ctes_only:
         return body
