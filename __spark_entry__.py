@@ -2934,12 +2934,15 @@ def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_way_area_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical ring area per way (operators/export.way_area_geodesic,
     Chamberlain & Duquette 2007 line integral) — the meters-true
-    companion of way_area's exact planar fixed-point value. Each edge
-    term is quantized at 1e-9 via the pure-IEEE floor form before the
-    sequential fold, so JVM/libm sin ulp differences cannot reach the
-    x R^2/2 scaling; the DuckDB oracle replays the identical fold and
-    the doubles match bit-for-bit (verified over all 1140 sf0.001
-    rings during development)."""
+    companion of way_area's exact planar fixed-point value. Nothing is
+    quantized (r5 doc fix — an earlier draft claimed a 1e-9 edge-term
+    quantizer that was never shipped): bit-exactness comes from
+    DEFINING the metric over a pure-IEEE degree-13 Taylor sine
+    (sin_poly / sin_poly_sql, identical literals and Horner order in
+    both engines) plus a fixed sequential fold, so builtin-sin libm
+    differences never enter; the DuckDB oracle replays the identical
+    arithmetic and the doubles match bit-for-bit. No antimeridian
+    wrap — see the operator docstring's contract."""
     from osmium_tool_spark.operators.export import way_area_geodesic
     from osmium_tool_spark.sources import testdata as td
 

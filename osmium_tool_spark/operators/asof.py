@@ -104,17 +104,31 @@ def interval_join(
         raise ValueError(f"interval_join: bucket must be positive, got {bucket}")
 
     def banded(df: DataFrame, idc: str, side: str) -> DataFrame:
+        # Exact integer floor-division banding (r5 ADVICE fix): the
+        # old F.floor(s / bucket) went through DOUBLE, which above
+        # 2^53 can round into the wrong band and silently drop or
+        # double-count pairs. pmod subtracts the sign-adjusted
+        # remainder so `div` (exact on BIGINT, here exactly
+        # divisible) IS the mathematical floor for negatives too.
         s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
-        first_b = F.floor(s / bucket).cast("long")
-        last_b = F.floor((e - 1) / bucket).cast("long")
-        n_bands = F.greatest(last_b - first_b + 1, F.lit(1))
-        staged = df.select(
+        staged0 = df.select(
             F.col(idc).alias(f"id_{side}"),
             s.alias(f"s_{side}"),
             e.alias(f"e_{side}"),
-            first_b.alias("__fb"),
-            n_bands.alias("__nb"),
         ).filter(F.col(f"s_{side}") < F.col(f"e_{side}"))
+        sc, ec = f"s_{side}", f"e_{side}"
+        first_b = F.expr(f"({sc} - pmod({sc}, {bucket})) div {bucket}")
+        last_b = F.expr(
+            f"(({ec} - 1) - pmod({ec} - 1, {bucket})) div {bucket}"
+        )
+        n_bands = F.greatest(last_b - first_b + 1, F.lit(1))
+        staged = staged0.select(
+            f"id_{side}",
+            sc,
+            ec,
+            first_b.cast("long").alias("__fb"),
+            n_bands.cast("long").alias("__nb"),
+        )
         # band-explosion guard evaluated IN the plan (no extra job):
         # the task fails loud the moment a degenerate interval appears
         staged = staged.withColumn(
@@ -144,12 +158,18 @@ def interval_join(
     rb = banded(right, right_id, "b")
     ov_s = F.greatest(F.col("s_a"), F.col("s_b"))
     ov_e = F.least(F.col("e_a"), F.col("e_b"))
+    # same exact floor-division as in banded(): the dedup band of the
+    # overlap start must land in the identical band arithmetic
+    ov_band = F.expr(
+        f"(greatest(s_a, s_b) - pmod(greatest(s_a, s_b), {bucket}))"
+        f" div {bucket}"
+    )
     return (
         la.join(rb, "band")
         .filter(
             (F.col("s_a") < F.col("e_b"))
             & (F.col("s_b") < F.col("e_a"))
-            & (F.floor(ov_s / bucket).cast("long") == F.col("band"))
+            & (ov_band.cast("long") == F.col("band"))
         )
         .select(
             "id_a",

@@ -1109,6 +1109,17 @@ def way_area_geodesic(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     anywhere. Unresolved refs propagate NULL; rings with fewer than 3
     resolved coords are dropped.
 
+    CONTRACT — no antimeridian wrap (r5 ADVICE): longitude deltas
+    (lam2 - lam1) are taken as-is, NOT wrapped to (-pi, pi]. A ring
+    whose edges cross the +/-180 meridian with coordinates stored on
+    opposite signs (Fiji, Chukotka) gets a grossly wrong spherical
+    area; split such rings at the antimeridian first (the extract
+    module's two-polygon-region treatment) or store the ring in a
+    continuous longitude frame. This mirrors the planar cell ops'
+    stated no-wrap contract; wrapping inside the fold would have to
+    be replicated bit-identically in every SQL twin for no gain on
+    the 99.99% of rings that never cross.
+
     Scale shape: identical to way_length_m — locations_join is the one
     corpus-sized exchange pair; the fold is a codegen'd higher-order
     function over per-way arrays, zero extra shuffle, no UDF.

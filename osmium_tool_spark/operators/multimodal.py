@@ -103,7 +103,20 @@ def _augment_draw_cols(
 
     span = 101 - min_scale_pct
     s_pct = F.lit(min_scale_pct) + draw(0) % span
-    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    w0, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    # degenerate-dims guard (r5 ADVICE): w=0 or h=0 makes crop_w=1 > w,
+    # so the position modulus becomes `draw % 0` — NULL in non-ANSI
+    # Spark, and a NULL crop rect would flow silently downstream. Fail
+    # loud in-plan instead (the interval_join band-guard idiom).
+    w = F.when((w0 >= 1) & (h >= 1), w0).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "augment draw: degenerate image dims — w and h must"
+                " be >= 1 (filter such rows before augmenting)"
+            ),
+        ).cast("long")
+    )
     crop_w = F.greatest(F.lit(1), F.floor(w * s_pct / 100).cast("long"))
     crop_h = F.greatest(F.lit(1), F.floor(h * s_pct / 100).cast("long"))
     return {

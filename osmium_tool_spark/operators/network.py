@@ -213,9 +213,16 @@ def way_pagerank(
     give on a cluster: the per-node SUM of long contributions is
     order-free, so results are bit-identical across partitionings,
     reruns and engines — and the DuckDB oracle replays the iterations
-    exactly. Overflow bound: a node's rank is below total mass
-    n_nodes * scale; pick scale <= 2^62 / n_nodes (the default 1e12
-    is safe to ~9M nodes; at planet scale pass scale=10**6).
+    exactly. Overflow bound (r5 ADVICE fix): the damped accumulation
+    sum(c) and the damping_num * sum multiply both ride decimal(38,0)
+    — exact to ~1e38/damping_num total mass, i.e. effectively
+    unbounded (the DuckDB twin sums in HUGEINT, same headroom). The
+    remaining true bound is only that a single node's final rank fit
+    int64: rank < n_nodes * scale in the worst case (a node absorbing
+    all mass), so pick scale <= 2^63 / n_nodes for an absolute
+    guarantee — the default 1e12 is safe to ~9.2M nodes; at planet
+    scale pass scale=10**6. The earlier long-typed sum overflowed
+    ~100x below that bound; the decimal path removes it.
 
     Scale shape: the symmetric deduplicated adjacency (u, v, deg) is
     built ONCE (one explode + one distinct + one hash agg) and joined
@@ -249,7 +256,10 @@ def way_pagerank(
         ranks = contrib.groupBy("node_id").agg(
             (
                 F.lit(base)
-                + F.expr(f"({damping_num} * sum(c)) div {damping_den}")
+                + F.expr(
+                    f"CAST(({damping_num} * sum(CAST(c AS DECIMAL(38,0))))"
+                    f" div {damping_den} AS BIGINT)"
+                )
             ).alias("rank")
         )
     return ranks

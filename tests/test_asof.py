@@ -114,6 +114,28 @@ class TestIntervalJoin:
                 left_id="id", right_id="id").collect()))
             assert got == want, bucket
 
+    def test_exact_bands_beyond_2_53(self, spark):
+        """r5 ADVICE pin: band = floor(s/bucket) used to go through
+        DOUBLE, so |start| >= 2^53 could land in the wrong band and
+        silently drop overlapping pairs. The integer pmod/div path is
+        exact at any long magnitude — pin against brute force at
+        ~4e18 offsets (positive and negative)."""
+        from osmium_tool_spark.operators.asof import interval_join
+
+        base = 4 * 10**18
+        # neighbours 1 apart at huge magnitude: double floor(s/bucket)
+        # cannot even distinguish s values (ulp(4e18) = 512)
+        a = [(1, base + 3, base + 12), (2, -base - 12, -base - 3),
+             (3, base + 13, base + 20)]
+        b = [(10, base + 11, base + 15), (11, -base - 5, -base + 7),
+             (12, base - 2, base + 4)]
+        want = self._brute(a, b)
+        for bucket in (1, 7, 1000):
+            got = sorted(map(tuple, interval_join(
+                self._iv(spark, a), self._iv(spark, b), bucket,
+                left_id="id", right_id="id").collect()))
+            assert got == want, bucket
+
     def test_empty_and_degenerate(self, spark):
         from osmium_tool_spark.operators.asof import interval_join
 

@@ -111,6 +111,23 @@ class TestCropImages:
                     imgs.select("image_id", "w", "h"), epoch=5).collect()}
         assert got == want
 
+    def test_degenerate_dims_fail_loud(self, spark):
+        """r5 ADVICE pin: w=0 (or h=0) used to make the position
+        modulus `draw % 0` -> silent NULL crop rect in non-ANSI mode;
+        the draws now assert in-plan instead."""
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.multimodal import augment_crops
+
+        bad = spark.createDataFrame(
+            [(1, 0, 20), (2, 24, 20)], "image_id long, w int, h int")
+        with _pytest.raises(Exception, match="degenerate image dims"):
+            augment_crops(bad, epoch=1).collect()
+        ok = spark.createDataFrame(
+            [(2, 24, 20)], "image_id long, w int, h int")
+        rows = augment_crops(ok, epoch=1).collect()
+        assert len(rows) == 1 and rows[0].crop_x is not None
+
     def test_pixels_exact(self, spark):
         import numpy as np
 
