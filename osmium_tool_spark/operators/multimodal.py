@@ -159,12 +159,16 @@ def crop_images(
             ).items()
         ],
     )
-    from ..sources.images import _png_by_value
+    from ..sources.images import _png_by_value, any_decode_fns
 
     _png_by_value()
     from ..functions import png as _png
 
-    decode, encode, luma = _png.decode, _png.encode_gray, _png.luma
+    # decode dispatches PNG/JPEG (r5 mixed-table support); the crop is
+    # always re-encoded as lossless PNG so the augmented pixels stay
+    # deterministic byte-for-byte regardless of the source format
+    decode, luma = any_decode_fns()
+    encode = _png.encode_gray
 
     def apply_crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -351,10 +355,12 @@ def mosaic_tiles(
     from pyspark.sql import Window
 
     from ..functions.cells import cell_id
-    from ..sources.images import _png_by_value
+    from ..sources.images import _png_by_value, any_decode_fns
 
     _png_by_value()
     from ..functions import png as _png
+
+    _any_decode, _any_luma = any_decode_fns()  # r5: mixed PNG+JPEG in
 
     k = grid * grid
     side = grid * thumb
@@ -375,7 +381,7 @@ def mosaic_tiles(
         mosaic = np.zeros((side, side), np.uint8)
         n = 0
         for rk, payload in zip(pdf["__rk"], pdf["bytes"]):
-            img = _png.luma(_png.decode(bytes(payload)))
+            img = _any_luma(_any_decode(bytes(payload)))
             h, w = img.shape
             ys = np.arange(thumb) * h // thumb
             xs = np.arange(thumb) * w // thumb
@@ -426,10 +432,9 @@ def image_dhash(images: DataFrame, grid: int = 8) -> DataFrame:
     """
     if not 1 <= grid <= 15:
         raise ValueError(f"grid must be 1..15 (2*grid*grid bits <= 62 per half), got {grid}")
-    from ..sources.images import _png_by_value
+    from ..sources.images import any_decode_fns
 
-    _png_by_value()
-    from ..functions import png as _png
+    _decode, _luma = any_decode_fns()  # r5: mixed PNG+JPEG tables
 
     cols = images.select("image_id", "bytes")
     half = (grid * grid) // 2  # bits per output half (row-major split)
@@ -441,7 +446,7 @@ def image_dhash(images: DataFrame, grid: int = 8) -> DataFrame:
             out = {"image_id": [], "w": [], "h": [],
                    "dhash_hi": [], "dhash_lo": []}
             for iid, payload in zip(pdf["image_id"], pdf["bytes"]):
-                img = _png.luma(_png.decode(bytes(payload)))
+                img = _luma(_decode(bytes(payload)))
                 h, w = img.shape
                 if w % (grid + 1) or h % grid:
                     raise ValueError(
@@ -649,12 +654,9 @@ def png_pixel_checksums(images: DataFrame, bytes_col: str = "bytes") -> DataFram
     pixel stages (crop_images, mosaic) be driver-gated end-to-end.
     Arrow-batched mapInPandas with the from-spec codec shipped by
     value; one pass, no shuffle."""
-    from ..sources.images import _png_by_value
+    from ..sources.images import any_decode_fns
 
-    _png_by_value()
-    from ..functions import png as _png
-
-    decode, luma = _png.decode, _png.luma
+    decode, luma = any_decode_fns()  # r5: mixed PNG+JPEG tables
     keep = [c for c in images.columns if c != bytes_col]
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -12,11 +12,13 @@ fixed-point lon/lat derive from its phash via the same Knuth-multiplicative
 mix used everywhere else — so the whole osmium operator suite (extract /
 tags-filter / sort / tiling) runs unchanged over images.
 
-Image DECODING: PNG decodes for REAL via the from-spec codec in
-`functions/png.py` (stdlib zlib + numpy — `decode_png_meta` /
-`decode_png_pixels`, no image library needed). JPEG/WebP remain behind
-`decode_real` (guard-imported PIL — activates wherever Pillow is
-installed; this container has none), and `decode_stub_meta` keeps the
+Image DECODING (r5): PNG and baseline JPEG both decode for REAL via
+the from-spec codecs (`functions/png.py`, `functions/jpeg.py` —
+stdlib + numpy, no image library): `decode_codec_meta` /
+`decode_codec_pixels` dispatch on magic bytes, and `decode_real`
+falls back to them when Pillow is absent (with PIL installed it takes
+the PIL path for broader format coverage — WebP etc. still need it
+and fail loud naming it). `decode_stub_meta` keeps the
 deterministic-fake path for plumbing tests over synthetic payloads.
 """
 
@@ -157,9 +159,12 @@ def _pil_available() -> bool:
 
 
 def decode_real(images: DataFrame) -> DataFrame:
-    """Real pixel decode via PIL (guard-imported — activates wherever
-    Pillow is installed; this container has no codec libraries, so the
-    plumbing tests use decode_stub_meta and the PIL tests skip-mark).
+    """Real pixel decode: PIL where installed, else the from-spec
+    PNG + baseline-JPEG codecs by magic-byte dispatch (r5 — closes the
+    "lossy decode needs PIL" gap: the PSNR>=40dB invariant now runs on
+    real JPEG payloads in this codec-library-free container too; only
+    formats outside {png, baseline jpeg} still require Pillow and fail
+    loud naming it).
 
     Same mapInPandas shape and output schema as `decode_stub_meta`, but
     w/h/mean_luma come from the DECODED image — upholding the per-row
@@ -168,11 +173,7 @@ def decode_real(images: DataFrame) -> DataFrame:
     checked by operators/invariants.pixel_invariant_violations over
     `decode_pixels` output."""
     if not _pil_available():
-        raise NotImplementedError(
-            "image codecs unavailable (Pillow not importable); use "
-            "decode_stub_meta for plumbing tests — decode_real activates "
-            "automatically where PIL is installed"
-        )
+        return decode_codec_meta(images)
     cols = images.select("image_id", "bytes", "fmt")
 
     def pil_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -206,12 +207,11 @@ PIXELS_SCHEMA = "image_id string, w int, h int, pixels array<double>"
 def decode_pixels(images: DataFrame) -> DataFrame:
     """Decoded grayscale samples as array<double> per image — the input
     the PSNR>=40dB invariant consumes (operators/invariants.py). PIL
-    guard-imported like decode_real. Pixel arrays are large; run this on
-    the (small) sample under invariant check, not the full corpus."""
+    where installed, else the from-spec PNG/JPEG dispatch (r5), like
+    decode_real. Pixel arrays are large; run this on the (small) sample
+    under invariant check, not the full corpus."""
     if not _pil_available():
-        raise NotImplementedError(
-            "image codecs unavailable (Pillow not importable)"
-        )
+        return decode_codec_pixels(images)
     cols = images.select("image_id", "bytes")
 
     def pil_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,6 +245,43 @@ def _png_by_value() -> None:
     from ..functions import png
 
     cloudpickle.register_pickle_by_value(png)
+
+
+def _codecs_by_value() -> None:
+    """Ship BOTH from-spec codecs (png + jpeg) into the pickle for the
+    magic-dispatch kernels."""
+    from pyspark import cloudpickle
+
+    from ..functions import jpeg, png
+
+    cloudpickle.register_pickle_by_value(png)
+    cloudpickle.register_pickle_by_value(jpeg)
+
+
+def any_decode_fns():
+    """(decode, luma) closures dispatching on magic bytes — PNG
+    signature or JPEG SOI — with both from-spec codecs shipped into the
+    pickle by value. Image-consuming kernels (mosaic, dhash, pixel
+    checksums, crops) use this so MIXED PNG+JPEG tables work without
+    any codec library; anything else fails loud naming the Pillow
+    swap-in."""
+    _codecs_by_value()
+    from ..functions import jpeg as _jpeg
+    from ..functions import png as _png
+
+    sig = _png.SIGNATURE
+
+    def decode(payload: bytes):
+        if payload[:8] == sig:
+            return _png.decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _jpeg.decode(payload)
+        raise NotImplementedError(
+            "decode: payload is neither PNG nor baseline JPEG — "
+            "other formats need Pillow"
+        )
+
+    return decode, _png.luma
 
 
 def decode_png_meta(images: DataFrame) -> DataFrame:
@@ -368,6 +405,95 @@ def encode_pattern_png_images(df: DataFrame) -> DataFrame:
             pdf = pdf.copy()
             pdf["bytes"] = payloads
             pdf["fmt"] = "png"
+            yield pdf
+
+    return cols.mapInPandas(enc, schema=schema)
+
+
+def decode_codec_meta(images: DataFrame) -> DataFrame:
+    """REAL decode for mixed PNG + baseline-JPEG tables without any
+    image library: magic-byte dispatch (PNG signature / FFD8 SOI) to
+    the two from-spec codecs (`functions/png.py`, `functions/jpeg.py`).
+    Same Arrow-batched mapInPandas shape and DECODE_META_SCHEMA as
+    `decode_stub_meta`/`decode_real`; payloads that are neither format
+    fail LOUD naming the Pillow swap-in. This is what `decode_real`
+    falls back to when PIL is absent."""
+    decode, luma = any_decode_fns()
+    cols = images.select("image_id", "bytes", "fmt")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "fmt": [],
+                   "n_bytes": [], "mean_luma": []}
+            for iid, payload in zip(pdf["image_id"], pdf["bytes"]):
+                payload = bytes(payload)
+                img = decode(payload)
+                out["image_id"].append(iid)
+                out["w"].append(img.shape[1])
+                out["h"].append(img.shape[0])
+                out["fmt"].append(
+                    "jpeg" if payload[:2] == b"\xff\xd8" else "png"
+                )
+                out["n_bytes"].append(len(payload))
+                out["mean_luma"].append(float(luma(img).mean()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(dec, schema=DECODE_META_SCHEMA)
+
+
+def decode_codec_pixels(images: DataFrame) -> DataFrame:
+    """Decoded grayscale samples (PIXELS_SCHEMA) for mixed PNG + JPEG
+    payloads via the from-spec codecs — the PSNR>=40dB invariant runs
+    on real LOSSY pixels in-sandbox through this path (r5)."""
+    decode, luma = any_decode_fns()
+    cols = images.select("image_id", "bytes")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "pixels": []}
+            for iid, payload in zip(pdf["image_id"], pdf["bytes"]):
+                img = decode(bytes(payload))
+                out["image_id"].append(iid)
+                out["w"].append(img.shape[1])
+                out["h"].append(img.shape[0])
+                out["pixels"].append(luma(img).ravel())
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(dec, schema=PIXELS_SCHEMA)
+
+
+def encode_pattern_jpeg_images(df: DataFrame, quality: int = 92) -> DataFrame:
+    """REAL synthetic baseline-JPEG payloads: the same deterministic
+    gradient pattern as `encode_pattern_png_images` — pixel(x, y) =
+    (val*31 + x*7 + y*13) % 256 — but run through the from-spec LOSSY
+    encoder (`functions/jpeg.py`). The decoded pixels are no longer an
+    exact SQL-predictable function of the row (that is the point of a
+    lossy fixture); the exact pattern remains the PSNR reference the
+    invariant chain compares against. Adds `bytes` + fmt='jpeg'."""
+    _codecs_by_value()
+    from ..functions import jpeg as _jpeg
+
+    keep = [c for c in df.columns if c not in ("bytes", "fmt")]
+    cols = df.select(*keep)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cols.schema.fields
+    ) + ", bytes binary, fmt string"
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for w, h, v in zip(pdf["w"], pdf["h"], pdf["val"]):
+                xs = (np.arange(int(w), dtype=np.int64) * 7)
+                ys = (np.arange(int(h), dtype=np.int64) * 13)
+                img = ((int(v) * 31 + ys[:, None] + xs[None, :]) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(_jpeg.encode_gray(img, quality=quality))
+            pdf = pdf.copy()
+            pdf["bytes"] = payloads
+            pdf["fmt"] = "jpeg"
             yield pdf
 
     return cols.mapInPandas(enc, schema=schema)

@@ -157,3 +157,46 @@ def test_near_dup_validation(spark):
         dhash_near_dup_pairs(df, max_hamming=4, bands=4)  # recall not guaranteed
     with pytest.raises(ValueError):
         dhash_near_dup_pairs(df, max_hamming=1, bands=3)  # band misalignment
+
+
+def test_mixed_png_jpeg_table(spark):
+    """r5: the dhash kernel dispatches on magic bytes — a mixed
+    PNG+JPEG table hashes end-to-end, and a JPEG re-encode of the SAME
+    pattern lands within a small Hamming distance of its PNG twin
+    (q95 on the smooth low-frequency half of the gradient; perceptual
+    hashes are exactly the thing lossy compression must not move)."""
+    import numpy as np
+
+    from osmium_tool_spark.functions import jpeg as _jpeg
+    from osmium_tool_spark.functions import png as _png
+
+    def smooth(val, w=18, h=16):
+        xs = np.arange(w, dtype=np.float64) * 5
+        ys = np.arange(h, dtype=np.float64) * 7
+        return np.clip(
+            128 + 80 * np.sin((val + ys[:, None] + xs[None, :]) / 40.0),
+            0, 255,
+        ).astype(np.uint8)
+
+    rows = []
+    for i in range(16):
+        img = smooth((i * 37) % 256)
+        payload = (_png.encode_gray(img) if i % 2 == 0
+                   else _jpeg.encode_gray(img, 95))
+        rows.append((i, payload))
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    out = {r.image_id: r for r in image_dhash(df, grid=8).collect()}
+    assert len(out) == 16
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # direct check: encode the same val both ways and compare
+    img = smooth(42)
+    both = spark.createDataFrame(
+        [(100, _png.encode_gray(img)), (101, _jpeg.encode_gray(img, 95))],
+        "image_id long, bytes binary")
+    r = {x.image_id: x for x in image_dhash(both, grid=8).collect()}
+    d = (ham(r[100].dhash_hi, r[101].dhash_hi)
+         + ham(r[100].dhash_lo, r[101].dhash_lo))
+    assert d <= 6, f"hamming {d} between PNG and q95 JPEG of same image"

@@ -82,3 +82,29 @@ def test_bad_args(spark):
         mosaic_tiles(df, res=2, grid=0)
     with pytest.raises(ValueError):
         mosaic_tiles(df, res=2, thumb=0)
+
+
+def test_mixed_png_jpeg_inputs(spark):
+    """r5: the paste kernel dispatches on magic bytes — a contact
+    sheet over a MIXED PNG+JPEG cell decodes both for real. JPEG rows
+    are constant-gray images (DC-only: from-spec JPEG reconstructs a
+    constant plane near-exactly), so the decoded mosaic means stay
+    within 1 luma of the all-PNG expectation."""
+    from osmium_tool_spark.functions import jpeg as jpeg_codec
+
+    rows = [("a0", 16, 16, 40, 500_000_000, 200_000_000),
+            ("a1", 16, 16, 80, 500_000_001, 200_000_000)]
+    png_half = _img_rows(spark, rows[:1])
+    import numpy as np
+    jpg_payload = jpeg_codec.encode_gray(
+        np.full((16, 16), 80, np.uint8), quality=92)
+    jpg_half = spark.createDataFrame(
+        [("a1", 16, 16, 80, 500_000_001, 200_000_000, jpg_payload, "jpeg")],
+        "image_id string, w int, h int, val int, lon long, lat long,"
+        " bytes binary, fmt string")
+    imgs = png_half.unionByName(jpg_half)
+    out = mosaic_tiles(imgs, res=2, grid=2, thumb=8).collect()
+    assert len(out) == 1 and out[0]["n_imgs"] == 2
+    decoded = png_codec.luma(png_codec.decode(bytes(out[0]["png"])))
+    assert abs(float(decoded[0:8, 0:8].mean()) - 40.0) <= 1.0   # PNG slot
+    assert abs(float(decoded[0:8, 8:16].mean()) - 80.0) <= 1.0  # JPEG slot

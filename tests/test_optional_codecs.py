@@ -145,11 +145,81 @@ def _recompress(src, dst, codec):
 
 class TestDecodeRealContract:
     @pytest.mark.skipif(HAS_PIL, reason="PIL installed: loud error N/A")
-    def test_decode_real_raises_without_pil(self, spark):
+    def test_decode_real_non_codec_payload_is_loud_without_pil(self, spark):
+        """r5: without PIL decode_real now FALLS BACK to the from-spec
+        PNG/JPEG dispatch instead of raising up front — the loud error
+        moves to execution time, only for payloads that are neither
+        format (synth_images bytes are hex text)."""
         from osmium_tool_spark.sources.images import decode_real, synth_images
 
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_real(synth_images(spark, 4))
+        with pytest.raises(Exception, match="neither PNG nor baseline"):
+            decode_real(synth_images(spark, 4)).collect()
+
+    def test_decode_real_from_spec_jpeg_fallback(self, spark):
+        """Without PIL, decode_real must decode real baseline-JPEG
+        payloads via functions/jpeg.py (with PIL it takes the PIL
+        path — either way this runs, no skip)."""
+        import numpy as np
+
+        from osmium_tool_spark.functions import jpeg as _jpeg
+        from osmium_tool_spark.sources.images import decode_real
+
+        rows = []
+        for i in range(4):
+            img = ((np.arange(16)[:, None] * 9 + np.arange(24)[None, :] * 5
+                    + i * 31) % 256).astype(np.uint8)
+            rows.append((f"img{i}", _jpeg.encode_gray(img, 92), 24, 16,
+                         "jpeg", f"cap{i}", i))
+        df = spark.createDataFrame(
+            rows, "image_id string, bytes binary, w int, h int, fmt string,"
+                  " caption string, phash long")
+        got = {r["image_id"]: r for r in decode_real(df).collect()}
+        assert len(got) == 4
+        assert all(r["w"] == 24 and r["h"] == 16 and r["fmt"] == "jpeg"
+                   for r in got.values())
+        assert all(0.0 < r["mean_luma"] < 255.0 for r in got.values())
+
+    def test_psnr_invariant_from_spec_jpeg(self, spark):
+        """ALWAYS-RUN twin of the PIL PSNR test (r5): PNG original vs
+        from-spec quality-92 JPEG re-encode passes the PSNR>=40dB
+        invariant; a quality-2 re-encode violates it. Real lossy
+        pixels end-to-end with zero codec libraries."""
+        import numpy as np
+
+        from osmium_tool_spark.functions import jpeg as _jpeg
+        from osmium_tool_spark.functions import png as _png
+        from osmium_tool_spark.operators.invariants import (
+            pixel_invariant_violations,
+        )
+        from osmium_tool_spark.sources.images import decode_pixels
+
+        rng = np.random.default_rng(11)
+        rows_a, rows_b, rows_bad = [], [], []
+        for i in range(4):
+            base = np.linspace(0, 200, 16 * 16).reshape(16, 16)
+            arr = (base + rng.normal(0, 3, (16, 16))).clip(0, 255).astype(
+                np.uint8)
+            rows_a.append((f"i{i}", _png.encode_gray(arr), "jpeg", f"c{i}"))
+            rows_b.append((f"i{i}", _jpeg.encode_gray(arr, 92), "jpeg",
+                           f"c{i}"))
+            rows_bad.append((f"i{i}", _jpeg.encode_gray(arr, 2), "jpeg",
+                             f"c{i}"))
+        ddl = "image_id string, bytes binary, fmt string, caption string"
+        A = spark.createDataFrame(rows_a, ddl)
+        B = spark.createDataFrame(rows_b, ddl)
+        BAD = spark.createDataFrame(rows_bad, ddl)
+
+        def with_meta(df, pix):
+            return pix.join(df.select("image_id", "fmt", "caption"),
+                            "image_id")
+
+        good = pixel_invariant_violations(
+            with_meta(A, decode_pixels(A)), with_meta(B, decode_pixels(B)))
+        assert good.count() == 0
+        bad = pixel_invariant_violations(
+            with_meta(A, decode_pixels(A)),
+            with_meta(BAD, decode_pixels(BAD)))
+        assert bad.filter("reason = 'psnr_below_threshold'").count() == 4
 
     @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
     def test_decode_real_png(self, spark, tmp_path):
