@@ -155,6 +155,9 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------- Huffman core
+_DTAB_CACHE: dict = {}
+
+
 def _canonical_codes(bits: list[int], vals: list[int]):
     """(value -> (code, length)) per T.81 Annex C code generation."""
     out = {}
@@ -169,9 +172,29 @@ def _canonical_codes(bits: list[int], vals: list[int]):
     return out
 
 def _decode_table(bits: list[int], vals: list[int]):
-    """((length, code) -> value) lookup for the decoder."""
+    """16-bit-prefix lookup tables (sym, length) for one-step Huffman
+    decode: a canonical code of length L owns the 2^(16-L) table slots
+    whose top L bits equal it, so decoding is ONE array index on the
+    next 16 bits of the stream instead of a bit-by-bit walk (the
+    classic libjpeg fast path, rebuilt from the canonical-code spec).
+    Slots no code owns carry length 0 -> invalid-stream error.
+    Memoized on the table bytes: a corpus encoded with one DHT set
+    (the common case — every libjpeg/Annex-K file) builds its LUTs
+    once per worker, not once per image."""
+    key = (bytes(bits), bytes(vals))
+    cached = _DTAB_CACHE.get(key)
+    if cached is not None:
+        return cached
     enc = _canonical_codes(bits, vals)
-    return {(ln, code): v for v, (code, ln) in enc.items()}
+    sym = np.zeros(1 << 16, np.int16)
+    ln = np.zeros(1 << 16, np.uint8)
+    for v, (code, length) in enc.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = v
+        ln[lo:hi] = length
+    _DTAB_CACHE[key] = (sym, ln)
+    return sym, ln
 
 
 class _BitWriter:
@@ -208,7 +231,14 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first reader over entropy-coded data: removes 0x00 stuffing
-    after 0xFF, surfaces RSTn markers, stops at any other marker."""
+    after 0xFF, surfaces RSTn markers, stops at any other marker.
+
+    Fast path: bits accumulate in a 32+-bit int; `peek16` exposes the
+    next 16 bits for the one-step Huffman LUT, `consume(k)` drops k
+    bits, `receive(n)` reads n magnitude bits in one mask — no per-bit
+    Python loops anywhere. Past the real stream the peek pads with
+    1-bits (the spec's pad value, B.1.1.5), and `exhausted_mid_block`
+    flags when a block actually consumed virtual bits."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -216,6 +246,7 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         self.marker = None  # set when a non-RST marker ends the scan
+        self.virtual = 0  # pad bits consumed past the real stream
 
     def _fill(self) -> bool:
         d = self.data
@@ -237,31 +268,49 @@ class _BitReader:
         self.nbits += 8
         return True
 
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            raise ValueError("JPEG: entropy data exhausted mid-block")
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _ensure(self, n: int) -> None:
+        while self.nbits < n:
+            if not self._fill():
+                # pad with 1-bits; consuming them is an error the MCU
+                # loop checks via `virtual` after each block
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                self.virtual += 8
+
+    def peek16(self) -> int:
+        self._ensure(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        self.nbits -= k
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._ensure(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def decode_huff(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("JPEG: invalid Huffman code (corrupt stream)")
+        sym, ln = table
+        w = self.peek16()
+        length = int(ln[w])
+        if length == 0:
+            raise ValueError("JPEG: invalid Huffman code (corrupt stream)")
+        self.nbits -= length
+        return int(sym[w])
+
+    def check_real(self) -> None:
+        """Raise if decoding consumed bits past the real stream
+        (truncated entropy data)."""
+        if self.virtual and self.nbits < self.virtual:
+            raise ValueError("JPEG: entropy data exhausted mid-block")
 
     def sync_restart(self, n: int) -> None:
         """Consume the expected RSTn marker and realign to a byte."""
         self.acc = 0
         self.nbits = 0
+        self.virtual = 0
         d = self.data
         while self.pos + 1 < len(d):
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
@@ -658,6 +707,7 @@ def decode(data: bytes) -> np.ndarray:
                                 )
                             zz[k] = _extend(br.receive(s), s)
                             k += 1
+            br.check_real()
             mcu_count += 1
     # dequantize + IDCT per component, vectorized over all blocks
     planes = {}
