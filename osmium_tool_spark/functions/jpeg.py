@@ -355,7 +355,11 @@ def _encode_blocks(
 def _huff_block(
     bw: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes
 ) -> int:
-    """Entropy-code one zigzag block; returns the new DC predictor."""
+    """Entropy-code one zigzag block; returns the new DC predictor.
+    The AC pass walks only the NONZERO coefficient positions (numpy
+    nonzero once per block; zero runs come from position gaps) —
+    quantized blocks are overwhelmingly sparse, so this is the encode
+    hot-path analog of the decoder's prefix-LUT."""
     dc = int(zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -363,17 +367,12 @@ def _huff_block(
     bw.put(code, ln)
     if s:
         bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0
+    for idx in nz:
+        k = int(idx) + 1
+        run = k - prev - 1
         v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
             bw.put(code, ln)
@@ -382,8 +381,8 @@ def _huff_block(
         code, ln = ac_codes[(run << 4) | s]
         bw.put(code, ln)
         bw.put(v if v > 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last_nz != 63:
+        prev = k
+    if nz.size == 0 or int(nz[-1]) + 1 != 63:
         code, ln = ac_codes[0x00]  # EOB
         bw.put(code, ln)
     return dc

@@ -49,7 +49,15 @@ def fileinfo_report(
     reference's stream "crc32" field (8 hex digits) via
     `fileinfo_crc_libosmium` — byte-parity with the fi1 golden; the cheap
     100 TB engine fingerprint remains `fileinfo_crc` (order-independent
-    sum of per-row CRC32s)."""
+    sum of per-row CRC32s).
+
+    Deliberately excluded: the reference's `-e` "buffers" block
+    (command_fileinfo.cpp:82-84, 308-320) — counts/sizes of
+    libosmium's INTERNAL read buffers, a property of that C++
+    reader's memory allocator, not of the data. A Spark engine has no
+    analogous object buffers; fabricating numbers would be
+    misleading, so the block is omitted rather than faked (r4 verdict
+    "What's missing" #3, accepted as negligible)."""
     import time as _time
 
     from ..schema import COORD_SCALE, NODE, RELATION, WAY
