@@ -58,6 +58,32 @@ def encode_gray(img: np.ndarray, level: int = 9) -> bytes:
     )
 
 
+def encode_rgb(img: np.ndarray, level: int = 9) -> bytes:
+    """8-bit RGB PNG (color type 2, filter 0 scanlines), deterministic
+    bytes — the color sibling of encode_gray (r5, for the real resize
+    path over color JPEG decodes)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_rgb: need an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

@@ -170,3 +170,66 @@ class TestCropImages:
         assert flipped  # hash-uniform: some flips in 20 draws
         for r in out:
             assert r.px_sum > 0 and r.px_wsum > 0
+
+
+class TestResizeImagesReal:
+    def test_png_gray_exact_nearest(self, spark):
+        """r5 real-pixel resize: exact integer-grid nearest neighbor
+        over a from-spec decoded PNG — every output pixel equals
+        src[y*h0//h1, x*w0//w1] of the exact pattern."""
+        import numpy as np
+
+        from osmium_tool_spark.functions import png as _png
+        from osmium_tool_spark.operators.multimodal import resize_images_real
+
+        w0, h0, val = 32, 24, 7
+        xs = np.arange(w0) * 7
+        ys = np.arange(h0) * 13
+        img = ((val * 31 + ys[:, None] + xs[None, :]) % 256).astype(np.uint8)
+        df = spark.createDataFrame(
+            [("a", _png.encode_gray(img))], "image_id string, bytes binary")
+        r = resize_images_real(df, max_side=16).collect()[0]
+        assert (r.w, r.h, r.fmt) == (16, 12, "png")
+        got = _png.decode(bytes(r.bytes))[:, :, 0]
+        yy = (np.arange(12) * h0) // 12
+        xx = (np.arange(16) * w0) // 16
+        assert np.array_equal(got, img[np.ix_(yy, xx)])
+
+    def test_jpeg_color_and_noop(self, spark):
+        import numpy as np
+
+        from osmium_tool_spark.functions import jpeg as _jpeg
+        from osmium_tool_spark.functions import png as _png
+        from osmium_tool_spark.operators.multimodal import resize_images_real
+
+        yy_, xx_ = np.mgrid[0:40, 0:56]
+        rgb = np.stack([
+            np.clip(100 + 80 * np.sin(xx_ / 11.0), 0, 255),
+            np.clip(140 + 50 * np.cos(yy_ / 8.0), 0, 255),
+            np.clip(90 + 0.5 * xx_ + 0.8 * yy_, 0, 255)],
+            axis=2).astype(np.uint8)
+        small_src = np.full((8, 6), 55, np.uint8)
+        df = spark.createDataFrame(
+            [("big", _jpeg.encode_rgb(rgb, 92)),
+             ("small", _png.encode_gray(small_src))],
+            "image_id string, bytes binary")
+        out = {r.image_id: r for r in
+               resize_images_real(df, max_side=28).collect()}
+        big = out["big"]
+        assert (big.w, big.h, big.fmt) == (28, 20, "png")
+        dec = _png.decode(bytes(big.bytes))
+        assert dec.shape == (20, 28, 3)  # color in -> color out
+        # noop row passes through re-encoded, pixels identical
+        small = out["small"]
+        assert (small.w, small.h) == (6, 8)
+        assert np.array_equal(
+            _png.decode(bytes(small.bytes))[:, :, 0], small_src)
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from osmium_tool_spark.operators.multimodal import resize_images_real
+
+        df = spark.createDataFrame([("a", b"x")], "image_id string, bytes binary")
+        with _pytest.raises(ValueError, match="max_side"):
+            resize_images_real(df, 0)

@@ -185,3 +185,20 @@ def test_psnr_invariant_on_real_pixels(spark):
     ).withColumn("caption", F.col("image_id"))
     bad = pixel_invariant_violations(before, after2).collect()
     assert [v.image_id for v in bad] == ["b"]
+
+
+def test_encode_rgb_roundtrip():
+    """r5: color-type-2 encoder (the color sibling of encode_gray) —
+    decode returns the identical array; deterministic bytes."""
+    import numpy as np
+
+    from osmium_tool_spark.functions import png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    b = png.encode_rgb(img)
+    assert b == png.encode_rgb(img)
+    assert np.array_equal(png.decode(b), img)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="encode_rgb"):
+        png.encode_rgb(img[:, :, 0])
