@@ -488,13 +488,15 @@ def encode_rgb(
     """Color baseline JPEG from an (h, w, 3) uint8 RGB array.
 
     subsample='444' writes one block per component per MCU;
-    subsample='420' box-filters chroma 2x2 (the web default) so the
-    decoder's multi-block MCU + upsampling paths have an in-sandbox
-    fixture source."""
+    subsample='420' box-filters chroma 2x2 (the web default) and
+    '422' horizontally only (the broadcast-video convention) so every
+    decoder sampling branch has an in-sandbox fixture source."""
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("JPEG: encode_rgb needs an (h, w, 3) uint8 array")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"JPEG: subsample must be '444' or '420', got {subsample!r}")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError(
+            f"JPEG: subsample must be '444', '422' or '420', got {subsample!r}"
+        )
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("JPEG: empty image")
@@ -513,6 +515,15 @@ def encode_rgb(
             return np.clip(np.round(q), 0, 255).astype(np.uint8)
         planes = [ypad, down(cb), down(cr)]
         hv = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "422":
+        ypad = _pad_to_blocks(y, 8, 16)
+        # horizontal-pair box filter (chroma halved in x only)
+        def down_h(p):
+            p = _pad_to_blocks(p, 8, 16).astype(np.float64)
+            q = (p[:, 0::2] + p[:, 1::2]) / 2.0
+            return np.clip(np.round(q), 0, 255).astype(np.uint8)
+        planes = [ypad, down_h(cb), down_h(cr)]
+        hv = [(2, 1), (1, 1), (1, 1)]
     else:
         planes = [_pad_to_blocks(p, 8, 8) for p in (y, cb, cr)]
         hv = [(1, 1), (1, 1), (1, 1)]

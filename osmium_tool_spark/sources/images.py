@@ -419,7 +419,10 @@ def decode_codec_meta(images: DataFrame) -> DataFrame:
     fail LOUD naming the Pillow swap-in. This is what `decode_real`
     falls back to when PIL is absent."""
     decode, luma = any_decode_fns()
-    cols = images.select("image_id", "bytes", "fmt")
+    # fmt is RE-DERIVED from the payload magic (the input fmt column,
+    # if any, is not required — r5 fix: the drive found the old select
+    # failing on tables without one)
+    cols = images.select("image_id", "bytes")
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

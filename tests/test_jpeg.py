@@ -52,9 +52,9 @@ class TestRoundtrip:
         assert out.shape == (40, 56, 1)
         assert psnr(img, out[:, :, 0]) >= 40.0
 
-    def test_rgb_444_and_420(self):
+    def test_rgb_444_422_420(self):
         img = smooth_rgb(40, 56)
-        for ss, floor in (("444", 44.0), ("420", 40.0)):
+        for ss, floor in (("444", 44.0), ("422", 41.0), ("420", 40.0)):
             out = jpeg.decode(jpeg.encode_rgb(img, 92, subsample=ss))
             assert out.shape == (40, 56, 3)
             assert psnr(img, out) >= floor, ss
@@ -138,7 +138,7 @@ class TestErrors:
         with pytest.raises(ValueError, match="uint8"):
             jpeg.encode_rgb(np.zeros((4, 4), np.uint8))
         with pytest.raises(ValueError, match="subsample"):
-            jpeg.encode_rgb(np.zeros((4, 4, 3), np.uint8), subsample="422")
+            jpeg.encode_rgb(np.zeros((4, 4, 3), np.uint8), subsample="411")
 
 
 class TestTablesFromFile:
@@ -197,7 +197,7 @@ class TestPILInterop:
         )
         assert psnr(img, pil) >= 40.0
         rgb = smooth_rgb(40, 56)
-        for ss in ("444", "420"):
+        for ss in ("444", "422", "420"):
             pil = np.asarray(
                 Image.open(io.BytesIO(jpeg.encode_rgb(rgb, 92, subsample=ss)))
             )
