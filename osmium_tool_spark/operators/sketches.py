@@ -114,7 +114,10 @@ def h32_final_sql(x: str) -> str:
 
 
 def fold31_sql(value: str) -> str:
-    return f"((({value}) % {P31}) + {P31}) % {P31}"
+    # CAST first: an INTEGER input would overflow at `% P31 + P31`
+    # (P31 = INT32 max) — DuckDB errors loudly, but the twin should
+    # accept any integer width like the Spark side's .cast("long")
+    return f"(((CAST({value} AS BIGINT)) % {P31}) + {P31}) % {P31}"
 
 
 def rho_sql(w: str, cap: int) -> str:
