@@ -1435,6 +1435,43 @@ def q_jpeg_decode_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_real_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-pixel resize verified to the pixel (r5 tail row for the
+    new resize_images_real): encode the exact gradient pattern as
+    PNG, resize through the codec loop (decode -> exact integer
+    nearest-neighbor grid -> re-encode), decode AGAIN, and emit each
+    image's pixel sum. Nearest neighbor on the integer grid keeps
+    every output pixel SQL-predictable: out(x,y) = pattern(val,
+    x*w0 div w1, y*h0 div h1), so the oracle recomputes the sums from
+    scratch over a generate_series pixel lattice — any off-by-one in
+    the grid math, dims rule, or either codec pass flips the hash."""
+    from osmium_tool_spark.operators.multimodal import resize_images_real
+    from osmium_tool_spark.sources.images import (
+        decode_codec_pixels,
+        encode_pattern_png_images,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey").cast("long")
+    base = part.select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        (24 + k % 20).cast("int").alias("w"),
+        (20 + k % 16).cast("int").alias("h"),
+        ((k * 37) % 256).cast("int").alias("val"),
+    )
+    resized = resize_images_real(encode_pattern_png_images(base), max_side=16)
+    pix = decode_codec_pixels(resized)
+    return pix.select(
+        F.col("image_id"),
+        _L("w").alias("w"),
+        _L("h").alias("h"),
+        F.expr(
+            "CAST(aggregate(pixels, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("px_sum"),
+    )
+
+
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composition itself, oracle-checked end-to-end."""
     import numpy as np
@@ -3574,6 +3611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery holds in-window rows via spatial_join +
         # polygon_rasterize + extract_bbox_simple)
         "extract_polygon": q_extract_polygon,
+        # r5 new-surface tail row: the real-pixel resize loop with its
+        # per-pixel arithmetic oracle (the codec family's in-window
+        # representative is jpeg_decode_invariant; the jpeg_codec
+        # scaling leg covers the kernel shape)
+        "resize_real_checksum": q_resize_real_checksum,
         # r5 rotations land here, all still oracled:
         "way_area_geodesic": q_way_area_geodesic,
         "corpus_overlap": q_corpus_overlap,
@@ -4788,6 +4830,38 @@ SELECT 'img' || p_partkey AS image_id,
        true AS psnr_ok,
        true AS luma_close
 FROM part
+"""
+
+    # resize_real_checksum: the oracle recomputes every resized pixel
+    # from the exact pattern over a generate_series lattice — nearest
+    # neighbor out(x,y) = pattern(val, x*w0//w1, y*h0//h1) with the
+    # resize_dims floor rule for (w1, h1).
+    o["resize_real_checksum"] = """
+WITH base AS (
+  SELECT p_partkey AS k,
+         24 + p_partkey % 20 AS w0,
+         20 + p_partkey % 16 AS h0,
+         (p_partkey * 37) % 256 AS val
+  FROM part),
+dims AS (
+  SELECT k, w0, h0, val,
+         CASE WHEN greatest(w0, h0) <= 16 THEN w0
+              ELSE greatest(1, (w0 * 16) // greatest(w0, h0)) END AS w1,
+         CASE WHEN greatest(w0, h0) <= 16 THEN h0
+              ELSE greatest(1, (h0 * 16) // greatest(w0, h0)) END AS h1
+  FROM base),
+px AS (
+  SELECT d.k, d.w1, d.h1,
+         SUM((d.val * 31 + ((y.y * d.h0) // d.h1) * 13
+              + ((x.x * d.w0) // d.w1) * 7) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w1 - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h1 - 1)) AS y) y
+  GROUP BY 1, 2, 3)
+SELECT 'img' || k AS image_id,
+       CAST(w1 AS BIGINT) AS w, CAST(h1 AS BIGINT) AS h,
+       CAST(s AS BIGINT) AS px_sum
+FROM px
 """
 
     r_ = DIAMOND_R

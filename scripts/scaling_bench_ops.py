@@ -607,7 +607,7 @@ def run_jpeg_codec():
     from osmium_tool_spark.sources.images import (
         decode_codec_pixels, encode_pattern_jpeg_images)
 
-    n_imgs = max(4000, {n_entities} // 500)
+    n_imgs = {n_imgs}
     k = F.col("id")
     base = spark.range(1, n_imgs + 1, 1, 32).select(
         F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
@@ -618,6 +618,28 @@ def run_jpeg_codec():
     decode_codec_pixels(encode_pattern_jpeg_images(base, quality=95)).agg(
         F.sum(F.size("pixels"))
     ).collect()
+
+
+def run_resize_real():
+    # r5: the full real-pixel resize loop (PNG encode -> decode ->
+    # integer-grid resample -> PNG re-encode -> decode -> sum) over
+    # the same image volume as run_jpeg_codec — same embarrassingly
+    # parallel map-stage shape, heavier per-row kernel.
+    from osmium_tool_spark.operators.multimodal import resize_images_real
+    from osmium_tool_spark.sources.images import (
+        decode_codec_pixels, encode_pattern_png_images)
+
+    n_imgs = {n_imgs}
+    k = F.col("id")
+    base = spark.range(1, n_imgs + 1, 1, 32).select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        (24 + k % 20).cast("int").alias("w"),
+        (20 + k % 16).cast("int").alias("h"),
+        ((k * 37) % 256).cast("int").alias("val"),
+    )
+    decode_codec_pixels(
+        resize_images_real(encode_pattern_png_images(base), max_side=16)
+    ).agg(F.sum(F.size("pixels"))).collect()
 
 
 def run_agg_ceiling():
@@ -776,6 +798,7 @@ for name, fn in (("renumber", run_renumber), ("dedup_ngram_jaccard", run_ngram),
                  ("bloom_probe", run_bloom_probe),
                  ("epoch_shuffle", run_epoch_shuffle),
                  ("jpeg_codec", run_jpeg_codec),
+                 ("resize_real", run_resize_real),
                  ("agg_ceiling", run_agg_ceiling)):
     if name not in ops:
         continue
@@ -791,9 +814,10 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_entities: int, n_docs: int, ops: list[str]) -> dict[str, float]:
+def run_level(cpus: int, n_entities: int, n_docs: int, ops: list[str],
+              n_imgs: int) -> dict[str, float]:
     code = CHILD.format(repo=REPO, cpus=cpus, n_entities=n_entities, n_docs=n_docs,
-                        ops=ops)
+                        ops=ops, n_imgs=n_imgs)
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, timeout=5400,
                        capture_output=True, text=True)
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
@@ -806,6 +830,11 @@ def run_level(cpus: int, n_entities: int, n_docs: int, ops: list[str]) -> dict[s
 def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_200_000
+    # image-kernel legs (jpeg_codec / resize_real) size independently of
+    # the entity volume so their compute-bound region does not drag the
+    # mechanical agg_ceiling row to billions of rows
+    n_imgs = int(os.environ.get("SPARK_GRAFT_SCALE_IMGS",
+                                str(max(4000, n_entities // 500))))
     levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
     lo, hi = (int(x) for x in levels.split(","))
     ops = os.environ.get(
@@ -820,8 +849,8 @@ def main() -> None:
     if "agg_ceiling" not in ops:
         ops = ops + ["agg_ceiling"]
 
-    t_lo = run_level(lo, n_entities, n_docs, ops)
-    t_hi = run_level(hi, n_entities, n_docs, ops)
+    t_lo = run_level(lo, n_entities, n_docs, ops, n_imgs)
+    t_hi = run_level(hi, n_entities, n_docs, ops, n_imgs)
 
     rows = []
     result = {"n_entities": n_entities, "n_docs": n_docs,
